@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver-side result transfer — we measure the engine, not toPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+HEADLINE = [
+    "star_join_enriched",
+    "revenue_by_nation",
+    "agg_customer_metrics",
+    "monthly_customer_totals",
+    "topk_customers",
+    "dedup_keep_latest",
+    "running_total_window",
+    "rejection_split_case_when",
+    "countdistinct_by_type",
+    "tumbling_window_agg",
+    "scan_filter_project",
+    "derived_cast_projection",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from sales_data_pipeline_spark.queries.base import load_all
+    from sales_data_pipeline_spark.session import build_session
+
+    registry = load_all()
+    spark = build_session("bench")
+
+    # JVM + parquet-footer warmup so q1 doesn't pay session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Query registry: each named query = a Spark implementation + a DuckDB
+oracle SQL string over the same parquet tables.
+
+This is the engine's public query surface (SURVEY §2 inventory plus the
+LLM-data-pipeline extensions). The driver's correctness gate runs both
+sides at sf=0.01 and hash-compares values, so every query here must be:
+
+ - deterministic (no current_date/rand; fixed as-of constants),
+ - tie-free where ordering matters (LIMIT/top-k always has a total-order
+   tiebreaker),
+ - float-stable (aggregated doubles rounded identically on both sides),
+ - column-name aligned (every computed column aliased the same in Spark
+   and SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    survey: str = ""  # SURVEY.md §2 operator ids this query covers
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    survey: str = "",
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under ``name`` with its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc, tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (parquet scan; pushdown-friendly)."""
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read nanos as long (runtime-settable legacy conf) and
+    convert with integer division — ns values (~1.7e18) don't fit a double,
+    so never divide in floating point. DuckDB truncates ns->us the same way.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cross-engine numerics.
+#
+# Spark's ROUND is decimal-string-based (BigDecimal of the shortest repr,
+# HALF_UP); DuckDB's is float-multiply-based. They disagree whenever a
+# double's shortest decimal repr lands exactly on a rounding boundary
+# (e.g. 3774.04125 -> 3774.0413 vs 3774.0412). So the oracle contract
+# never uses ROUND. Instead:
+#
+#  - det_round(x, n)  = FLOOR(x*10^n + 0.5) / 10^n   — pure IEEE ops,
+#    bit-identical in any engine; safe when x carries per-row error
+#    (a few ulps, far from the 0.5 boundary).
+#  - det_sum(x, n)    = SUM(CAST(FLOOR(x*10^n + 0.5) AS BIGINT)) / 10^n —
+#    per-row scaling to exact integers, then an EXACT integer sum. Immune
+#    to summation-order float drift at any data scale (until int64
+#    overflow), unlike rounding the float sum, whose accumulated error
+#    outgrows the rounding granularity around sf>=0.1.
+#  - averages derive from det_sum / COUNT — a deterministic double ratio.
+# ---------------------------------------------------------------------------
+
+
+def det_round(col: Column, n: int = 2) -> Column:
+    s = 10**n
+    return F.floor(col * s + F.lit(0.5)) / F.lit(float(s))
+
+
+def det_sum(col: Column, n: int = 2) -> Column:
+    s = 10**n
+    return F.sum(F.floor(col * s + F.lit(0.5))) / F.lit(float(s))
+
+
+def det_avg(col: Column, n: int = 2) -> Column:
+    return det_sum(col, n) / F.count(F.lit(1))
+
+
+def sql_det_round(expr: str, n: int = 2) -> str:
+    s = 10**n
+    return f"FLOOR(({expr}) * {s} + 0.5) / {s}.0"
+
+
+def sql_det_sum(expr: str, n: int = 2) -> str:
+    s = 10**n
+    return f"SUM(CAST(FLOOR(({expr}) * {s} + 0.5) AS BIGINT)) / {s}.0"
+
+
+def sql_det_avg(expr: str, n: int = 2) -> str:
+    return f"{sql_det_sum(expr, n)} / COUNT(*)"
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (populating REGISTRY) and return it."""
+    from sales_data_pipeline_spark.queries import (  # noqa: F401
+        core,
+        llm,
+        pipeline_queries,
+        streaming_queries,
+    )
+
+    return REGISTRY

@@ -1,0 +1,1050 @@
+"""Core relational query surface — SURVEY §2 operator inventory expressed
+over the driver's TPC-H-ish testdata, each with a DuckDB oracle.
+
+Float policy: no cross-engine ROUND anywhere (Spark's is decimal-string
+based, DuckDB's float-multiply based — they disagree at representable
+boundaries). Money aggregates use det_sum (exact integer-scaled sums),
+per-row derived values use det_round (pure IEEE floor arithmetic) — see
+queries/base.py for the proof sketch.
+
+Date/time policy: timestamps never leave a query raw — they are grouped /
+compared / formatted via date_format (Spark) and strftime (DuckDB), with
+the Spark session pinned to UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.queries.base import (
+    det_round,
+    det_sum,
+    query,
+    sql_det_round,
+    sql_det_sum,
+    table,
+)
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters  (S1-S3, P1-P5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-06-01'
+          AND l_quantity > 10
+    """,
+    survey="S1,S3,P1,P5",
+    doc="Projection + conjunctive predicate; filter and column pruning must "
+    "reach the parquet scan (reference applies filters post-read, "
+    "read_csv.py:36-40 — here Catalyst pushes them down).",
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1995-06-01") & (F.col("l_quantity") > 10))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@query(
+    "derived_cast_projection",
+    oracle="""
+        SELECT
+          l_orderkey,
+          l_linenumber,
+          CAST(l_quantity AS INTEGER) AS qty_int,
+          FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000.0 AS total_cost,
+          CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+          CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month
+        FROM lineitem
+    """,
+    survey="P3,P4; scalar date fns §2.10",
+    doc="withColumn-derived measures + casts + year/month extraction "
+    "(silver sales pattern, sales_transform.py:50-52).",
+)
+def derived_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        det_round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            4,
+        ).alias("total_cost"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+    )
+
+
+@query(
+    "rejection_split_case_when",
+    oracle="""
+        SELECT reason, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+        FROM (
+          SELECT CASE
+                   WHEN l_quantity > 45 THEN 'HIGH_QTY'
+                   WHEN l_discount > 0.08 THEN 'HIGH_DISC'
+                   WHEN l_tax > 0.07 THEN 'HIGH_TAX'
+                   ELSE 'VALID'
+                 END AS reason,
+                 l_extendedprice
+          FROM lineitem
+        ) t
+        GROUP BY reason
+    """,
+    survey="P6,P7",
+    doc="First-match-wins CASE WHEN rejection-reason chain + valid/rejected "
+    "split (bronze pattern, main.py:117-132 — 'Order matters').",
+)
+def rejection_split_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    reason = (
+        F.when(F.col("l_quantity") > 45, "HIGH_QTY")
+        .when(F.col("l_discount") > 0.08, "HIGH_DISC")
+        .when(F.col("l_tax") > 0.07, "HIGH_TAX")
+        .otherwise("VALID")
+    )
+    return (
+        li.withColumn("reason", reason)
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n"),
+            det_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "value_repair_flags",
+    oracle="""
+        SELECT
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN o_orderpriority ELSE 'OTHER' END AS priority_class,
+          o_totalprice > 200000 AS is_big,
+          CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    survey="P8,P9",
+    doc="Conditional value repair + derived boolean flag "
+    "(product_transform.py:34-39, store_transform.py:45-55 patterns).",
+)
+def value_repair_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.col("o_orderpriority"),
+            )
+            .otherwise("OTHER")
+            .alias("priority_class"),
+            (F.col("o_totalprice") > 200000).alias("is_big"),
+        )
+        .groupBy("priority_class", "is_big")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "pattern_filter",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE text LIKE '%spark%'
+          AND regexp_matches(text, '^[a-z]')
+    """,
+    survey="P10",
+    doc="rlike + contains predicates (customer_transform.py:42,66).",
+)
+def pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").contains("spark") & F.col("text").rlike("^[a-z]")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "isin_filter",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type
+    """,
+    survey="P11",
+    doc="IN-list predicate (scd_customer_transform.py:139 — there from a "
+    "driver-side collect(); here a literal list, and the distributed "
+    "alternative is the semi-join query).",
+)
+def isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            det_sum(F.col("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (J1-J6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_string_normalized",
+    oracle="""
+        WITH seg_dim AS (
+          SELECT lower(trim(c_mktsegment)) AS segment_key,
+                 CAST(count(*) AS BIGINT) AS segment_size
+          FROM customer GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_name, s.segment_key, s.segment_size
+        FROM customer c
+        INNER JOIN seg_dim s ON lower(trim(c.c_mktsegment)) = s.segment_key
+    """,
+    survey="J1",
+    doc="Inner equi-join on a normalized (lower/trim) string key "
+    "(sales->product name-resolution join, sales_transform.py:30-43). "
+    "The dim side is tiny => broadcast hash join.",
+)
+def join_string_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    seg_dim = (
+        c.groupBy(F.lower(F.trim(F.col("c_mktsegment"))).alias("segment_key"))
+        .agg(F.count("*").alias("segment_size"))
+    )
+    return (
+        c.join(
+            F.broadcast(seg_dim),
+            F.lower(F.trim(c["c_mktsegment"])) == seg_dim["segment_key"],
+            "inner",
+        )
+        .select("c_custkey", "c_name", "segment_key", "segment_size")
+    )
+
+
+@query(
+    "star_join_enriched",
+    oracle="""
+        SELECT
+          l.l_orderkey, l.l_linenumber,
+          o.o_custkey, c.c_name, n.n_name, r.r_name,
+          FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) / 10000.0 AS revenue
+        FROM lineitem l
+        INNER JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        INNER JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        INNER JOIN region r   ON n.n_regionkey = r.r_regionkey
+    """,
+    survey="J2,J5,J6",
+    doc="Chained star join fact->dims (sales_gold.py:21-34; legacy 3-way "
+    "join dimension_tables_join.py:16-53). Dims broadcast; fact never "
+    "shuffles for the dim joins.",
+)
+def star_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "c_name",
+            "n_name",
+            "r_name",
+            det_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "anti_join_new_keys",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    survey="J4",
+    doc="left_anti join: keys absent from the other side "
+    "(SCD new-customer detection, scd_customer_transform.py:160-163).",
+)
+def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_active_keys",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    survey="J4 (complement); §7.4 risk 8",
+    doc="left_semi join — the distributed replacement for the reference's "
+    "collect()+isin() change-id filter (scd_customer_transform.py:129).",
+)
+def semi_join_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "change_detection_join",
+    oracle="""
+        WITH existing AS (
+          SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+                 md5(concat_ws('|', c_name, c_mktsegment,
+                               printf('%.2f', c_acctbal))) AS row_hash
+          FROM customer
+        ),
+        incoming AS (
+          SELECT c_custkey, c_name,
+                 CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment
+                 END AS c_mktsegment,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal
+          FROM customer
+        ),
+        incoming_hashed AS (
+          SELECT *, md5(concat_ws('|', c_name, c_mktsegment,
+                        printf('%.2f', c_acctbal))) AS row_hash
+          FROM incoming
+        )
+        SELECT n.c_custkey, e.row_hash AS old_hash, n.row_hash AS new_hash
+        FROM incoming_hashed n
+        INNER JOIN existing e ON n.c_custkey = e.c_custkey
+        WHERE n.row_hash <> e.row_hash
+    """,
+    survey="J3; md5 row-hash §2.10",
+    doc="SCD change-detection: inner join on business key + row_hash "
+    "inequality residual (scd_customer_transform.py:118-127). The "
+    "incoming batch is derived deterministically from customer.",
+)
+def change_detection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "row_hash",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("c_name"),
+                    F.col("c_mktsegment"),
+                    F.format_string("%.2f", F.col("c_acctbal")),
+                )
+            ),
+        )
+
+    existing = hashed(c.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+    incoming = hashed(
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+    )
+    return (
+        incoming.alias("n")
+        .join(existing.alias("e"), "c_custkey", "inner")
+        .filter(F.col("n.row_hash") != F.col("e.row_hash"))
+        .select(
+            "c_custkey",
+            F.col("e.row_hash").alias("old_hash"),
+            F.col("n.row_hash").alias("new_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (A1-A6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_customer_metrics",
+    oracle="""
+        SELECT
+          o_custkey AS customer_id,
+          CAST(count(*) AS BIGINT) AS total_orders,
+          SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_spent,
+          SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) AS avg_order_value,
+          strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_purchase_date,
+          strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_purchase_date
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    survey="A1",
+    doc="Grouped multi-aggregate customer metrics "
+    "(customer_metrics_gold.py:26-37): count/sum/avg/min/max in one pass "
+    "(partial aggregation map-side, single shuffle on the group key).",
+)
+def agg_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count("*").alias("total_orders"),
+        det_sum(F.col("o_totalprice"), 2).alias("total_spent"),
+        (det_sum(F.col("o_totalprice"), 2) / F.count(F.lit(1))).alias(
+            "avg_order_value"
+        ),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+            "first_purchase_date"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+            "last_purchase_date"
+        ),
+    )
+
+
+@query(
+    "agg_global_watermark",
+    oracle="""
+        SELECT strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+    """,
+    survey="A2,A3,I3",
+    doc="Global max timestamp — the watermark-update aggregate "
+    "(main.py:412-414) plus the layer row count, in ONE pass instead of "
+    "the reference's separate count() actions.",
+)
+def agg_global_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "distinct_keys",
+    oracle="SELECT DISTINCT o_custkey FROM orders",
+    survey="A4",
+    doc="DISTINCT projection (scd_customer_transform.py:158).",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        FROM orders o
+        INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        INNER JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        INNER JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    """,
+    survey="A5,J2",
+    doc="Dashboard revenue-by-dimension group-by (dashboard.py:192-281) as "
+    "a star join + aggregate. Flagship entry() query.",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            det_sum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "monthly_customer_totals",
+    oracle="""
+        SELECT o_custkey AS customer_id,
+               strftime(o_orderdate, '%Y-%m') AS sales_date_month,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_sales
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    survey="A6,W2",
+    doc="Per-(customer, month) totals — the legacy mart's window+distinct "
+    "(customer_mart_sql_tranform_write.py:10-19) re-expressed as the "
+    "equivalent groupBy (one shuffle, no window state).",
+)
+def monthly_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.col("o_custkey").alias("customer_id"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("sales_date_month"),
+        )
+        .agg(det_sum(F.col("o_totalprice"), 2).alias("total_sales"))
+    )
+
+
+@query(
+    "kpi_dashboard",
+    oracle="""
+        SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_revenue,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) AS avg_order_value
+        FROM orders
+    """,
+    survey="A5 (KPIs: sum/len/nunique/mean, dashboard.py:131-136)",
+    doc="Single-row KPI aggregate incl. exact countDistinct.",
+)
+def kpi_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        det_sum(F.col("o_totalprice"), 2).alias("total_revenue"),
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (det_sum(F.col("o_totalprice"), 2) / F.count(F.lit(1))).alias(
+            "avg_order_value"
+        ),
+    )
+
+
+@query(
+    "countdistinct_by_type",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    survey="A5 (nunique)",
+    doc="Grouped exact distinct-count. At 100 TB prefer "
+    "approx_count_distinct (HLL, no per-key shuffle of distinct values); "
+    "exact kept here because the oracle must hash-match.",
+)
+def countdistinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        det_sum(F.col("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+        SELECT r_name AS region, n_name AS nation,
+               SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_balance,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c
+        INNER JOIN nation n ON c.c_nationkey = n.n_nationkey
+        INNER JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    survey="§2.4 extension (grouping sets)",
+    doc="ROLLUP hierarchy totals — not in the reference (SURVEY notes it as "
+    "a cheap extension); one shuffle, grouping-set expansion map-side.",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            det_sum(F.col("c_acctbal"), 2).alias("total_balance"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "pivot_status_by_year",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END) / 100.0 AS "O",
+               SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END) / 100.0 AS "F",
+               SUM(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END) / 100.0 AS "P"
+        FROM orders
+        GROUP BY 1
+    """,
+    survey="§2.4 extension (pivot)",
+    doc="Pivot on a low-cardinality status column with an explicit value "
+    "list (never let Spark scan for distinct pivot values at scale).",
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))))
+    )
+    return pivoted.select(
+        "order_year",
+        (F.col("O") / 100.0).alias("O"),
+        (F.col("F") / 100.0).alias("F"),
+        (F.col("P") / 100.0).alias("P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k  (W1-W2, O1-O3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec, value
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+                 ) AS rn
+          FROM events
+        ) t
+        WHERE rn = 1
+    """,
+    survey="W1,O3",
+    doc="Dedup-keep-latest via ranking window (product/customer/store "
+    "silver dedup, product_transform.py:72-77). The reference's ordering "
+    "is tie-ambiguous (SURVEY §7.4 risk 1); event_id DESC is the added "
+    "deterministic tiebreaker.",
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_sec"),
+            "value",
+        )
+    )
+
+
+@query(
+    "running_total_window",
+    oracle="""
+        SELECT event_id, user_id,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 100.0 AS running_total
+        FROM events
+    """,
+    survey="W2",
+    doc="Partitioned running total with an explicit rows frame "
+    "(customer_mart_sql_tranform_write.py:10-14 uses the whole-partition "
+    "frame; the ordered frame is the general form).",
+)
+def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).over(w) / 100.0
+        ).alias("running_total"),
+    )
+
+
+@query(
+    "topk_customers",
+    oracle="""
+        SELECT o_custkey AS customer_id,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY total_spent DESC, customer_id ASC
+        LIMIT 10
+    """,
+    survey="O2,A5",
+    doc="Top-10 by measure (dashboard.py:222-227 nlargest). Spark compiles "
+    "to TakeOrderedAndProject — no global sort, per-partition heaps. "
+    "Tiebreak on customer_id makes LIMIT deterministic.",
+)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(det_sum(F.col("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.asc("customer_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+        SELECT o_custkey AS customer_id, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ) AS rn
+          FROM orders
+        ) t
+        WHERE rn <= 3
+    """,
+    survey="O2+W1 composite (top-k per group)",
+    doc="Top-3 orders per customer via ranking window; single shuffle on "
+    "the partition key.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer_id"), "o_orderkey", "o_totalprice"
+        )
+    )
+
+
+@query(
+    "ordered_history",
+    oracle="""
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS seq
+        FROM events
+        WHERE user_id % 10 = 0
+    """,
+    survey="O1",
+    doc="Ordered per-key history read (get_customer_history orderBy "
+    "valid_from, scd_customer_transform.py:237-241) — ordering exposed "
+    "as an explicit seq column so the order-insensitive hash still "
+    "verifies it.",
+)
+def ordered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_sec"),
+            F.row_number().over(w).alias("seq"),
+        )
+    )
+
+
+@query(
+    "sessionize_lag_gaps",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                      ) > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                      ) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM gaps
+        GROUP BY user_id
+    """,
+    survey="§2.5 extension (lag + sessionization)",
+    doc="Sessionization: lag(ts) gap > 30min starts a session; counts "
+    "sessions per user. Streaming twin: session_window(ts, gap).",
+)
+def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / scalar functions / hashes  (U1, §2.10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_assembly",
+    oracle="""
+        SELECT c_custkey, c_name, 'low' AS slice FROM customer WHERE c_acctbal < 0
+        UNION ALL
+        SELECT c_custkey, c_name, 'mid' AS slice
+        FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 5000
+        UNION ALL
+        SELECT c_custkey, c_name, 'high' AS slice FROM customer WHERE c_acctbal >= 5000
+    """,
+    survey="U1",
+    doc="UNION ALL x2 assembly over a fixed column contract "
+    "(SCD result assembly, scd_customer_transform.py:200-204).",
+)
+def union_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+
+    def slice_df(cond, name):
+        return c.filter(cond).select(
+            "c_custkey", "c_name", F.lit(name).alias("slice")
+        )
+
+    low = slice_df(F.col("c_acctbal") < 0, "low")
+    mid = slice_df((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 5000), "mid")
+    high = slice_df(F.col("c_acctbal") >= 5000, "high")
+    return low.union(mid).union(high)
+
+
+@query(
+    "row_hash_md5",
+    oracle="""
+        SELECT c_custkey,
+               md5(concat_ws('|',
+                   c_name,
+                   nullif(c_mktsegment, 'BUILDING'),
+                   printf('%.2f', c_acctbal))) AS row_hash
+        FROM customer
+    """,
+    survey="§2.10 hash; §7.4 risk 3",
+    doc="md5(concat_ws('|', ...)) row-hash with the reference's null "
+    "semantics: concat_ws SKIPS nulls, so ('a',NULL,'b') hashes like "
+    "('a','b') (scd_customer_transform.py:59-62). nullif injects nulls "
+    "to prove the property on clean data.",
+)
+def row_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("c_name"),
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                F.format_string("%.2f", F.col("c_acctbal")),
+            )
+        ).alias("row_hash"),
+    )
+
+
+@query(
+    "string_functions_showcase",
+    oracle="""
+        SELECT c_custkey,
+               lower(trim(c_name)) AS name_norm,
+               regexp_replace(c_name, '[^0-9]', '', 'g') AS digits_only,
+               substring(c_mktsegment, 1, 3) AS seg3,
+               concat_ws(' ', lower(c_mktsegment), 'segment') AS seg_label,
+               CAST(length(c_name) AS INTEGER) AS name_len
+        FROM customer
+    """,
+    survey="§2.10 string fns",
+    doc="trim/lower/regexp_replace/substring/concat_ws/length "
+    "(customer_transform.py:21-40, sales_gold.py:47).",
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim(F.col("c_name"))).alias("name_norm"),
+        F.regexp_replace(F.col("c_name"), "[^0-9]", "").alias("digits_only"),
+        F.substring(F.col("c_mktsegment"), 1, 3).alias("seg3"),
+        F.concat_ws(" ", F.lower(F.col("c_mktsegment")), F.lit("segment")).alias(
+            "seg_label"
+        ),
+        F.length(F.col("c_name")).cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "date_functions_showcase",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+               CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS order_day,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY,
+                        '%Y-%m-%d') AS due_date
+        FROM orders
+    """,
+    survey="§2.10 date fns",
+    doc="year/month/day extraction, datediff against a fixed as-of date "
+    "(never current_date — SURVEY §7.4 risk 2), date arithmetic.",
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    survey="§2.10 extension (JSON)",
+    doc="JSON field extraction from a string column — not in the reference "
+    "(its JSON parsing is driver-side Python on watermark files); "
+    "first-class here via get_json_object.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental / time-window  (I2; streaming twin in streaming_queries)
+# ---------------------------------------------------------------------------
+
+WATERMARK_TS = "2024-01-14 00:00:00"
+
+
+@query(
+    "watermark_incremental_filter",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
+        FROM events
+        WHERE ts > TIMESTAMP '{WATERMARK_TS}' - INTERVAL 5 MINUTE
+    """,
+    survey="I1,I2",
+    doc="Incremental scan gate: ts > (watermark - 5min late buffer) "
+    "(watermark_manager.py:159-177, buffer config.yaml:138). On parquet "
+    "this predicate pushes down to row-group pruning; with partitioned "
+    "layout it prunes whole partitions.",
+)
+def watermark_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    gate = F.expr(f"timestamp '{WATERMARK_TS}' - interval 5 minutes")
+    return e.filter(F.col("ts") > gate).agg(
+        F.count("*").alias("n_rows"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    survey="§2.8 streaming twin (batch form)",
+    doc="Tumbling 5-minute window aggregate via F.window — identical "
+    "semantics to the Structured Streaming version in "
+    "streaming_queries.py, run here in batch.",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            det_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory for the engine.
+
+The reference declares Spark confs in YAML but never applies them
+(/root/reference/src/main/utility/spark_session.py:15-35 builds a bare
+session; config.yaml:14-19 AQE settings are unwired). Here the conf
+passthrough is real: ``build_session`` applies a dict of confs on top of
+scale-aware defaults.
+
+Defaults are chosen for correctness-oracle parity and 100 TB posture:
+ - UTC session timezone (DuckDB timestamps are tz-naive; parity needs a
+   pinned zone),
+ - AQE on (runtime partition coalescing, skew-join splitting, dynamic
+   broadcast) — the knob that makes one logical plan survive 1000x data,
+ - Arrow enabled for the pandas boundary (serving edge + Pandas UDFs),
+ - shuffle partitions sized to local cores for tests; a real cluster
+   deployment overrides via ``extra_conf`` (rule of thumb: 2-3x total
+   executor cores, or rely on AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs every deployment gets unless overridden. On a 1000-executor
+# cluster the same dict applies; only sizing keys change.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables in the star schema are tiny; let Catalyst broadcast
+    # aggressively (reference intent: broadcast_threshold_mb=100,
+    # /root/reference/config/environments/prod.yaml:192, never wired).
+    "spark.sql.autoBroadcastJoinThreshold": str(100 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Static partition overwrite silently truncates sibling partitions on
+    # incremental loads (SURVEY §7.4 risk 6); dynamic is the safe default.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def build_session(
+    app_name: str = "sales_data_pipeline_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults + overrides.
+
+    ``extra_conf`` wins over defaults — this is the YAML passthrough the
+    reference was missing.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(max(cpus, 8))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,128 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For each registered query: run the Spark side and the oracle SQL on the
+same parquet tables, normalize both to pandas (columns sorted by name,
+rows sorted by all columns), and compare EXACTLY — stricter than any
+hash, so passing here implies passing the driver's value-hash compare.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from sales_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out.columns = [str(c) for c in out.columns]
+    out = out[sorted(out.columns)]
+    # canonical dtypes: bools -> bool, ints -> int64 where lossless
+    for c in out.columns:
+        s = out[c]
+        if s.dtype == object:
+            continue
+        if pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    return out
+
+
+def _cell_eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) or pd.isna(b):
+            return False
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    if list(s.columns) != list(o.columns):
+        return CompareResult(
+            name, False, f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"
+        )
+    if len(s) != len(o):
+        return CompareResult(name, False, f"row count: spark={len(s)} oracle={len(o)}")
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if not _cell_eq(a, b):
+                return CompareResult(
+                    name,
+                    False,
+                    f"col {c!r} row {i}: spark={a!r} ({type(a).__name__}) "
+                    f"oracle={b!r} ({type(b).__name__})",
+                )
+    return CompareResult(name, True)
+
+
+def run_query_check(spark, con, sf_dir: str, spec) -> CompareResult:
+    sdf = spec.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        ok = len(spark_pdf) >= 0
+        return CompareResult(spec.name, ok, f"rows-only: {len(spark_pdf)} rows")
+    oracle_pdf = con.execute(spec.oracle).fetchdf()
+    return compare_frames(spec.name, spark_pdf, oracle_pdf)
+
+
+def main(sf_dir: str, names: list[str] | None = None) -> int:
+    from sales_data_pipeline_spark.queries.base import load_all
+    from sales_data_pipeline_spark.session import build_session
+
+    registry = load_all()
+    spark = build_session("oracle_harness")
+    con = duckdb_connection(sf_dir)
+    failures = 0
+    for name, spec in sorted(registry.items()):
+        if names and name not in names:
+            continue
+        try:
+            res = run_query_check(spark, con, sf_dir, spec)
+        except Exception as exc:  # noqa: BLE001
+            res = CompareResult(name, False, f"EXCEPTION: {exc}")
+        status = "OK  " if res.ok else "FAIL"
+        print(f"{status} {name}  {res.detail[:400]}")
+        failures += 0 if res.ok else 1
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return failures
+
+
+if __name__ == "__main__":
+    import sys
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2:] or None
+    raise SystemExit(main(sf, only))
