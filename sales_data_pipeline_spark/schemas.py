@@ -154,6 +154,7 @@ SCD2_COLUMNS = SILVER_CUSTOMER_COLUMNS + [
 ]
 
 SILVER_PRODUCT_COLUMNS = [
+    # product_transform.py:82-94 keeps ingestion_date in the silver contract
     "product_id",
     "product_name",
     "category",
@@ -164,6 +165,7 @@ SILVER_PRODUCT_COLUMNS = [
     "updated_date",
     "expiry_date",
     "is_active",
+    "ingestion_date",
 ]
 
 SILVER_STORE_COLUMNS = [

@@ -14,14 +14,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    from sales_data_pipeline_spark.session import build_session
-
-    s = build_session("pytest_parity")
-    yield s
-
-
-@pytest.fixture(scope="session")
 def con():
     c = duckdb_connection(SF_DIR)
     yield c
