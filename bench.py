@@ -32,6 +32,18 @@ HEADLINE = [
     "tumbling_window_agg",
     "scan_filter_project",
     "derived_cast_projection",
+    # pipeline composites
+    "scd2_merge_history",
+    "gold_customer_metrics",
+    "silver_customer_transform",
+    # LLM-data extensions
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_brute_force",
+    "knn_lsh_bucket",
+    "text_token_stats",
+    "session_window_agg",
 ]
 
 

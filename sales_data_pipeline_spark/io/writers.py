@@ -1,0 +1,82 @@
+"""Sink operators (SURVEY §2.1 S5-S8).
+
+Reference parity (src/main/write/*) with scale-conscious defaults:
+ - partitioned parquet everywhere (S5/S6), Hive-style layout preserved
+   so partition pruning works downstream,
+ - ``coalesce_files`` implements the reference's declared-but-unwired
+   small-file control (prod.yaml:195-201),
+ - dynamic partition overwrite relies on the session default set in
+   session.py (static overwrite truncates siblings; SURVEY §7.4 #6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+BRONZE_PARTITION = "ingestion_date"
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    coalesce_files: int | None = None,
+) -> None:
+    """Partitioned parquet sink (S5; write_parquet.py:1-7)."""
+    if coalesce_files:
+        df = df.coalesce(coalesce_files)
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_bronze_raw(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Bronze valid-rows sink, partitioned by ingestion_date (S6;
+    write_bronze.py:1-9)."""
+    write_parquet(df, path, mode=mode, partition_cols=[BRONZE_PARTITION])
+
+
+def write_bronze_rejected(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Bronze rejected-rows sink (S6; write_bronze.py:11-19) — keeps the
+    rejection_reason column for quarantine analytics."""
+    write_parquet(df, path, mode=mode, partition_cols=[BRONZE_PARTITION])
+
+
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """Generic format sink (S7; parquet_writer.py:3-19)."""
+    writer = df.write.format(fmt).mode(mode)
+    for k, v in (options or {"header": "true"}).items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10000,
+) -> None:
+    """JDBC sink (S8; database_write.py:3-17). Executors write in
+    parallel; batch_size bounds round trips."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,113 @@
+"""Multimodal (image/audio/video) column handling.
+
+Model: media is an opaque ``binary`` column plus typed metadata columns;
+decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched Pandas functions via ``mapInPandas`` — the only operators
+in this engine allowed off the JVM, because codec work is genuinely
+Python/native-library territory.
+
+The Spark-side plumbing here (schemas, batch iteration, partition
+behavior) is real and tested; the codec itself is pluggable:
+ - ``decoder="fake"`` — a deterministic arithmetic decoder (used by
+   tests and the DuckDB oracle), and
+ - ``decoder="real"`` — raises NotImplementedError: image/audio
+   libraries (PIL/ffmpeg) are not available in this container. Swap in
+   a real decode function on a cluster with codecs installed; nothing
+   else changes.
+
+Scale posture: mapInPandas streams Arrow batches (no per-row Python
+overhead); media bytes never hit the driver; batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``. Partition by content
+hash prefix for even codec load.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def attach_binary(
+    df: DataFrame, src_col: str = "text", out_col: str = "media_bytes"
+) -> DataFrame:
+    """Opaque-binary column from any source column (in production this
+    is the raw image/audio payload read from object storage)."""
+    return df.withColumn(out_col, F.col(src_col).cast("binary"))
+
+
+def _decode_real(payload: bytes) -> tuple[int, int]:
+    """Real image decode — requires PIL/libvips, absent here."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "use decoder='fake' or provide a decode function"
+    )
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in decoder: pretends the byte length encodes
+    the image dimensions. Mirrors what the oracle SQL computes."""
+    n = len(payload)
+    return 64 + n % 512, 64 + (n * 7) % 512
+
+
+def decode_media_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode pass: binary column -> (doc_id, n_bytes, width, height,
+    content_hash) via Arrow-batched mapInPandas."""
+    decode = {"fake": _decode_fake, "real": _decode_real}[decoder]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[bytes_col]
+            dims = [decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "content_hash": [
+                        hashlib.md5(p).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    every_n_bytes: int = 97,
+) -> DataFrame:
+    """Frame-sampling stand-in: emit one row per sampled offset of the
+    payload (a video decoder would emit one row per sampled frame).
+    Pure Spark — posexplode over a computed offset sequence; the decode
+    of each frame would then run through decode_media_meta."""
+    n = F.octet_length(F.col(bytes_col))
+    offsets = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes)
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(offsets).alias("frame_no", "byte_offset")
+    )

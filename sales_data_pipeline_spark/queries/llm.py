@@ -1,1 +1,565 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline catalog queries: dedup, similarity search, text
+analysis, multimodal plumbing — the capability extension beyond the
+reference surface (BASELINE.json north star), over the driver's
+``documents`` and ``embeddings`` tables.
+
+Every oracle mirrors the Spark operator's MECHANISM (same md5 minhash
+family, same LSH bands/buckets, same left-fold double accumulation), not
+just its intent — so candidate-generation randomness is identical on
+both sides and results match exactly.
+
+Near/exact duplicates are INJECTED deterministically (the base corpus is
+dup-free): doc_id%10==0 -> exact copy at +100000, doc_id%7==0 -> padded
+near-copy at +200000; same for embeddings (vec_id%10==0 copy at
++100000).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.functions import text as tx
+from sales_data_pipeline_spark.operators import dedup, multimodal, similarity
+from sales_data_pipeline_spark.queries.base import det_round, query, table
+
+NEAR_DUP_PAD = " extra pad tokens appended for near duplicate testing"
+
+
+# ---------------------------------------------------------------------------
+# Corpus builders (Spark + SQL mirrors)
+# ---------------------------------------------------------------------------
+
+
+def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_PAD)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_DOCS_CORPUS_SQL = f"""
+  corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || '{NEAR_DUP_PAD}'
+    FROM documents WHERE doc_id % 7 = 0
+  )
+"""
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return e.unionByName(dup)
+
+
+_EMB_CORPUS_SQL = """
+  corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+  )
+"""
+
+_WS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_WORDSET_SQL = f"list_distinct({_WS_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# SQL generators mirroring the Spark operators' arithmetic exactly
+# ---------------------------------------------------------------------------
+
+
+def _sql_dot(a: str, b: str, dim: int = similarity.DIM) -> str:
+    """Left-fold dot chain — same association as similarity.dot."""
+    terms = " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_dot_literal(vec: str, lit_vec: list[float], dim: int = similarity.DIM) -> str:
+    terms = " + ".join(
+        f"CAST({vec}[{j + 1}] AS DOUBLE) * ({lit_vec[j]!r})" for j in range(dim)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_norm(vec: str) -> str:
+    return f"sqrt({_sql_dot(vec, vec)})"
+
+
+def _sql_cosine_literal(vec: str, lit_vec: list[float]) -> str:
+    qn = math.sqrt(sum(x * x for x in lit_vec))
+    return f"({_sql_dot_literal(vec, lit_vec)} / ({_sql_norm(vec)} * {qn!r}))"
+
+
+def _sql_lsh_bucket(vec: str) -> str:
+    parts = []
+    for i in range(similarity.N_PLANES):
+        plane = [float(x) for x in similarity.hyperplane(i)]
+        parts.append(
+            f"CASE WHEN {_sql_dot_literal(vec, plane)} > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sql_minhash_sig(k: int = 8) -> list[str]:
+    return [
+        f"list_min(list_transform(ws, w -> md5('{s}|' || w)))" for s in range(k)
+    ]
+
+
+def _sql_simhash_bit_sum(j: int) -> str:
+    ci = j // 4 + 1
+    sh = 3 - (j % 4)
+    return (
+        "CAST(list_sum(list_transform(hs, h -> "
+        f"(((strpos('0123456789abcdef', substr(h, {ci}, 1)) - 1) >> {sh}) & 1)"
+        " * 2 - 1)) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_WS_SQL}) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+               FLOOR(length(regexp_replace(text, '\\s', '', 'g'))
+                 / len({_WS_SQL}) * 10000 + 0.5) / 10000.0 AS avg_word_len
+        FROM documents
+    """,
+    survey="LLM-ext: token counting (functions/text.py)",
+    doc="Whitespace + BPE-ish regex token counts and average word "
+    "length — per-row JVM expressions, no shuffle.",
+    tags=("llm",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws(t).alias("ws_tokens"),
+        tx.token_count_bpe(t).alias("bpe_tokens"),
+        det_round(tx.avg_word_length(t), 4).alias("avg_word_len"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+        SELECT doc_id,
+               FLOOR(len(list_filter({_WS_SQL},
+                     w -> w IN ('the','and','of','to','in','is','a')))
+                 / len({_WS_SQL}) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+               FLOOR((
+                 len(list_filter({_WS_SQL},
+                     w -> w IN ('the','and','of','to','in','is','a')))
+                   / len({_WS_SQL}) * 0.5
+                 + least(len({_WS_SQL}) / 100.0, 1.0) * 0.3
+                 + (1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                     / length(text)) * 0.2
+               ) * 10000 + 0.5) / 10000.0 AS quality
+        FROM documents
+    """,
+    survey="LLM-ext: quality scoring (functions/text.py)",
+    doc="C4-style heuristic document quality: stopword density, length "
+    "reward, punctuation-noise penalty.",
+    tags=("llm",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        det_round(tx.stopword_ratio(t), 4).alias("stop_ratio"),
+        det_round(tx.quality_score(t), 4).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(m)})\\b'))"
+        for lang, m in tx.LANG_MARKERS.items()
+    }
+    top = "greatest(" + ", ".join(scores.values()) + ")"
+    chain = f"CASE WHEN {top} = 0 THEN 'und' "
+    for lang, s in scores.items():
+        chain += f"WHEN {s} = {top} THEN '{lang}' "
+    return chain + "ELSE 'und' END"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+        SELECT lang, {_lang_sql()} AS pred_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    survey="LLM-ext: language ID heuristic (functions/text.py)",
+    doc="Marker-word n-gram language-ID vs the labeled lang column — "
+    "confusion-matrix counts. Argmax ties break in a fixed language "
+    "order on both sides.",
+    tags=("llm",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS content_hash,
+               list_min(list_transform(
+                 generate_series(1, greatest(
+                   length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 7,
+                   1)),
+                 i -> md5(substr(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8))
+               )) AS rolling_fp
+        FROM documents
+    """,
+    survey="LLM-ext: document fingerprinting (functions/text.py)",
+    doc="Exact-dup md5 fingerprint + winnowing-style rolling min-hash "
+    "over character 8-grams.",
+    tags=("llm",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.content_hash(t).alias("content_hash"),
+        tx.rolling_fingerprint(t, 8).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL}
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM corpus
+        GROUP BY 1
+    """,
+    survey="LLM-ext: exact dedup (operators/dedup.py)",
+    doc="Hash-groupBy exact dedup over the dup-injected corpus: "
+    "fingerprint -> canonical keep id + group size. One shuffle.",
+    tags=("llm",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs_corpus(spark, sf_dir))
+
+
+def _minhash_lsh_oracle() -> str:
+    sigs = _sql_minhash_sig(8)
+    bands = ", ".join(
+        f"md5('{b}' || '|' || {sigs[2 * b]} || '|' || {sigs[2 * b + 1]})"
+        for b in range(4)
+    )
+    return f"""
+        WITH {_DOCS_CORPUS_SQL},
+        sigs AS (
+          SELECT doc_id AS id, ws, [{bands}] AS bands
+          FROM (SELECT doc_id, text, {_WORDSET_SQL} AS ws FROM corpus)
+        ),
+        exploded AS (
+          SELECT id, unnest(bands) AS band FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM exploded a JOIN exploded b
+            ON a.band = b.band AND a.id < b.id
+        ),
+        verified AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(sa.ws, sb.ws))
+                   / len(list_distinct(list_concat(sa.ws, sb.ws))) AS j
+          FROM cand c
+          JOIN sigs sa ON sa.id = c.id_a
+          JOIN sigs sb ON sb.id = c.id_b
+        )
+        SELECT id_a, id_b,
+               FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM verified WHERE j >= 0.5
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_lsh_oracle(),
+    survey="LLM-ext: MinHash+LSH near-dup (operators/dedup.py)",
+    doc="shingle -> 8 md5-family minhashes -> 4 bands -> band-key "
+    "equi-self-join -> exact-Jaccard verify >= 0.5. The oracle builds "
+    "the SAME signatures and bands, so candidate generation matches "
+    "exactly. Pair space is bounded by bucket sizes, never n².",
+    tags=("llm",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_corpus(spark, sf_dir), k=8, bands=4, min_jaccard=0.5
+    )
+    return pairs.withColumn("jaccard", det_round(F.col("jaccard"), 4))
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(f"{_sql_simhash_bit_sum(j)} AS s{j}" for j in range(16))
+    recon = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN CAST({1 << (15 - j)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for j in range(16)
+    )
+    return f"""
+        WITH {_DOCS_CORPUS_SQL},
+        hashed AS (
+          SELECT doc_id,
+                 list_transform({_WS_SQL}, w -> md5(w)) AS hs
+          FROM corpus
+        ),
+        bits AS (SELECT doc_id, {sums} FROM hashed)
+        SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    survey="LLM-ext: SimHash signatures (operators/dedup.py)",
+    doc="16-bit SimHash per document (sign-of-sum over md5 word bits), "
+    "computed entirely with array higher-order functions — per-row, no "
+    "shuffle; hamming-near signatures then bucket by prefix for pairing.",
+    tags=("llm",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    return c.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+
+
+def _ngram_oracle() -> str:
+    fp = (
+        "list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),"
+        " i -> md5(substr(norm, i, 8))))"
+    )
+    grams = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(w) - 2, 1)),"
+        " i -> array_to_string(w[i:i+2], ' ')))"
+    )
+    return f"""
+        WITH {_DOCS_CORPUS_SQL},
+        prepped AS (
+          SELECT doc_id AS id, {grams} AS grams, {fp} AS block
+          FROM (
+            SELECT doc_id, {_WS_SQL} AS w,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM corpus
+          )
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 len(list_intersect(a.grams, b.grams))
+                   / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+          FROM prepped a JOIN prepped b
+            ON a.block = b.block AND a.id < b.id
+        )
+        SELECT id_a, id_b, FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM pairs WHERE j >= 0.3
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_ngram_oracle(),
+    survey="LLM-ext: n-gram Jaccard near-dup (operators/dedup.py)",
+    doc="Word-3-gram Jaccard within rolling-fingerprint blocks: the "
+    "min-8-gram fingerprint is shared by near-copies with high "
+    "probability, so blocking replaces the n² pair space with tiny "
+    "per-block cross-products.",
+    tags=("llm",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        c,
+        n=3,
+        min_jaccard=0.3,
+        block_col=tx.rolling_fingerprint(F.col("text"), 8),
+    )
+    return pairs.withColumn("jaccard", det_round(F.col("jaccard"), 4))
+
+
+def _emb_near_dup_oracle() -> str:
+    return f"""
+        WITH {_EMB_CORPUS_SQL},
+        bucketed AS (
+          SELECT vec_id AS id, embedding AS v,
+                 {_sql_lsh_bucket("embedding")} AS bucket
+          FROM corpus
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               FLOOR({_sql_dot("a.v", "b.v")}
+                 / ({_sql_norm("a.v")} * {_sql_norm("b.v")})
+                 * 10000 + 0.5) / 10000.0 AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.id < b.id
+        WHERE FLOOR({_sql_dot("a.v", "b.v")}
+                 / ({_sql_norm("a.v")} * {_sql_norm("b.v")})
+                 * 10000 + 0.5) / 10000.0 >= 0.99
+    """
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_emb_near_dup_oracle(),
+    survey="LLM-ext: embedding near-dup (operators/similarity.py)",
+    doc="Cosine >= 0.99 near-duplicate vector pairs, LSH-blocked "
+    "(8 random-hyperplane sign bits; identical vectors share buckets "
+    "by construction). Left-fold double accumulation matches the "
+    "oracle bit-for-bit.",
+    tags=("llm",),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _emb_corpus(spark, sf_dir), min_cosine=0.99, blocked=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _knn_oracle(bucket_filter: bool) -> str:
+    q = similarity.query_vector()
+    cos = _sql_cosine_literal("embedding", q)
+    where = ""
+    if bucket_filter:
+        bucket = similarity.lsh_bucket_of(q)
+        where = f"WHERE {_sql_lsh_bucket('embedding')} = {bucket}"
+    return f"""
+        SELECT vec_id,
+               FLOOR({cos} * 1000000 + 0.5) / 1000000.0 AS cos_sim
+        FROM embeddings
+        {where}
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """
+
+
+@query(
+    "knn_brute_force",
+    oracle=_knn_oracle(bucket_filter=False),
+    survey="LLM-ext: exact ANN baseline (operators/similarity.py)",
+    doc="Brute-force cosine top-10 for a fixed query vector: one narrow "
+    "scoring pass + TakeOrderedAndProject (no full sort). Rounded "
+    "score + id tiebreak = total order.",
+    tags=("llm",),
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, similarity.query_vector(), k=10)
+
+
+@query(
+    "knn_lsh_bucket",
+    oracle=_knn_oracle(bucket_filter=True),
+    survey="LLM-ext: LSH-bucketed ANN (operators/similarity.py)",
+    doc="ANN top-10: probe only the query's 8-bit hyperplane bucket "
+    "(~1/256 of the corpus) then exact rerank — the 100 TB path when "
+    "the corpus is stored partitioned by bucket.",
+    tags=("llm",),
+)
+def knn_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(e, similarity.query_vector(), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER)
+                 AS width,
+               CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512
+                 AS INTEGER) AS height,
+               md5(text) AS content_hash
+        FROM documents
+    """,
+    survey="LLM-ext: multimodal decode (operators/multimodal.py)",
+    doc="Opaque-binary media column decoded via Arrow-batched "
+    "mapInPandas (deterministic fake decoder; real codec raises "
+    "NotImplementedError in this container — plumbing is identical).",
+    tags=("llm",),
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
+    return multimodal.decode_media_meta(with_bytes, decoder="fake")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(byte_offset // 97 AS INTEGER) AS frame_no,
+               CAST(byte_offset AS INTEGER) AS byte_offset
+        FROM (
+          SELECT doc_id,
+                 unnest(generate_series(0,
+                   greatest(octet_length(CAST(text AS BLOB)) - 1, 0), 97))
+                   AS byte_offset
+          FROM documents
+        ) t
+    """,
+    survey="LLM-ext: frame sampling (operators/multimodal.py)",
+    doc="Video-frame-sampling stand-in: one row per sampled byte offset "
+    "(posexplode over a computed sequence; a decoder consumes each).",
+    tags=("llm",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
+    return multimodal.sample_frames(with_bytes, every_n_bytes=97)

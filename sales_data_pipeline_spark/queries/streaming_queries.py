@@ -1,1 +1,150 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming catalog queries: real Structured Streaming runs
+(readStream -> windowed agg -> Trigger.AvailableNow -> memory sink)
+whose final results are deterministic batch-equivalent aggregates, so
+they CAN be oracle-checked against plain SQL over the same events.
+
+Also the batch twin of session windows (F.session_window) with a
+gaps-and-islands oracle — same semantics the stateful streaming
+sessionizer (streaming/stateful.py) produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.queries.base import query, table
+from sales_data_pipeline_spark.streaming import ingest, stateful
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    survey="streaming-ext: tumbling windows (streaming/ingest.py)",
+    doc="Actual Structured Streaming run: readStream(parquet) -> "
+    "withWatermark(5m) -> 1h tumbling window counts/sums -> "
+    "Trigger.AvailableNow -> memory sink. Complete mode makes the "
+    "final state batch-equivalent, hence SQL-checkable.",
+    tags=("streaming",),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ingest.read_events_stream(spark, sf_dir)
+    agg = ingest.tumbling_agg(events, window="1 hour", watermark="5 minutes")
+    return ingest.run_available_now(
+        agg, ingest.unique_sink_name("tumbling_counts")
+    )
+
+
+@query(
+    "streaming_sliding_windows",
+    oracle="""
+        SELECT window_start, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT e.ts,
+                 unnest(generate_series(
+                   date_trunc('hour', e.ts)
+                     + CASE WHEN extract(minute FROM e.ts) >= 30
+                            THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                     - INTERVAL 90 MINUTE,
+                   date_trunc('hour', e.ts)
+                     + CASE WHEN extract(minute FROM e.ts) >= 30
+                            THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+                   INTERVAL 30 MINUTE)) AS window_start
+          FROM events e
+        ) t
+        GROUP BY 1
+    """,
+    survey="streaming-ext: sliding windows (streaming/ingest.py)",
+    doc="Structured Streaming 2h windows sliding every 30m (each event "
+    "lands in 4 windows); oracle expands the same window set with "
+    "generate_series.",
+    tags=("streaming",),
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ingest.read_events_stream(spark, sf_dir)
+    agg = ingest.sliding_agg(
+        events, window="2 hours", slide="30 minutes", watermark="5 minutes"
+    )
+    return ingest.run_available_now(
+        agg, ingest.unique_sink_name("sliding_windows")
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+    survey="streaming-ext: session windows (W-gap sessionization; "
+    "stateful twin in streaming/stateful.py)",
+    doc="F.session_window(ts, 30m) per user: session end = last event + "
+    "gap. Oracle derives identical sessions via gaps-and-islands.",
+    tags=("streaming",),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "streaming_stateful_sessionize",
+    oracle=None,  # custom stateful operator: rows-only check
+    survey="streaming-ext: applyInPandasWithState (streaming/stateful.py)",
+    doc="Custom per-key state machine (Arrow-batched "
+    "applyInPandasWithState): per-user session accumulation with "
+    "event-time timeout. Rows-only check: closed sessions for the "
+    "30-day event stream; open tail sessions remain in state by "
+    "design (append-mode semantics).",
+    tags=("streaming",),
+)
+def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ingest.read_events_stream(spark, sf_dir)
+    sessions = stateful.sessionize_stream(events, gap_minutes=30)
+    name = ingest.unique_sink_name("stateful_sessions")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

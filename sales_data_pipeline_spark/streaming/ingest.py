@@ -1,0 +1,111 @@
+"""Structured Streaming surface.
+
+The reference's only "streaming" is micro-batch-by-rerun with a
+watermark filter (SURVEY §2.8); this module is the idiomatic upgrade:
+``readStream`` file sources + event-time windows + ``withWatermark``
+late-data handling + ``Trigger.AvailableNow`` for batch-equivalent
+incremental runs (the streaming twin of WatermarkManager's buffer).
+
+Scale posture: file-stream ingest tracks processed files in the
+checkpoint (exactly-once); windowed aggregations shuffle once on
+(window, keys); state store size is bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts -> micros,
+    same conversion as the batch reader in queries/base.py). File
+    streams take a DIRECTORY; pathGlobFilter narrows to the events
+    table inside the testdata dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts+sums per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            (F.col("value_cents") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming aggregation over all currently-available
+    input (Trigger.AvailableNow) into a memory sink; returns the final
+    result as a batch DataFrame. Complete output mode: every window is
+    emitted regardless of watermark position at end-of-input."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_COUNTER = {"n": 0}
+
+
+def unique_sink_name(prefix: str) -> str:
+    _COUNTER["n"] += 1
+    return f"{prefix}_{_COUNTER['n']}"

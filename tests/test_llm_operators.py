@@ -1,0 +1,227 @@
+"""Unit tests for the LLM-data extension operators: text functions,
+dedup strategies, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.functions import text as tx
+from sales_data_pipeline_spark.operators import dedup, multimodal, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTextFunctions:
+    def test_token_counts(self, spark):
+        df = _docs(spark, [(1, "  the quick brown fox  "), (2, "a b c42 d!")])
+        r = {
+            x.doc_id: x
+            for x in df.select(
+                "doc_id",
+                tx.token_count_ws(F.col("text")).alias("ws"),
+                tx.token_count_bpe(F.col("text")).alias("bpe"),
+            ).collect()
+        }
+        assert r[1].ws == 4
+        assert r[1].bpe == 4
+        # 'c42' -> 'c' + '42'; '!' is its own token
+        assert r[2].bpe == 6
+
+    def test_stopword_and_quality(self, spark):
+        df = _docs(spark, [(1, "the cat and the dog")])
+        row = df.select(
+            tx.stopword_ratio(F.col("text")).alias("sr"),
+            tx.quality_score(F.col("text")).alias("q"),
+        ).first()
+        assert row.sr == pytest.approx(3 / 5)
+        # 0.6*0.5 + (5/100)*0.3 + 1.0*0.2
+        assert row.q == pytest.approx(0.6 * 0.5 + 0.05 * 0.3 + 0.2)
+
+    def test_lang_id(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "the cat and dog"),  # en markers
+                (2, "el la los"),  # es markers
+                (3, "xyz qqq"),  # none -> und
+            ],
+        )
+        r = {
+            x.doc_id: x.lang
+            for x in df.select(
+                "doc_id", tx.lang_id(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert r[1] == "en"
+        assert r[2] == "es"
+        assert r[3] == "und"
+
+    def test_fingerprints_normalize(self, spark):
+        df = _docs(spark, [(1, "Hello   World"), (2, "hello world")])
+        r = df.select(
+            tx.content_hash(F.col("text")).alias("h"),
+            tx.rolling_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+        assert r[0].h == r[1].h  # case/whitespace-insensitive
+        assert r[0].fp == r[1].fp
+        assert r[0].h == hashlib.md5(b"hello world").hexdigest()
+
+
+class TestDedup:
+    CORPUS = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # near dup
+        (4, "completely different words entirely unrelated text"),
+    ]
+
+    def test_exact_duplicates(self, spark):
+        out = dedup.exact_duplicates(_docs(spark, self.CORPUS))
+        groups = {r.keep_id: r.n_docs for r in out.collect()}
+        assert groups[1] == 2  # docs 1,2 collapse
+        assert groups[3] == 1
+        assert groups[4] == 1
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        pairs = dedup.minhash_lsh_pairs(
+            _docs(spark, self.CORPUS), k=8, bands=4, min_jaccard=0.5
+        ).collect()
+        found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+        assert found[(1, 2)] == 1.0
+        assert (1, 3) in found
+        assert found[(1, 3)] == pytest.approx(6 / 8)
+        assert all(p[0] != 4 and p[1] != 4 for p in found)
+
+    def test_simhash_similarity_structure(self, spark):
+        out = {
+            r.doc_id: r.sh
+            for r in _docs(spark, self.CORPUS)
+            .select("doc_id", dedup.simhash16(F.col("text")).alias("sh"))
+            .collect()
+        }
+        assert out[1] == out[2]  # identical text -> identical signature
+        assert 0 <= out[1] < 2**16
+        ham_near = bin(out[1] ^ out[3]).count("1")
+        ham_far = bin(out[1] ^ out[4]).count("1")
+        assert ham_near <= ham_far  # near-dup at least as close
+
+    def test_ngram_jaccard_blocked(self, spark):
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, self.CORPUS),
+            n=3,
+            min_jaccard=0.3,
+            block_col=tx.rolling_fingerprint(F.col("text"), 8),
+        ).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in found
+        assert (1, 3) in found
+
+
+class TestSimilarity:
+    def _emb(self, spark):
+        rows = [
+            (1, [1.0] + [0.0] * 63),
+            (2, [0.0, 1.0] + [0.0] * 62),
+            (3, [1.0] + [0.0] * 63),  # dup of 1
+            (4, [0.5] * 64),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_cosine_math(self, spark):
+        df = self._emb(spark)
+        a = [1.0] + [0.0] * 63
+        out = {
+            r.vec_id: r.cos_sim
+            for r in similarity.brute_force_topk(df, a, k=4).collect()
+        }
+        assert out[1] == pytest.approx(1.0)
+        assert out[3] == pytest.approx(1.0)
+        assert out[2] == pytest.approx(0.0)
+        assert out[4] == pytest.approx(0.5 / (0.5 * 8), abs=1e-6)
+
+    def test_topk_deterministic_order(self, spark):
+        df = self._emb(spark)
+        top = similarity.brute_force_topk(df, [1.0] + [0.0] * 63, k=2).collect()
+        assert [r.vec_id for r in top] == [1, 3]  # tie broken by id
+
+    def test_near_dup_blocked_finds_copies(self, spark):
+        pairs = similarity.embedding_near_dup_pairs(
+            self._emb(spark), min_cosine=0.99, blocked=True
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+
+    def test_lsh_bucket_consistency(self, spark):
+        """Driver-side bucket formula must match the Column formula."""
+        df = self._emb(spark)
+        q = [1.0] + [0.0] * 63
+        spark_buckets = {
+            r.vec_id: r.b
+            for r in df.select(
+                "vec_id", similarity.lsh_bucket(F.col("embedding")).alias("b")
+            ).collect()
+        }
+        assert spark_buckets[1] == similarity.lsh_bucket_of(q)
+        assert spark_buckets[3] == spark_buckets[1]
+
+
+class TestMultimodal:
+    def test_decode_meta_fake(self, spark):
+        df = _docs(spark, [(1, "abc"), (2, "x" * 600)])
+        out = {
+            r.doc_id: r
+            for r in multimodal.decode_media_meta(
+                multimodal.attach_binary(df), decoder="fake"
+            ).collect()
+        }
+        assert out[1].n_bytes == 3
+        assert out[1].width == 64 + 3
+        assert out[1].height == 64 + 21
+        assert out[2].width == 64 + 600 % 512
+        assert out[1].content_hash == hashlib.md5(b"abc").hexdigest()
+
+    def test_real_decoder_stubbed(self, spark):
+        df = multimodal.attach_binary(_docs(spark, [(1, "abc")]))
+        with pytest.raises(Exception) as exc_info:
+            multimodal.decode_media_meta(df, decoder="real").collect()
+        assert "NotImplementedError" in str(
+            exc_info.value
+        ) or "not installed" in str(exc_info.value)
+
+    def test_frame_sampling(self, spark):
+        df = multimodal.attach_binary(_docs(spark, [(1, "x" * 200)]))
+        frames = multimodal.sample_frames(df, every_n_bytes=97).collect()
+        assert [(r.frame_no, r.byte_offset) for r in frames] == [
+            (0, 0),
+            (1, 97),
+            (2, 194),
+        ]
+
+    def test_batch_shape_preserved(self, spark):
+        """mapInPandas must emit one row per input row across partitions."""
+        df = multimodal.attach_binary(
+            _docs(spark, [(i, f"text number {i}") for i in range(100)])
+        ).repartition(8)
+        out = multimodal.decode_media_meta(df, decoder="fake")
+        assert out.count() == 100
+        assert out.select("doc_id").distinct().count() == 100
+
+
+def test_det_math_cross_engine():
+    """similarity.lsh_bucket_of must agree with plain-python dot signs."""
+    q = similarity.query_vector()
+    b = similarity.lsh_bucket_of(q)
+    expect = 0
+    for i in range(similarity.N_PLANES):
+        d = sum(
+            x * p for x, p in zip(q, [float(v) for v in similarity.hyperplane(i)])
+        )
+        if d > 0:
+            expect |= 1 << i
+    assert b == expect
+    assert math.isfinite(sum(q))
