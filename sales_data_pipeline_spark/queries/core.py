@@ -604,6 +604,37 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_priority_year",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderpriority,
+                       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER))
+    """,
+    survey="§2.4 extension (grouping sets: cube)",
+    doc="CUBE over (priority, year): all four grouping sets in one "
+    "shuffle (grouping-set expansion happens map-side before the "
+    "partial aggregate).",
+)
+def cube_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            det_sum(F.col("o_totalprice"), 2).alias("total_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
     "pivot_status_by_year",
     oracle="""
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,

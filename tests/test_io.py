@@ -1,0 +1,65 @@
+"""IO layer tests: readers/writers round-trips and the Hadoop-FS
+utility module (S1-S9)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from sales_data_pipeline_spark.io import fs, readers, writers
+
+
+def test_csv_reader_schema_locked(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,price,label\n1,2.5,a\n2,bad,b\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    df = readers.read_csv(spark, str(p), schema)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].price == 2.5
+    assert rows[2].price is None  # contract schema nulls bad cells
+    assert df.schema == schema
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 2024, 10.0), (2, 2025, 20.0)], "id int, yr int, v double"
+    )
+    out = str(tmp_path / "t")
+    writers.write_parquet(df, out, partition_cols=["yr"], coalesce_files=1)
+    assert os.path.isdir(f"{out}/yr=2024")
+    back = readers.read_parquet(spark, out, "yr = 2024")
+    assert [r.id for r in back.collect()] == [1]
+
+
+def test_generic_format_writer(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    out = str(tmp_path / "csvout")
+    writers.write_format(df, out, fmt="csv", options={"header": "true"})
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+    with open(os.path.join(out, files[0])) as f:
+        assert f.read().startswith("id,s")
+
+
+def test_fs_utilities(spark, tmp_path):
+    d = tmp_path / "stage"
+    d.mkdir()
+    (d / "a.csv").write_text("x")
+    (d / "b.txt").write_text("y")
+    base = f"file://{d}"
+    listed = fs.list_files(spark, base, suffix=".csv")
+    assert len(listed) == 1 and listed[0].endswith("a.csv")
+    assert fs.exists(spark, f"{base}/a.csv")
+    assert fs.move(spark, f"{base}/a.csv", f"{base}/processed/a.csv")
+    assert fs.exists(spark, f"{base}/processed/a.csv")
+    assert not fs.exists(spark, f"{base}/a.csv")
+    assert fs.delete(spark, f"{base}/processed", recursive=True)
+    assert not fs.exists(spark, f"{base}/processed")
+    assert fs.list_files(spark, f"{base}/nope") == []
