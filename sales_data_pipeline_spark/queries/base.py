@@ -133,6 +133,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         pipeline_queries,
         streaming_queries,
+        timeseries_queries,
     )
 
     return REGISTRY
