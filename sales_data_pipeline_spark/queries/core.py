@@ -635,6 +635,30 @@ def cube_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentile_order_price",
+    oracle="""
+        SELECT o_orderpriority,
+               FLOOR(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000.0 AS p25,
+               FLOOR(quantile_cont(o_totalprice, 0.50) * 10000 + 0.5) / 10000.0 AS p50,
+               FLOOR(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000.0 AS p75
+        FROM orders
+        GROUP BY 1
+    """,
+    survey="§2.4 extension (exact percentiles)",
+    doc="Exact interpolated percentiles per group (both engines use "
+    "linear interpolation at rank (n-1)*q). At 100 TB swap to "
+    "approx_percentile with an accuracy knob — same plan shape.",
+)
+def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        det_round(F.percentile(F.col("o_totalprice"), F.lit(0.25)), 4).alias("p25"),
+        det_round(F.percentile(F.col("o_totalprice"), F.lit(0.50)), 4).alias("p50"),
+        det_round(F.percentile(F.col("o_totalprice"), F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
     "pivot_status_by_year",
     oracle="""
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
