@@ -807,3 +807,193 @@ def watermark_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_sum(F.col("value"), 2).alias("total_value"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# 9. Silver sales transform (J1 name-resolution join via operators/silver.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "silver_sales_transform",
+    oracle="""
+        WITH raw_sales AS (
+          SELECT CAST(NULLIF(l_suppkey % 199, 3) AS INTEGER) AS customer_id,
+                 CAST(l_suppkey AS INTEGER) AS store_id,
+                 ' PART-' || CAST(l_partkey AS VARCHAR) AS product_name,
+                 CAST(l_shipdate AS DATE) AS sales_date,
+                 CAST(l_suppkey AS INTEGER) AS sales_person_id,
+                 l_extendedprice AS price,
+                 CAST(l_quantity AS INTEGER) - 1 AS quantity
+          FROM lineitem
+        ),
+        lookup AS (
+          SELECT CAST(p_partkey AS INTEGER) AS product_id,
+                 lower(trim('Part-' || CAST(p_partkey AS VARCHAR)))
+                   AS product_name
+          FROM part
+        ),
+        joined AS (
+          SELECT r.customer_id, l.product_id, r.store_id, r.sales_person_id,
+                 r.sales_date,
+                 CAST(EXTRACT(year FROM r.sales_date) AS INTEGER) AS sales_year,
+                 CAST(EXTRACT(month FROM r.sales_date) AS INTEGER) AS sales_month,
+                 r.quantity, r.price,
+                 r.price * r.quantity AS total_cost
+          FROM (SELECT *, lower(trim(product_name)) AS pn FROM raw_sales) r
+          JOIN lookup l ON r.pn = l.product_name
+        )
+        SELECT customer_id, product_id, store_id, sales_person_id,
+               CAST(sales_date AS TIMESTAMP) AS sales_date,
+               sales_year, sales_month, quantity, price, total_cost
+        FROM joined
+        WHERE customer_id IS NOT NULL AND product_id IS NOT NULL
+          AND store_id IS NOT NULL AND sales_date IS NOT NULL
+          AND price > 0 AND quantity > 0
+    """,
+    survey="J1,P3,P4 (operators/silver.py transform_sales)",
+    doc="Silver sales fact: normalized product-name resolution join "
+    "(broadcast lookup), total_cost/year/month derivation, validity "
+    "gate, schema lock (sales_transform.py:8-86).",
+)
+def silver_sales_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.expr("nullif(l_suppkey % 199, 3)").cast("int").alias("customer_id"),
+        F.col("l_suppkey").cast("int").alias("store_id"),
+        F.concat(F.lit(" PART-"), F.col("l_partkey").cast("string")).alias(
+            "product_name"
+        ),
+        F.col("l_shipdate").cast("date").alias("sales_date"),
+        F.col("l_suppkey").cast("int").alias("sales_person_id"),
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_quantity").cast("int") - 1).alias("quantity"),
+    )
+    lookup = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("int").alias("product_id"),
+        F.concat(F.lit("Part-"), F.col("p_partkey").cast("string")).alias(
+            "product_name"
+        ),
+    )
+    return _dates_to_ts(silver.transform_sales(raw, lookup))
+
+
+# ---------------------------------------------------------------------------
+# 10. Silver store transform (P8,P9,W1 via operators/silver.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "silver_store_transform",
+    oracle=f"""
+        WITH s0 AS (
+          SELECT s_suppkey, s_name, s_nationkey,
+                 DATE '2020-01-01' + CAST(s_suppkey % 1000 AS INTEGER)
+                   AS opening
+          FROM supplier
+        ),
+        base AS (
+          SELECT CAST(s_suppkey AS INTEGER) AS store_id,
+                 '  ' || upper(s_name) AS store_name,
+                 'addr-' || CAST(s_suppkey AS VARCHAR) AS address,
+                 'city-' || CAST(s_nationkey AS VARCHAR) AS city,
+                 'st-' || CAST(s_nationkey % 10 AS VARCHAR) AS state,
+                 lpad(CAST(s_suppkey % 100000 AS VARCHAR), 6, '0') AS pincode,
+                 'MGR ' || CAST(s_suppkey % 7 AS VARCHAR)
+                   AS store_manager_name,
+                 opening AS store_opening_date,
+                 CASE WHEN s_suppkey % 7 = 1 THEN opening - 5
+                      WHEN s_suppkey % 7 = 2 THEN DATE '2024-01-01'
+                      WHEN s_suppkey % 7 = 3 THEN DATE '2030-01-01'
+                      ELSE NULL END AS store_closing_date,
+                 'review-' || CAST(s_suppkey % 5 AS VARCHAR) AS reviews,
+                 DATE '2024-03-01' AS ingestion_date
+          FROM s0
+        ),
+        raw_store AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT store_id, store_name || ' V2', address, city, state,
+                 pincode, store_manager_name, store_opening_date,
+                 store_closing_date, reviews, DATE '2024-04-01'
+          FROM base WHERE store_id % 4 = 0
+        ),
+        cleaned AS (
+          SELECT store_id,
+                 lower(trim(store_name)) AS store_name,
+                 address,
+                 lower(trim(city)) AS city,
+                 lower(trim(state)) AS state,
+                 pincode,
+                 lower(trim(store_manager_name)) AS store_manager_name,
+                 store_opening_date,
+                 CASE WHEN store_closing_date < store_opening_date THEN NULL
+                      ELSE store_closing_date END AS store_closing_date,
+                 (CASE WHEN store_closing_date < store_opening_date THEN NULL
+                       ELSE store_closing_date END IS NULL
+                  OR CASE WHEN store_closing_date < store_opening_date
+                          THEN NULL ELSE store_closing_date END
+                     >= DATE '{AS_OF}') AS is_active,
+                 ingestion_date
+          FROM raw_store
+        ),
+        gated AS (
+          SELECT * FROM cleaned
+          WHERE store_id IS NOT NULL AND store_name IS NOT NULL
+            AND store_opening_date IS NOT NULL
+            AND store_opening_date <= DATE '{AS_OF}'
+        ),
+        dedup AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY store_id
+                   ORDER BY ingestion_date DESC, store_name DESC NULLS LAST
+                 ) AS rn
+          FROM gated
+        )
+        SELECT store_id, store_name, address, city, state, pincode,
+               store_manager_name,
+               CAST(store_opening_date AS TIMESTAMP) AS store_opening_date,
+               CAST(store_closing_date AS TIMESTAMP) AS store_closing_date,
+               is_active
+        FROM dedup WHERE rn = 1
+    """,
+    survey="P8,P9,W1 (operators/silver.py transform_store)",
+    doc="Silver store transform (store_transform.py:8-100): closing-date "
+    "repair, is_active derivation vs as_of, opening-date gate, "
+    "keep-latest-ingestion dedup.",
+)
+def silver_store_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    opening = F.date_add(F.lit("2020-01-01").cast("date"), (k % 1000).cast("int"))
+    base = sup.select(
+        k.cast("int").alias("store_id"),
+        F.concat(F.lit("  "), F.upper(F.col("s_name"))).alias("store_name"),
+        F.concat(F.lit("addr-"), k.cast("string")).alias("address"),
+        F.concat(F.lit("city-"), F.col("s_nationkey").cast("string")).alias(
+            "city"
+        ),
+        F.concat(F.lit("st-"), (F.col("s_nationkey") % 10).cast("string")).alias(
+            "state"
+        ),
+        F.lpad((k % 100000).cast("string"), 6, "0").alias("pincode"),
+        F.concat(F.lit("MGR "), (k % 7).cast("string")).alias(
+            "store_manager_name"
+        ),
+        opening.alias("store_opening_date"),
+        F.when(k % 7 == 1, F.date_sub(opening, 5))
+        .when(k % 7 == 2, F.lit("2024-01-01").cast("date"))
+        .when(k % 7 == 3, F.lit("2030-01-01").cast("date"))
+        .otherwise(F.lit(None))
+        .alias("store_closing_date"),
+        F.concat(F.lit("review-"), (k % 5).cast("string")).alias("reviews"),
+        F.lit("2024-03-01").cast("date").alias("ingestion_date"),
+    )
+    v2 = (
+        base.filter(F.col("store_id") % 4 == 0)
+        .withColumn("store_name", F.concat(F.col("store_name"), F.lit(" V2")))
+        .withColumn("ingestion_date", F.lit("2024-04-01").cast("date"))
+    )
+    return _dates_to_ts(
+        silver.transform_store(base.unionByName(v2), AS_OF)
+    )
+
