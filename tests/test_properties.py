@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): SCD2 merge invariants over
+generated change batches, and the cross-engine deterministic-rounding
+contract validated directly against DuckDB."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.operators import scd2
+
+KEYS = st.integers(min_value=1, max_value=6)
+VALS = st.sampled_from(["a", "b", "c"])
+
+
+def _batch_strategy():
+    # dict key -> tracked value: one row per key in a batch
+    return st.dictionaries(KEYS, VALS, min_size=1, max_size=6)
+
+
+TRACKED = ["email"]
+
+
+def _df(spark, batch: dict[int, str]):
+    rows = [(k, v) for k, v in sorted(batch.items())]
+    return spark.createDataFrame(rows, "customer_id int, email string")
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(b1=_batch_strategy(), b2=_batch_strategy())
+def test_scd2_invariants(spark, b1, b2):
+    d1 = _df(spark, b1)
+    hist1 = scd2.apply_scd_type2(
+        d1.limit(0), d1, "2024-01-01", tracked_cols=TRACKED
+    )
+    hist2 = scd2.apply_scd_type2(
+        hist1, _df(spark, b2), "2024-02-01", tracked_cols=TRACKED
+    )
+    rows = hist2.collect()
+
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.customer_id, []).append(r)
+
+    all_keys = set(b1) | set(b2)
+    assert set(by_key) == all_keys
+    for k, versions in by_key.items():
+        current = [r for r in versions if r.is_current]
+        # exactly one current version per key, no open-ended closed rows
+        assert len(current) == 1
+        for r in versions:
+            assert (r.valid_to is None) == bool(r.is_current)
+        changed = k in b1 and k in b2 and b1[k] != b2[k]
+        expected_versions = 2 if changed else 1
+        assert len(versions) == expected_versions
+        # current value is the latest batch's value (or carried forward
+        # for keys absent from batch 2 — "deleted" keys pass through)
+        assert current[0].email == b2.get(k, b1.get(k))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    x=st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    n=st.integers(min_value=0, max_value=4),
+)
+def test_det_round_matches_duckdb(x, n):
+    """FLOOR(x*10^n + 0.5)/10^n must be bit-identical in Python and
+    DuckDB — the whole determinism contract rests on this."""
+    s = 10**n
+    py = math.floor(x * s + 0.5) / float(s)
+    (dk,) = duckdb.sql(
+        f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {s} + 0.5) / {s}.0"
+    ).fetchone()
+    assert py == dk or (math.isnan(py) and math.isnan(dk))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_det_sum_matches_duckdb(xs):
+    """Integer-scaled sums are order-independent and exact."""
+    py = sum(math.floor(x * 100 + 0.5) for x in xs) / 100.0
+    vals = ", ".join(f"({x!r})" for x in xs)
+    (dk,) = duckdb.sql(
+        "SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT)) / 100.0 "
+        f"FROM (VALUES {vals}) t(x)"
+    ).fetchone()
+    assert py == dk
+
+
+def test_scd2_tie_free_ordering(spark):
+    """Window-free sanity: merging identical batches twice never
+    inflates history (idempotence on unchanged data)."""
+    d = spark.createDataFrame([(1, "a"), (2, "b")], "customer_id int, email string")
+    h1 = scd2.apply_scd_type2(d.limit(0), d, "2024-01-01", tracked_cols=TRACKED)
+    h2 = scd2.apply_scd_type2(h1, d, "2024-02-01", tracked_cols=TRACKED)
+    h3 = scd2.apply_scd_type2(h2, d, "2024-03-01", tracked_cols=TRACKED)
+    assert h3.count() == 2
+    assert h3.filter(F.col("is_current")).count() == 2
