@@ -635,6 +635,83 @@ def cube_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS sum_base_price,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS sum_disc_price,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                   * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_charge,
+               SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0
+                 / COUNT(*) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="A1 flagship shape (TPC-H Q1 pricing summary)",
+    doc="The canonical wide-aggregate scan: one pass, map-side partial "
+    "aggregation, filter pushed to the parquet scan.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            det_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            det_sum(disc_price, 4).alias("sum_disc_price"),
+            det_sum(charge, 4).alias("sum_charge"),
+            (det_sum(F.col("l_discount"), 4) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "orders_above_avg",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               FLOOR(o_totalprice * 100 + 0.5) / 100.0 AS total_price
+        FROM orders
+        WHERE o_totalprice > (
+          SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   / COUNT(*)
+          FROM orders
+        )
+    """,
+    survey="§2.2 extension (scalar subquery)",
+    doc="Filter against a global scalar aggregate: Spark computes the "
+    "deterministic average once and broadcast-cross-joins it (no "
+    "collect; the oracle's correlated form decorrelates to the same "
+    "plan). Threshold uses det arithmetic so the boundary is "
+    "cross-engine stable.",
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (det_sum(F.col("o_totalprice"), 2) / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            det_round(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
     "percentile_order_price",
     oracle="""
         SELECT o_orderpriority,
