@@ -635,6 +635,38 @@ def cube_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_segment_revenue",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    """,
+    survey="§3.3 (Spark SQL surface over registered views)",
+    doc="The engine's SQL entry point: testdata tables registered as "
+    "temp views, query expressed as a spark.sql() string — identical "
+    "Catalyst plan to the DataFrame form (dashboard workload shape).",
+)
+def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               year(o_orderdate) AS order_year,
+               count(*) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+@query(
     "pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
