@@ -22,6 +22,7 @@ orders of magnitude less data than the corpus itself.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.functions.text import content_hash, words
@@ -53,6 +54,36 @@ def shingle_set(text: Column, n: int = 3) -> Column:
         return F.concat_ws(" ", *[F.get(w, i - 1 + j) for j in range(n)])
 
     return F.array_distinct(F.transform(starts, gram))
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """One row per (id, shingle) — the MULTISET of word n-grams, built
+    without any higher-order lambda: posexplode words, window lead()
+    for the following n-1 words, clamp to shingle_set's start range.
+    Whole-stage codegen end-to-end (the Column-form shingle_set pays
+    ~20µs/element interpretation), and the window's hash partitioning
+    on id is reused by downstream groupBy(id) aggregates — no extra
+    shuffle. Use for min-aggregations where multiset==set; use
+    shingle_set when an actual distinct array is needed."""
+    w = F.split(F.trim(F.col(text_col)), "\\s+")
+    words_df = df.select(
+        F.col(id_col).alias("id"),
+        F.size(w).alias("_len"),
+        F.posexplode(w).alias("_pos", "_w"),
+    )
+    win = W.partitionBy("id").orderBy("_pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("_w"),
+        *[F.lead("_w", j).over(win) for j in range(1, n)],
+    )
+    return (
+        words_df.select("id", "_pos", "_len", gram.alias("sh"))
+        .filter(F.col("_pos") <= F.greatest(F.col("_len") - n, F.lit(0)))
+        .select("id", "sh")
+    )
 
 
 def minhash_hex(word: Column, seed: int) -> Column:
@@ -164,10 +195,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = k // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_set(F.col(text_col))).alias("sh"),
-    )
+    sh = shingle_rows(df, id_col, text_col, 3)
     hashed = sh.select(
         "id",
         F.md5(F.col("sh")).alias("h0"),
@@ -267,10 +295,7 @@ def minhash_block_map(
     at Jaccard j is 1-(1-j)^2 vs j for a single band; keys are
     index-prefixed so chunks never collide across bands. Codegen
     explode pipeline, partial-aggregated mins."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_set(F.col(text_col), n)).alias("sh"),
-    )
+    sh = shingle_rows(df, id_col, text_col, n)
     mins = (
         sh.select(
             "id",
