@@ -5,9 +5,9 @@ the per-document work stays JVM-side and codegen'd; the only shuffles
 are the unavoidable group-by-fingerprint / bucket-self-join:
 
  - exact:   groupBy(md5(normalized text))                — 1 shuffle
- - minhash: word-set minhash signatures -> banded LSH buckets ->
-            candidate pairs -> exact-Jaccard verify      — shuffle on
-            band keys only; candidate pairs ≪ n²
+ - minhash: word-3-gram shingle minhash signatures -> banded LSH
+            buckets -> candidate pairs -> exact-Jaccard verify —
+            shuffle on band keys only; candidate pairs ≪ n²
  - simhash: 16-bit sign-of-sum signature per doc         — no shuffle
  - ngram:   Jaccard over word sets for candidate pairs   — narrow
  - embedding: cosine near-dup (see operators/similarity) — blocked
@@ -83,45 +83,6 @@ def shingle_rows(
         words_df.select("id", "_pos", "_len", gram.alias("sh"))
         .filter(F.col("_pos") <= F.greatest(F.col("_len") - n, F.lit(0)))
         .select("id", "sh")
-    )
-
-
-def minhash_hex(word: Column, seed: int) -> Column:
-    """One minhash family member: md5 of seed-prefixed word; min over a
-    set of these hex strings is a uniform min-hash (string order on hex
-    = numeric order on the 128-bit value)."""
-    return F.md5(F.concat(F.lit(f"{seed}|"), word))
-
-
-def _minhash_lambda(seed: int):
-    # closure factory, NOT a default-arg lambda: pyspark's transform()
-    # reads lambda arity, and a second (defaulted) parameter would be
-    # bound to the array index
-    return lambda w: minhash_hex(w, seed)
-
-
-def minhash_signature(text: Column, k: int = 8, shingle_n: int = 3) -> Column:
-    """Array of k minhash values over the document's shingle set."""
-    ws = shingle_set(text, shingle_n)
-    return F.array(
-        *[F.array_min(F.transform(ws, _minhash_lambda(s))) for s in range(k)]
-    )
-
-
-def band_keys(sig: Column, bands: int, rows: int) -> Column:
-    """LSH banding: hash each band of ``rows`` consecutive signature
-    entries; docs sharing ANY band key are candidate pairs."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
     )
 
 

@@ -130,9 +130,10 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="streaming-ext: applyInPandasWithState (streaming/stateful.py)",
     doc="Custom per-key state machine (Arrow-batched "
     "applyInPandasWithState): per-user session accumulation with "
-    "event-time timeout. Rows-only check: closed sessions for the "
-    "30-day event stream; open tail sessions remain in state by "
-    "design (append-mode semantics).",
+    "event-time timeout. Sessions close on in-batch gaps or when the "
+    "final no-data batch's watermark passes their gap horizon; only "
+    "sessions still within one gap of stream end stay open "
+    "(append-mode semantics; rows-only check).",
     tags=("streaming",),
 )
 def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

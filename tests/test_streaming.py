@@ -1,0 +1,99 @@
+"""Streaming-layer tests: the stateful sessionizer's emitted sessions
+must equal the batch gaps-and-islands computation (minus each user's
+final open session, which stays in state under append semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _expected_sessions(events, gap_s=1800):
+    """events: list of (user_id, ts_seconds). Returns closed sessions
+    per the 30-min gap rule. A user's final session also closes when
+    its event-time timeout (end + gap) falls behind the final watermark
+    (global max ts - gap): Trigger.AvailableNow runs a no-data batch
+    after the last input batch, firing those timeouts."""
+    final_watermark = max(t for _, t in events) - gap_s
+    by_user: dict[int, list[int]] = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    out = []
+    for u, ts in by_user.items():
+        ts.sort()
+        sessions = []
+        start = end = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - end > gap_s:
+                sessions.append((u, start, end, n))
+                start = end = t
+                n = 1
+            else:
+                end = t
+                n += 1
+        sessions.append((u, start, end, n))
+        out.extend(
+            s
+            for i, s in enumerate(sessions)
+            if i < len(sessions) - 1 or s[2] + gap_s <= final_watermark
+        )
+    return sorted(out)
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    # (user, ts sec): u1 has 3 sessions, u2 has 2, u3 has 1 (never emits)
+    base = 1_700_000_000
+    rows = [
+        (1, base + 0), (1, base + 60), (1, base + 120),      # s1: 3 events
+        (1, base + 5000), (1, base + 5100),                  # s2: 2 events
+        (1, base + 20000),                                   # s3 (open)
+        (2, base + 0), (2, base + 10), (2, base + 9000),     # s1: 2, s2 open
+        (3, base + 42),                                      # open only
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, t * 1_000_000_000, u, "click", 1.0, "{}")
+            for i, (u, t) in enumerate(rows)
+        ],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = str(tmp_path / "stream_in")
+    df.coalesce(1).write.parquet(out)
+    return out, rows
+
+
+def test_stateful_sessionizer_matches_batch(spark, event_dir):
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.streaming import ingest, stateful
+
+    path, rows = event_dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(ingest.EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    sessions = stateful.sessionize_stream(events, gap_minutes=30)
+    name = ingest.unique_sink_name("test_sessions")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (
+            r.user_id,
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events,
+        )
+        for r in spark.table(name).collect()
+    )
+    assert got == _expected_sessions(rows)
