@@ -66,10 +66,15 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
     # ---- incremental gate (I1-I4) -------------------------------------
     wm = None
     if cfg.mode == "incremental" and cfg.watermark_dir:
+        # first run processes everything (epoch default); the
+        # reference's now()-lookback initial watermark is a wall-clock
+        # dependence this engine avoids (as_of-parameterized runs)
         wm = WatermarkManager(
             "sales",
             f"{cfg.watermark_dir}/sales_watermark.json",
             timestamp_column="sales_date",
+            default_watermark="1970-01-01 00:00:00",
+            initial_lookback_days=0,
         )
 
     # ---- bronze per entity -------------------------------------------
