@@ -586,3 +586,145 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
     return multimodal.sample_frames(with_bytes, every_n_bytes=97)
+
+# ---------------------------------------------------------------------------
+# Corpus curation capstone: language gate + quality gate + dedup in one pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        scored AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp,
+                 len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     w -> w IN ('the','and','of','to','in','is','a')))
+                   / len(regexp_split_to_array(trim(text), '\\s+'))
+                   AS stop_ratio,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+          FROM corpus
+        ),
+        kept AS (
+          SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+          FROM scored
+          WHERE n_words >= 20 AND stop_ratio >= 0.01
+        )
+        SELECT CAST(count(*) AS BIGINT) AS docs_kept,
+               CAST(count(DISTINCT fp) AS BIGINT) AS unique_docs,
+               CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS canonical_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN doc_id = keep_id THEN n_words ELSE 0 END)
+                 AS BIGINT) AS kept_tokens
+        FROM kept
+    """,
+    survey="LLM-ext capstone: curation = quality gate + exact dedup",
+    doc="One-pass corpus curation over the dup-injected corpus: length "
+    "+ stopword-density quality gates, then exact-dup canonicalization "
+    "(min doc_id per fingerprint via window) — the shape of a "
+    "production pre-training data filter. Single scan + one window "
+    "shuffle.",
+    tags=("llm",),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = _docs_corpus(spark, sf_dir)
+    t = F.col("text")
+    scored = c.select(
+        "doc_id",
+        tx.content_hash(t).alias("fp"),
+        tx.stopword_ratio(t).alias("stop_ratio"),
+        tx.token_count_ws(t).alias("n_words"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 20) & (F.col("stop_ratio") >= 0.01)
+    ).withColumn("keep_id", F.min("doc_id").over(W.partitionBy("fp")))
+    return kept.agg(
+        F.count("*").alias("docs_kept"),
+        F.countDistinct("fp").alias("unique_docs"),
+        F.sum(F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("canonical_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_words")).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantization: nearest-centroid assignment
+# ---------------------------------------------------------------------------
+
+
+def _centroid(i: int, dim: int = similarity.DIM) -> list[float]:
+    return [((i * 7 + j * 3) % 11 - 5) / 10.0 for j in range(dim)]
+
+
+def _sql_l2sq_literal(vec: str, lit_vec: list[float]) -> str:
+    terms = " + ".join(
+        f"(CAST({vec}[{j + 1}] AS DOUBLE) - ({lit_vec[j]!r})) * "
+        f"(CAST({vec}[{j + 1}] AS DOUBLE) - ({lit_vec[j]!r}))"
+        for j in range(len(lit_vec))
+    )
+    return f"(0.0 + {terms})"
+
+
+def _ivf_oracle() -> str:
+    dists = [_sql_l2sq_literal("embedding", _centroid(i)) for i in range(8)]
+    least = "least(" + ", ".join(dists) + ")"
+    chain = "CASE " + " ".join(
+        f"WHEN {d} = {least} THEN {i}" for i, d in enumerate(dists)
+    ) + " END"
+    return f"""
+        SELECT CAST({chain} AS INTEGER) AS centroid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS label_sum
+        FROM embeddings
+        GROUP BY 1
+    """
+
+
+@query(
+    "ivf_centroid_assign",
+    oracle=_ivf_oracle(),
+    survey="LLM-ext: IVF coarse quantization (operators/similarity.py "
+    "family)",
+    doc="Nearest-centroid assignment against 8 fixed centroids (the "
+    "E-step of IVF index build / k-means): per-row L2 chains, argmin "
+    "with first-match tie-break, grouped occupancy stats. At scale the "
+    "corpus is written partitioned by centroid so ANN probes scan one "
+    "inverted list.",
+    tags=("llm",),
+)
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+
+    def l2sq(c: list[float]):
+        out = F.lit(0.0)
+        for j, x in enumerate(c):
+            d = F.element_at(v, j + 1).cast("double") - F.lit(float(x))
+            out = out + d * d
+        return out
+
+    dists = [l2sq(_centroid(i)) for i in range(8)]
+    best = F.least(*dists)
+    assign = F.when(dists[0] == best, 0)
+    for i in range(1, 8):
+        assign = assign.when(dists[i] == best, i)
+    return (
+        e.select(assign.cast("int").alias("centroid"), F.col("label"))
+        .groupBy("centroid")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("label").cast("long")).alias("label_sum"),
+        )
+    )
+
