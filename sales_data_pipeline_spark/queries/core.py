@@ -604,6 +604,46 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_ops_customers",
+    oracle="""
+        SELECT 'both_years' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT o_custkey FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1996
+        ) a
+        UNION ALL
+        SELECT 'only_1995', CAST(count(*) AS BIGINT) FROM (
+          SELECT o_custkey FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1995
+          EXCEPT
+          SELECT o_custkey FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1996
+        ) b
+    """,
+    survey="U1 extension (intersect/except — absent from the reference, "
+    "SURVEY §2.7)",
+    doc="Distinct set intersection and difference of yearly customer "
+    "key sets; each compiles to an aggregate + semi/anti join under "
+    "Catalyst.",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).agg(F.count("*").alias("n")).select(
+        F.lit("both_years").alias("tag"), "n"
+    )
+    only95 = (
+        y95.subtract(y96)  # EXCEPT DISTINCT semantics
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("only_1995").alias("tag"), "n")
+    )
+    return both.unionByName(only95)
+
+
+@query(
     "cube_priority_year",
     oracle="""
         SELECT o_orderpriority AS priority,
