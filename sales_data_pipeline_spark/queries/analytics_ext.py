@@ -1,0 +1,432 @@
+"""Extended analytic query surface — TPC-H-shaped multi-join workloads
+plus the window/join/agg variants absent from the reference inventory
+(SURVEY §2.3 "not present: outer/semi joins", §2.4 "no grouping sets /
+conditional agg", §2.5 "no lead/lag/ntile").
+
+These are the dashboard-class queries a complete engine must answer at
+100 TB: every join keeps the small side broadcastable, every aggregate
+is partial-agg friendly (map-side combine), every top-k carries a total
+order so LIMIT is deterministic, and all money math uses the det_sum /
+det_round integer-scaling contract from queries/base.py so DuckDB
+hash-parity holds at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.queries.base import (
+    det_sum,
+    query,
+    sql_det_sum,
+    table,
+)
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H-shaped; J2 star-join family at scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shipping_priority_topk",
+    oracle="""
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    survey="J2,A5,O2 (TPC-H Q3 shape)",
+    doc="Shipping-priority top-k: segment-filtered customer dim joined to "
+    "fact chain; filters push to both parquet scans, customer side "
+    "broadcasts, LIMIT compiles to TakeOrderedAndProject (no global sort).",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            det_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+        SELECT n_name AS nation,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    survey="J2,J6 extension (TPC-H Q5 shape: 6-way join + local-supplier "
+    "theta residual)",
+    doc="Six-way join with the customer-nation == supplier-nation residual "
+    "predicate. region->nation broadcasts prune the fact early; the "
+    "c_nationkey = s_nationkey equality rides the join output (no extra "
+    "shuffle). At 100 TB the orders/lineitem join is the only sort-merge.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    asia_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            det_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "returned_items_topk",
+    oracle="""
+        SELECT c_custkey, c_name, n_name AS nation,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    survey="J2,A1,O2 (TPC-H Q10 shape: returned-item reporting)",
+    doc="Revenue lost to returns per customer, top-20. The quarter filter "
+    "prunes orders before the fact join; nation broadcasts onto the "
+    "aggregate output (join-after-agg keeps the shuffle narrow).",
+)
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            det_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "order_priority_semijoin",
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48
+        )
+        GROUP BY o_orderpriority
+    """,
+    survey="§2.3 extension (left-semi join / EXISTS — reference has anti "
+    "only, J4); TPC-H Q4 shape",
+    doc="EXISTS-subquery order-priority count as a distributed left-semi "
+    "join — the scale-safe replacement for the reference's "
+    "collect()+isin pattern (scd_customer_transform.py:129,139).",
+)
+def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) t
+        GROUP BY c_count
+    """,
+    survey="§2.3 extension (left outer join — absent from reference); "
+    "TPC-H Q13 shape",
+    doc="Customer order-count distribution via left outer join (customers "
+    "with zero orders count as 0). Two hash aggregates; the second input "
+    "is one row per customer, so the re-shuffle is tiny at any scale.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+        SELECT c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY c_custkey, o_orderkey, o_orderdate
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+    survey="A1 + HAVING + semi join (TPC-H Q18 shape: large-volume "
+    "customers)",
+    doc="Orders whose line quantities sum past a threshold (HAVING as a "
+    "post-aggregate filter), semi-joined back to the fact. The HAVING "
+    "aggregate and the final aggregate share the l_orderkey shuffle key, "
+    "so AQE can reuse the exchange.",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(big_orders, li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+               SUM(CAST(CASE WHEN p_type = 'PROMO'
+                   THEN FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                   ELSE 0 END AS BIGINT)) / 10000.0 AS promo_revenue,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    survey="§2.4 extension (conditional aggregation — sum over CASE); "
+    "TPC-H Q14 shape",
+    doc="Promo revenue vs total per ship-year: conditional aggregation in "
+    "one pass over the lineitem-part join (no second scan, no self-join). "
+    "Both sums are integer-scaled so the ratio is reproducible.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", scaled).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.lit(10000.0)
+            ).alias("promo_revenue"),
+            (F.sum(scaled) / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function family beyond row_number (SURVEY §2.5: "no lead/lag",
+# "no ranking beyond row_number")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_showcase",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(dense_rank() OVER w AS BIGINT) AS drank,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist,
+               lag(c_acctbal, 1) OVER w AS prev_bal,
+               lead(c_acctbal, 1) OVER w AS next_bal,
+               first_value(c_custkey) OVER w AS richest_cust
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    survey="§2.5 extension (dense_rank, percent_rank, cume_dist, lag, "
+    "lead, first_value)",
+    doc="Full ranking/navigation window family over one window spec — a "
+    "single shuffle on the partition key, one sort, six functions "
+    "evaluated in the same physical Window operator. Total order "
+    "(acctbal desc, custkey) makes every output deterministic.",
+)
+def window_rank_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("c_acctbal", 1).over(w).alias("prev_bal"),
+        F.lead("c_acctbal", 1).over(w).alias("next_bal"),
+        F.first("c_custkey").over(w).alias("richest_cust"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping: unpivot (wide -> long)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                 SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS sum_price,
+                 SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_disc
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+    survey="§2 reshaping extension (unpivot / melt — inverse of the pivot "
+    "query)",
+    doc="Wide aggregate unpivoted to (key, measure, value) long form via "
+    "DataFrame.unpivot — constant-space stack expansion, no shuffle "
+    "beyond the aggregate's own.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+        det_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        det_sum(F.col("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

@@ -129,6 +129,7 @@ def sql_det_avg(expr: str, n: int = 2) -> str:
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (populating REGISTRY) and return it."""
     from sales_data_pipeline_spark.queries import (  # noqa: F401
+        analytics_ext,
         core,
         llm,
         pipeline_queries,
