@@ -430,3 +430,149 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics (LLM-data extensions: token stats, histograms,
+# deterministic sampling, embedding norms)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_tokens",
+    oracle="""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents
+        ) t
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 50
+    """,
+    survey="LLM-text extension (corpus token frequency; explode/UDTF "
+    "surface — absent from reference, SURVEY §2.10)",
+    doc="Top-50 corpus tokens: split -> posexplode-free explode -> "
+    "count -> top-k. The explode output partial-aggregates map-side, so "
+    "the shuffle carries one row per distinct token per task, not one "
+    "per token occurrence — the only formulation that survives 100 TB.",
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+        SELECT CAST(FLOOR(n_chars / 50.0) AS INTEGER) * 50 AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    survey="LLM-text extension (length-distribution histogram, A5 shape)",
+    doc="Document length histogram in 50-char buckets; integer bucket "
+    "arithmetic and exact integer sums make the cross-engine compare "
+    "exact. One partial-agg shuffle at any scale.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            (F.floor(F.col("n_chars") / F.lit(50.0)).cast("int") * 50).alias(
+                "bucket_lo"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "bucket_lo",
+            "n_docs",
+            "total_chars",
+            (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "sample_docs_md5",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2', '3')
+    """,
+    survey="LLM-pipeline extension (deterministic content-hash sampling "
+    "— the scale-safe replacement for rand()-based df.sample)",
+    doc="Deterministic ~25% corpus sample: first hex nibble of "
+    "md5(doc_id) < 4. Unlike rand()-seeded sampling this is stable "
+    "across engines, retries, and partitionings — the property a "
+    "training-data pipeline needs for reproducible holdouts. Pure "
+    "filter: pushes into the scan's row-group pruning path.",
+)
+def sample_docs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(nibble.isin("0", "1", "2", "3")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _sql_self_dot(vec: str, dim: int) -> str:
+    terms = " + ".join(f"{vec}[{j + 1}] * {vec}[{j + 1}]" for j in range(dim))
+    return f"(0.0 + {terms})"
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               SUM(CAST(FLOOR(SQRT({_sql_self_dot('embedding', 64)}) * 1000000
+                   + 0.5) AS BIGINT)) / 1000000.0 AS total_norm,
+               SUM(CAST(FLOOR(SQRT({_sql_self_dot('embedding', 64)}) * 1000000
+                   + 0.5) AS BIGINT)) / 1000000.0 / COUNT(*) AS avg_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    survey="LLM-similarity extension (embedding hygiene stats: per-label "
+    "L2-norm profile)",
+    doc="Per-label embedding L2-norm statistics — the standard corpus "
+    "hygiene check before cosine search (catches unnormalized or "
+    "degenerate vectors). Left-fold self-dot + IEEE sqrt is "
+    "bit-identical across engines; norms are integer-scaled before "
+    "summing (det_sum contract) so the aggregate is order-independent.",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_spark.operators import similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    nrm = similarity.norm(F.col("embedding"))
+    scaled = F.floor(nrm * 1000000 + F.lit(0.5))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum(scaled) / F.lit(1000000.0)).alias("total_norm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "total_norm",
+            (F.col("total_norm") / F.col("n_vecs")).alias("avg_norm"),
+        )
+    )
