@@ -576,3 +576,150 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_norm") / F.col("n_vecs")).alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join/agg robustness patterns: full outer reconciliation, skew-proof
+# salted aggregation, explicit grouping sets, sketch-based distincts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+        WITH y95 AS (
+          SELECT o_custkey AS k,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS rev
+          FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+          GROUP BY o_custkey
+        ),
+        y96 AS (
+          SELECT o_custkey AS k,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS rev
+          FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+          GROUP BY o_custkey
+        )
+        SELECT COALESCE(y95.k, y96.k) AS custkey,
+               COALESCE(y95.rev, 0.0) AS rev_1995,
+               COALESCE(y96.rev, 0.0) AS rev_1996
+        FROM y95 FULL OUTER JOIN y96 ON y95.k = y96.k
+    """,
+    survey="§2.3 extension (full outer join — reference has anti only)",
+    doc="Year-over-year revenue reconciliation via full outer join + "
+    "COALESCE: customers active in either year appear exactly once, "
+    "missing side zero-filled. Both inputs are pre-aggregated to one "
+    "row per key before the join, so the full-outer shuffle carries "
+    "aggregates, not fact rows.",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def yearly(y: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .groupBy(F.col("o_custkey").alias(f"k{y}"))
+            .agg(det_sum(F.col("o_totalprice"), 2).alias(f"rev{y}"))
+        )
+
+    y95, y96 = yearly(1995), yearly(1996)
+    return (
+        y95.join(y96, y95.k1995 == y96.k1996, "full_outer")
+        .select(
+            F.coalesce(F.col("k1995"), F.col("k1996")).alias("custkey"),
+            F.coalesce(F.col("rev1995"), F.lit(0.0)).alias("rev_1995"),
+            F.coalesce(F.col("rev1996"), F.lit(0.0)).alias("rev_1996"),
+        )
+    )
+
+
+@query(
+    "salted_skew_agg",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    survey="§7.4-8 (skew posture: two-phase salted aggregation — "
+    "identical results to the plain groupBy it replaces)",
+    doc="Skew-proof aggregation over a low-cardinality key: phase 1 "
+    "aggregates on (event_type, event_id % 8) spreading each hot key "
+    "over 8 reducers; phase 2 re-aggregates the 8 partials. Counts and "
+    "integer-scaled sums are re-aggregable without drift, so the result "
+    "is bit-identical to the direct groupBy (the oracle). At 100 TB "
+    "this caps any single reducer at 1/8th of the hottest key.",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    partial = (
+        ev.groupBy("event_type", (F.col("event_id") % 8).alias("_salt"))
+        .agg(F.count("*").alias("pn"), F.sum(cents).alias("pcents"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            (F.sum("pcents") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority),
+                                (CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)),
+                                ())
+    """,
+    survey="§2.4 extension (explicit GROUPING SETS — complements the "
+    "cube and rollup queries)",
+    doc="Hand-picked grouping sets (by-priority, by-year, grand total) "
+    "in ONE pass: the grouping-set expansion happens map-side before "
+    "the partial aggregate, so three aggregation levels cost one "
+    "shuffle instead of three queries.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               year(o_orderdate) AS order_year,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+        """
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    survey="§2.4 extension (approximate distinct — the 100 TB path for "
+    "the dashboard's nunique, A5)",
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) next to the "
+    "exact countDistinct per event_type. The sketch is mergeable "
+    "(partial-agg map-side, constant memory per group) — at 100 TB the "
+    "exact distinct needs a two-shuffle expand; the sketch needs one "
+    "narrow pass. No oracle: HLL register layouts differ per engine.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )

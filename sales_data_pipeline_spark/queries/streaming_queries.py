@@ -149,3 +149,50 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+        SELECT c_mktsegment AS segment, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """,
+    survey="streaming-ext: stream-static enrichment join (the streaming "
+    "form of the gold star join J2)",
+    doc="Structured Streaming events joined to the static customer "
+    "dimension (stream-static inner join is stateless — the dim is "
+    "broadcast per micro-batch, no state store), then a complete-mode "
+    "windowless aggregate by segment and type. Batch-equivalent at "
+    "end-of-input, hence SQL-checkable.",
+    tags=("streaming",),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ingest.read_events_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = (
+        joined.groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+        .select(
+            "segment",
+            "event_type",
+            "n",
+            (F.col("value_cents") / 100.0).alias("total_value"),
+        )
+    )
+    return ingest.run_available_now(
+        agg, ingest.unique_sink_name("static_join")
+    )
