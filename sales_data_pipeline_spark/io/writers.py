@@ -80,3 +80,27 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) parquet table: rows are hash-placed
+    into a fixed number of files per partition by the bucket key, and
+    the layout is recorded in the catalog. A join or aggregation on the
+    bucket key then reads co-located inputs and skips its shuffle
+    entirely — the 100 TB answer for a fact table that is joined on the
+    same key by every query (pre-shuffle once at write time, never
+    again at read time). ``sort_cols`` additionally sorts within each
+    bucket file so sort-merge joins skip their sort."""
+    writer = df.write.mode(mode).option("path", path).format("parquet")
+    writer = writer.bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

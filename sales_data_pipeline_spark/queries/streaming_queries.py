@@ -196,3 +196,49 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_available_now(
         agg, ingest.unique_sink_name("static_join")
     )
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    survey="streaming-ext: stateful exactly-once dedup "
+    "(withWatermark + dropDuplicates — the streaming form of the "
+    "watermark buffer idempotency requirement, SURVEY §7.4 #7)",
+    doc="The event stream unioned with itself (every event arrives "
+    "twice — the at-least-once delivery scenario) then deduplicated on "
+    "event_id with a 5-minute watermark bounding the dedup state, then "
+    "aggregated. The oracle is the SINGLE-copy aggregate: it matches "
+    "only if the stateful dedup dropped every duplicate.",
+    tags=("streaming",),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = ingest.read_events_stream(spark, sf_dir)
+    s2 = ingest.read_events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "5 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    agg = (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("value_cents") / 100.0).alias("total_value"),
+        )
+    )
+    return ingest.run_available_now(
+        agg, ingest.unique_sink_name("dedup_events")
+    )

@@ -63,3 +63,41 @@ def test_fs_utilities(spark, tmp_path):
     assert fs.delete(spark, f"{base}/processed", recursive=True)
     assert not fs.exists(spark, f"{base}/processed")
     assert fs.list_files(spark, f"{base}/nope") == []
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key => the equi-join plan has NO
+    Exchange (the shuffle was paid once at write time)."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.io import writers
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    writers.write_bucketed(
+        o, "t_orders_bkt", str(tmp_path / "ob"), 8, ["o_orderkey"],
+        sort_cols=["o_orderkey"],
+    )
+    writers.write_bucketed(
+        li, "t_lineitem_bkt", str(tmp_path / "lb"), 8, ["l_orderkey"],
+        sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_bkt").join(
+            spark.table("t_lineitem_bkt"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
