@@ -332,3 +332,71 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def cluster_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    some pair gets cluster_id = min doc id reachable through pairs
+    (transitive closure — A~B, B~C puts A,B,C in one cluster even if
+    A,C never paired). This is the step that turns pairwise dedup
+    output into keep-one-per-cluster decisions.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are shallow —
+    chains of pad/copy variants). All data stays distributed; the
+    driver sees ONE scalar per round (the label-sum convergence
+    probe, which decreases monotonically until fixpoint). Each round's
+    labels are persisted and the previous round unpersisted, so the
+    active working set is one (id, label) row per node regardless of
+    iteration count.
+
+    Lineage control: every round's labels are ``localCheckpoint``-ed.
+    Plain persist caches DATA but keeps the logical plan, so each
+    iteration's plan would embed the whole upstream pipeline again —
+    exponential plan growth that OOMs the driver around 10 rounds.
+    Checkpointing truncates the plan to the materialized result (the
+    same reason GraphX checkpoints in Pregel loops); on a cluster use
+    ``checkpoint()`` with a reliable checkpoint dir instead."""
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.src, "left_outer")
+            .select(
+                labels.id.alias("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        label_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -111,3 +111,107 @@ def sample_frames(
     return df.select(
         F.col(id_col), F.posexplode(offsets).alias("frame_no", "byte_offset")
     )
+
+
+RESIZED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def _resize_real(payload: bytes, w: int, h: int) -> bytes:
+    """Real image resize — requires PIL/libvips, absent here."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "use resizer='fake' or provide a resize function"
+    )
+
+
+def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in resize: keep the first w*h/64 bytes (a
+    real resizer re-encodes to roughly area-proportional size)."""
+    return payload[: max(1, (w * h) // 64)]
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    resizer: str = "fake",
+) -> DataFrame:
+    """Resize pass: binary -> resized binary's metadata, Arrow-batched.
+    Emits (doc_id, width, height, n_bytes, content_hash) of the resized
+    payload; the resized bytes themselves would be written back to a
+    binary column / object store in a real pipeline."""
+    fn = {"fake": _resize_fake, "real": _resize_real}[resizer]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [fn(p, target_w, target_h) for p in pdf[bytes_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "n_bytes": pd.Series(
+                        [len(r) for r in resized], dtype="int64"
+                    ),
+                    "content_hash": [
+                        hashlib.md5(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        batches, RESIZED_META_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+N_FEATURES = 8
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    n_features: int = N_FEATURES,
+) -> DataFrame:
+    """Feature-extraction pass: binary payload -> fixed-width float
+    vector (here: mean byte value of ``n_features`` contiguous chunks —
+    a real extractor would run a vision/audio model on the decoded
+    media). Vectorized numpy inside Arrow batches; the output
+    array<double> column feeds directly into the similarity operators
+    (operators/similarity.py)."""
+    import numpy as np
+
+    def features(payload: bytes) -> list[float]:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * n_features
+        chunks = np.array_split(arr, n_features)
+        return [float(c.mean()) if c.size else 0.0 for c in chunks]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "features": [features(p) for p in pdf[bytes_col]],
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, FEATURES_SCHEMA)

@@ -308,14 +308,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_docs_corpus(spark, sf_dir))
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """The shared CTE chain producing verified near-dup pairs — used by
+    the pair query's oracle AND the cluster-components oracle."""
     sigs = _sql_minhash_sig()
     bands = ", ".join(
         f"md5('{b}' || '|' || {sigs[2 * b]} || '|' || {sigs[2 * b + 1]})"
         for b in range(4)
     )
-    return f"""
-        WITH {_DOCS_CORPUS_SQL},
+    return f"""{_DOCS_CORPUS_SQL},
         sigs AS (
           SELECT doc_id AS id, ws, [{bands}] AS bands
           FROM (
@@ -338,10 +339,18 @@ def _minhash_lsh_oracle() -> str:
           FROM cand c
           JOIN sigs sa ON sa.id = c.id_a
           JOIN sigs sb ON sb.id = c.id_b
-        )
-        SELECT id_a, id_b,
-               FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
-        FROM verified WHERE j >= 0.5
+        ),
+        pairs AS (
+          SELECT id_a, id_b,
+                 FLOOR(j * 10000 + 0.5) / 10000.0 AS jaccard
+          FROM verified WHERE j >= 0.5
+        )"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return f"""
+        WITH {_minhash_pair_ctes()}
+        SELECT id_a, id_b, jaccard FROM pairs
     """
 
 
@@ -728,3 +737,94 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "multimodal_resize_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(256 AS INTEGER) AS width,
+               CAST(192 AS INTEGER) AS height,
+               CAST(octet_length(CAST(substring(text, 1, 768) AS BLOB))
+                 AS BIGINT) AS n_bytes,
+               md5(substring(text, 1, 768)) AS content_hash
+        FROM documents
+    """,
+    survey="LLM-ext: multimodal resize (operators/multimodal.py) — "
+    "payloads are ASCII here so VARCHAR substring == byte slice",
+    doc="Resize pass to 256x192 via Arrow-batched mapInPandas "
+    "(deterministic fake resizer keeps w*h/64 = 768 payload bytes; the "
+    "real codec path raises NotImplementedError in this container).",
+    tags=("llm",),
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
+    return multimodal.resize_media(with_bytes, 256, 192, resizer="fake")
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle=None,  # byte-level chunk means are not SQL-expressible in
+    # DuckDB (no blob indexing); rows-only check
+    survey="LLM-ext: multimodal feature extraction "
+    "(operators/multimodal.py -> similarity operators)",
+    doc="Feature-extraction pass: payload -> 8-dim chunk-mean vector "
+    "(numpy inside Arrow batches; a model would replace the chunk "
+    "means). Emits per-document feature norms through the similarity "
+    "module's left-fold dot product, proving the array<double> output "
+    "plugs into the ANN operators.",
+    tags=("llm",),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
+    feats = multimodal.extract_features(with_bytes)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("features"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        nrm.alias("feature_norm"),
+    )
+
+
+def _cluster_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    """
+
+
+@query(
+    "dedup_cluster_assign",
+    oracle=_cluster_oracle(),
+    survey="LLM-ext: near-dup cluster assignment (iterative connected "
+    "components over the MinHash pair graph, operators/dedup.py)",
+    doc="Transitive closure of near-duplicate pairs: iterative min-label "
+    "propagation (O(diameter) rounds, one scalar convergence probe per "
+    "round on the driver, data never collected). The oracle computes "
+    "the same components with a recursive CTE. cluster_id = min doc_id "
+    "in the component; downstream keeps one doc per cluster.",
+    tags=("llm",),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, min_jaccard=0.5)
+    return dedup.cluster_components(pairs)
