@@ -260,3 +260,51 @@ def test_det_math_cross_engine():
             expect |= 1 << i
     assert b == expect
     assert math.isfinite(sum(q))
+
+
+def test_cluster_components_transitive(spark):
+    """Chain a-b-c, triangle d-e-f (plus redundant edge), isolated pair
+    g-h: every node gets the min id of its component even when the two
+    endpoints never shared a pair (transitivity)."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),              # chain: {1,2,3} -> 1
+            (10, 11), (11, 12), (10, 12),  # triangle -> 10
+            (20, 21),                    # pair -> 20
+        ],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.cluster_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_multimodal_resize_and_features(spark):
+    """Resize keeps w*h/64 bytes (min 1); features are 8 chunk means of
+    the payload bytes, finite and order-stable."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    wb = multimodal.attach_binary(df, "text", "media_bytes")
+    rs = {
+        r["doc_id"]: r
+        for r in multimodal.resize_media(wb, 16, 16, resizer="fake").collect()
+    }
+    assert rs[1]["n_bytes"] == 4      # 16*16/64
+    assert rs[2]["n_bytes"] == 2      # shorter than target -> all bytes
+    assert rs[3]["n_bytes"] == 0      # empty payload slices to empty
+    assert rs[1]["width"] == 16 and rs[1]["height"] == 16
+
+    ft = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.extract_features(wb).collect()
+    }
+    assert len(ft[1]) == multimodal.N_FEATURES
+    assert all(v == float(ord("a")) for v in ft[1])
+    assert ft[3] == [0.0] * multimodal.N_FEATURES
