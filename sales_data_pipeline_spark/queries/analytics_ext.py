@@ -723,3 +723,36 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"),
         )
     )
+
+
+@query(
+    "order_keys_agg",
+    oracle="""
+        SELECT o_custkey AS customer_id,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               array_to_string(list(o_orderkey ORDER BY o_orderkey), '|')
+                 AS order_keys
+        FROM orders
+        WHERE o_totalprice > 250000
+        GROUP BY o_custkey
+    """,
+    survey="§2.4 extension (array_agg / collect_list — list-valued "
+    "aggregation)",
+    doc="Per-customer sorted order-key list (big orders only), emitted "
+    "as a joined string so the cross-engine hash is representation- "
+    "stable. sort_array makes collect_list's nondeterministic arrival "
+    "order irrelevant; the aggregate is partial-agg friendly (lists "
+    "merge associatively).",
+)
+def order_keys_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 250000)
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_list("o_orderkey"))
+            ).alias("order_keys"),
+        )
+    )

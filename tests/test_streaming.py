@@ -97,3 +97,45 @@ def test_stateful_sessionizer_matches_batch(spark, event_dir):
         for r in spark.table(name).collect()
     )
     assert got == _expected_sessions(rows)
+
+
+def test_foreach_batch_partitioned_sink(spark, tmp_path):
+    """Streaming -> foreachBatch -> dynamic-partition parquet sink: the
+    sink pattern for incremental loads (each micro-batch upserts only
+    the partitions it touches; exactly-once comes from the checkpoint +
+    idempotent dynamic overwrite). End state must equal the batch read."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.queries.base import events_table
+    from sales_data_pipeline_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "by_type")
+    ckpt = str(tmp_path / "ckpt")
+
+    def upsert(batch_df, batch_id):
+        (
+            batch_df.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+
+    q = (
+        ingest.read_events_stream(spark, sf)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    written = spark.read.parquet(out)
+    batch = events_table(spark, sf)
+    assert written.count() == batch.count()
+    # partition pruning works on the sink layout
+    one_type = written.filter(F.col("event_type") == "click")
+    assert (
+        one_type.count()
+        == batch.filter(F.col("event_type") == "click").count()
+    )
