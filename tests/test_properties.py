@@ -116,3 +116,49 @@ def test_scd2_tie_free_ordering(spark):
     h3 = scd2.apply_scd_type2(h2, d, "2024-03-01", tracked_cols=TRACKED)
     assert h3.count() == 2
     assert h3.filter(F.col("is_current")).count() == 2
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cluster_components_matches_union_find(spark, edges):
+    """Distributed label propagation == classic union-find on random
+    graphs (same node set, same min-id-per-component labels)."""
+    from sales_data_pipeline_spark.operators import dedup
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.cluster_components(pairs, max_iter=40).collect()
+    }
+    assert got == expected
