@@ -828,3 +828,92 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_corpus(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(corpus, min_jaccard=0.5)
     return dedup.cluster_components(pairs)
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                 ) AS rn
+          FROM documents
+        ) t
+        WHERE rn <= 20
+    """,
+    survey="LLM-ext: deterministic stratified sampling (fixed-size "
+    "per-stratum holdouts)",
+    doc="20 docs per language, selected by ranking on md5(doc_id) "
+    "within each stratum — a deterministic shuffle: uniform, stable "
+    "across engines/retries/partitionings, and reproducible (the "
+    "property rand()-seeded sampleBy loses on re-partition). One "
+    "window shuffle on the stratum key.",
+    tags=("llm",),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "pack_training_shards",
+    oracle="""
+        SELECT doc_id, lang, tokens,
+               CAST(FLOOR((cum_tokens - tokens) / 2000.0) AS BIGINT)
+                 AS shard_id
+        FROM (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                   AS BIGINT) AS tokens,
+                 SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                   AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum_tokens
+          FROM documents
+        ) t
+    """,
+    survey="LLM-ext: training-shard packing (token-budgeted corpus "
+    "sharding via windowed prefix sums)",
+    doc="Pack each language's documents into ~2000-token training "
+    "shards: running token total in deterministic doc_id order, "
+    "shard = floor(tokens-before / budget). Per-stratum windows keep "
+    "the prefix sum distributed (one shuffle on lang); a single global "
+    "order would serialize — at 100 TB use range partitioning + "
+    "per-partition offsets (two passes) for a global pack.",
+    tags=("llm",),
+)
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", tokens.alias("tokens"))
+        .withColumn("cum_tokens", F.sum("tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "tokens",
+            F.floor((F.col("cum_tokens") - F.col("tokens")) / F.lit(2000.0))
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
