@@ -400,3 +400,59 @@ def cluster_components(
         prev_sum = label_sum
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit signatures banded into two 8-bit
+    halves (pigeonhole: any pair within hamming distance 1 shares at
+    least one exact half, so recall is guaranteed at distance <= 1 and
+    partial at 2 — add bands for a wider guarantee), candidate pairs
+    from the band-key equi-self-join, verified by exact hamming
+    distance via bit_count(xor). All integer ops — bit-identical
+    cross-engine. The band join is the only shuffle; candidates are
+    bounded by bucket sizes, never n²."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("h:"),
+                    F.shiftright(F.col("sig"), 8).cast("string"),
+                ),
+                F.concat(
+                    F.lit("l:"),
+                    (F.col("sig").bitwiseAND(F.lit(255))).cast("string"),
+                ),
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -371,22 +371,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("jaccard", det_round(F.col("jaccard"), 4))
 
 
-def _simhash_oracle() -> str:
+def _simhash_sig_ctes() -> str:
+    """Shared CTE chain ending in ``sh_sigs(doc_id, simhash)`` — used by
+    the signature query's oracle AND the hamming-pair oracle."""
     sums = ", ".join(f"{_sql_simhash_bit_sum(j)} AS s{j}" for j in range(16))
     recon = " + ".join(
         f"CASE WHEN s{j} >= 0 THEN CAST({1 << (15 - j)} AS BIGINT) "
         "ELSE CAST(0 AS BIGINT) END"
         for j in range(16)
     )
-    return f"""
-        WITH {_DOCS_CORPUS_SQL},
+    return f"""{_DOCS_CORPUS_SQL},
         hashed AS (
           SELECT doc_id,
                  list_transform({_WS_SQL}, w -> md5(w)) AS hs
           FROM corpus
         ),
-        bits AS (SELECT doc_id, {sums} FROM hashed)
-        SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bits
+        bits AS (SELECT doc_id, {sums} FROM hashed),
+        sh_sigs AS (
+          SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bits
+        )"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_simhash_sig_ctes()}
+        SELECT doc_id, simhash FROM sh_sigs
     """
 
 
@@ -917,3 +926,42 @@ def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shard_id"),
         )
     )
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+        WITH {_simhash_sig_ctes()},
+        banded AS (
+          SELECT doc_id AS id, simhash AS sig,
+                 'h:' || CAST(simhash // 256 AS VARCHAR) AS band
+          FROM sh_sigs
+          UNION ALL
+          SELECT doc_id, simhash, 'l:' || CAST(simhash % 256 AS VARCHAR)
+          FROM sh_sigs
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, a.sig AS sig_a,
+                          b.id AS id_b, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 2
+    """
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    survey="LLM-ext: SimHash hamming-distance pairing "
+    "(operators/dedup.py simhash_pairs)",
+    doc="Near-dup pairs from 16-bit SimHash signatures: two 8-bit "
+    "pigeonhole bands -> band-key self-join -> exact "
+    "bit_count(xor) <= 2 verify. Pure integer arithmetic, exact "
+    "cross-engine.",
+    tags=("llm",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs_corpus(spark, sf_dir))
