@@ -178,3 +178,65 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim"
         )
     )
+
+
+N_IVF_CENTROIDS = 8
+
+
+def ivf_centroid(i: int, dim: int = DIM) -> list[float]:
+    """Fixed deterministic IVF coarse centroids (stand-in for trained
+    k-means centroids; the operators are centroid-agnostic)."""
+    return [((i * 7 + j * 3) % 11 - 5) / 10.0 for j in range(dim)]
+
+
+def l2sq_to_literal(vec: Column, lit_vec: list[float]) -> Column:
+    """Left-fold squared-L2 distance to a literal vector — explicit
+    sequential add chain, bit-identical to the oracle SQL."""
+    out: Column = F.lit(0.0)
+    for j, x in enumerate(lit_vec):
+        d = F.element_at(vec, j + 1).cast("double") - F.lit(float(x))
+        out = out + d * d
+    return out
+
+
+def ivf_assign(vec: Column, n: int = N_IVF_CENTROIDS) -> Column:
+    """Nearest-centroid id (argmin of squared L2, first-match
+    tie-break) — the IVF coarse quantizer.
+
+    Formulated as array_position(darr, array_min(darr)) - 1 rather than
+    a when(d_i == least(..)) chain: the chain embeds the full least()
+    tree in every branch (~n² copies of every distance chain), which
+    Catalyst optimizes for MINUTES at n=8, dim=64; the array form keeps
+    two copies total and plans in seconds. array_position is
+    first-match, so tie semantics equal the SQL CASE chain."""
+    darr = F.array(*[l2sq_to_literal(vec, ivf_centroid(i)) for i in range(n)])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def ivf_probe_centroid(query: list[float], n: int = N_IVF_CENTROIDS) -> int:
+    """Driver-side coarse quantization of the query vector (centroids
+    are literals, so this is O(n*dim) plain Python)."""
+    best_i, best_d = 0, float("inf")
+    for i in range(n):
+        d = sum((a - b) ** 2 for a, b in zip(query, ivf_centroid(i)))
+        if d < best_d:
+            best_i, best_d = i, d
+    return best_i
+
+
+def ivf_probe_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: quantize the query to its nearest coarse
+    centroid, score ONLY that centroid's inverted list, exact top-k
+    rerank. At scale the corpus is written partitioned by centroid id
+    (see ivf_assign), so the probe is a partition-pruned scan of
+    ~1/n_centroids of the data — same storage trick as the LSH-bucket
+    path, but with data-adaptive (trained) cells."""
+    probe = ivf_probe_centroid(query)
+    in_cell = df.filter(ivf_assign(F.col(vec_col)) == probe)
+    return brute_force_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)

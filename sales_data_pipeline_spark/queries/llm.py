@@ -682,7 +682,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _centroid(i: int, dim: int = similarity.DIM) -> list[float]:
-    return [((i * 7 + j * 3) % 11 - 5) / 10.0 for j in range(dim)]
+    return similarity.ivf_centroid(i, dim)
 
 
 def _sql_l2sq_literal(vec: str, lit_vec: list[float]) -> str:
@@ -723,22 +723,9 @@ def _ivf_oracle() -> str:
 )
 def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    v = F.col("embedding")
-
-    def l2sq(c: list[float]):
-        out = F.lit(0.0)
-        for j, x in enumerate(c):
-            d = F.element_at(v, j + 1).cast("double") - F.lit(float(x))
-            out = out + d * d
-        return out
-
-    dists = [l2sq(_centroid(i)) for i in range(8)]
-    best = F.least(*dists)
-    assign = F.when(dists[0] == best, 0)
-    for i in range(1, 8):
-        assign = assign.when(dists[i] == best, i)
+    assign = similarity.ivf_assign(F.col("embedding"))
     return (
-        e.select(assign.cast("int").alias("centroid"), F.col("label"))
+        e.select(assign.alias("centroid"), F.col("label"))
         .groupBy("centroid")
         .agg(
             F.count("*").alias("n"),
@@ -965,3 +952,40 @@ def _simhash_pairs_oracle() -> str:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs_corpus(spark, sf_dir))
+
+
+def _ivf_probe_oracle() -> str:
+    q = similarity.query_vector()
+    probe = similarity.ivf_probe_centroid(q)
+    dists = [_sql_l2sq_literal("embedding", _centroid(i)) for i in range(8)]
+    least = "least(" + ", ".join(dists) + ")"
+    chain = "CASE " + " ".join(
+        f"WHEN {d} = {least} THEN {i}" for i, d in enumerate(dists)
+    ) + " END"
+    cos = _sql_cosine_literal("embedding", q)
+    return f"""
+        SELECT vec_id,
+               FLOOR({cos} * 1000000 + 0.5) / 1000000.0 AS cos_sim
+        FROM embeddings
+        WHERE {chain} = {probe}
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """
+
+
+@query(
+    "knn_ivf_probe",
+    oracle=_ivf_probe_oracle(),
+    survey="LLM-ext: IVF ANN probe search (operators/similarity.py "
+    "ivf_probe_topk — completes the IVF path begun by "
+    "ivf_centroid_assign)",
+    doc="IVF search: the query vector is coarse-quantized on the driver "
+    "(centroids are literals), only its centroid's inverted list is "
+    "scored, exact top-10 rerank inside the cell. At scale the corpus "
+    "is partitioned by centroid id so the probe is a partition-pruned "
+    "scan of ~1/8 of the data.",
+    tags=("llm",),
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_probe_topk(e, similarity.query_vector(), k=10)
