@@ -756,3 +756,119 @@ def order_keys_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_keys"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics (funnel, retention) over the events stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+        WITH per_user AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   AS first_signup,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+          FROM events
+          GROUP BY user_id
+        )
+        SELECT
+          CAST(count(*) AS BIGINT) AS n_users,
+          CAST(count(first_signup) AS BIGINT) AS n_signed_up,
+          CAST(SUM(CASE WHEN first_purchase > first_signup
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+          CAST(SUM(CASE WHEN first_purchase > first_signup
+               THEN FLOOR((FLOOR(EXTRACT(epoch FROM first_purchase))
+                     - FLOOR(EXTRACT(epoch FROM first_signup))) / 3600.0)
+               ELSE 0 END) AS BIGINT) AS total_hours_to_convert
+        FROM per_user
+    """,
+    survey="§2.4/§3.3 extension (funnel analysis: conditional first-"
+    "event aggregation over event sequences)",
+    doc="Signup -> purchase funnel: per-user first-event timestamps via "
+    "conditional MIN (one shuffle on user_id), then a global roll-up. "
+    "Conversion requires the purchase to FOLLOW the signup. Epoch "
+    "arithmetic is exact integer math — deterministic cross-engine.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = F.col("first_purchase") > F.col("first_signup")
+    hours = F.floor(
+        (
+            F.unix_timestamp("first_purchase")
+            - F.unix_timestamp("first_signup")
+        )
+        / F.lit(3600)
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
+        F.sum(F.when(converted, hours).otherwise(0)).alias(
+            "total_hours_to_convert"
+        ),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        ),
+        activity AS (
+          SELECT e.user_id,
+                 date_trunc('week', f.first_ts) AS cohort_week,
+                 (EXTRACT(epoch FROM date_trunc('week', e.ts))
+                  - EXTRACT(epoch FROM date_trunc('week', f.first_ts)))
+                   // 604800 AS week_offset
+          FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM activity
+        GROUP BY cohort_week, week_offset
+    """,
+    survey="§2.4/§3.3 extension (retention cohort analysis: self-join "
+    "on first-activity, distinct actives per offset)",
+    doc="Weekly retention triangle: cohort = ISO week of each user's "
+    "first event; active_users = distinct users from that cohort seen "
+    "week_offset weeks later. The firsts aggregate is one row per "
+    "user, so the enrichment join broadcasts at any realistic user "
+    "count relative to the event volume; week arithmetic is exact "
+    "integer epoch math.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    activity = ev.join(firsts, "user_id").select(
+        "user_id",
+        week(F.col("first_ts")).alias("cohort_week_ts"),
+        F.floor(
+            (
+                F.unix_timestamp(week(F.col("ts")))
+                - F.unix_timestamp(week(F.col("first_ts")))
+            )
+            / F.lit(604800)
+        ).alias("week_offset"),
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week_ts", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
