@@ -236,7 +236,20 @@ def ivf_probe_topk(
     rerank. At scale the corpus is written partitioned by centroid id
     (see ivf_assign), so the probe is a partition-pruned scan of
     ~1/n_centroids of the data — same storage trick as the LSH-bucket
-    path, but with data-adaptive (trained) cells."""
+    path, but with data-adaptive (trained) cells.
+
+    The cell selection is materialized (localCheckpoint) before the
+    cosine rerank: assignment and rerank each carry ~5k-node literal
+    expression trees, and fusing them into ONE generated stage makes
+    codegen stack-depth-fragile (observed: a warm JVM wedged compiling
+    the fused stage while each half compiles fine). The barrier splits
+    them into two small jobs — exactly the shape the partitioned-
+    storage path has at scale, where the cell arrives pre-materialized
+    from the pruned scan."""
     probe = ivf_probe_centroid(query)
-    in_cell = df.filter(ivf_assign(F.col(vec_col)) == probe)
+    in_cell = (
+        df.select(id_col, vec_col)
+        .filter(ivf_assign(F.col(vec_col)) == probe)
+        .localCheckpoint(eager=True)
+    )
     return brute_force_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)

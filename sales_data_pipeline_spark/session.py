@@ -41,6 +41,12 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    # local[N] runs driver + all executor threads in ONE JVM; the 1g
+    # default heap OOMs a long-lived session once cached blocks and
+    # generated classes accumulate (observed: silent executor-thread
+    # OOM that left a py4j collect waiting forever). Sized for the
+    # local test harness; cluster deployments override per executor.
+    "spark.driver.memory": "8g",
 }
 
 
