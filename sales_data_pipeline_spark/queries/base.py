@@ -49,8 +49,27 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def entered(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The external driver runs the whole catalog in ONE session.
+            # Queries that persist intermediates (minhash signatures,
+            # SCD2 inputs, checkpointed labels) would otherwise leak
+            # cached blocks across ~100 queries — enough to OOM a
+            # default-1g local JVM (observed as a silent executor-thread
+            # OOM that left a py4j collect hanging). Entering a query
+            # drops every block the previous ones left behind; recompute
+            # correctness is unaffected (persists are within-query).
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            return fn(spark, sf_dir)
+
+        entered.__name__ = fn.__name__
+        entered.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc, tags=tags
+            name=name, fn=entered, oracle=oracle, survey=survey, doc=doc,
+            tags=tags,
         )
         return fn
 
@@ -58,7 +77,13 @@ def query(
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (parquet scan; pushdown-friendly)."""
+    """Load one driver testdata table (parquet scan; pushdown-friendly).
+
+    Pins the session timezone to UTC (runtime-settable): queries format
+    timestamps with date_format, and the external driver's vanilla
+    session would otherwise use the JVM default zone — DuckDB's
+    tz-naive timestamps only hash-match under UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
