@@ -872,3 +872,171 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-support shapes absent from both the reference and the catalog
+# so far: correlated per-group average (TPC-H Q17), disjunctive compound
+# predicates (Q19), global scalar threshold + anti-join (Q22).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+        WITH cand AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23' AND p_size < 15
+        ),
+        thresh AS (
+          SELECT l_partkey, 0.5 * AVG(l_quantity) AS max_qty
+          FROM cand GROUP BY l_partkey
+        )
+        SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 100.0 / 7.0 AS avg_yearly
+        FROM cand JOIN thresh USING (l_partkey)
+        WHERE l_quantity < max_qty
+    """,
+    survey="§2.2 extension (correlated per-group scalar subquery; "
+    "TPC-H Q17 shape: small-quantity-order revenue)",
+    doc="Average yearly revenue lost if small-quantity orders for one "
+    "brand's small parts went unfilled. The correlated subquery "
+    "(per-part average quantity) is decorrelated into a grouped "
+    "aggregate joined back on the part key — the restriction to the "
+    "brand's parts is key-only, so averaging after the broadcast part "
+    "join touches exactly the correlated rows and the fact is scanned "
+    "ONCE. Quantities are integer-valued doubles, so the AVG is exact "
+    "cross-engine; revenue uses the det_sum integer-scaling contract. "
+    "Reference parity: extends orders_above_avg (global scalar "
+    "subquery) to the correlated case, SURVEY §2 'no subqueries'.",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    cand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = cand.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("max_qty")
+    )
+    return (
+        cand.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("max_qty"))
+        .agg((det_sum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias(
+            "avg_yearly"
+        ))
+    )
+
+
+@query(
+    "disjunctive_brand_revenue",
+    oracle="""
+        SELECT SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                   + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="§2.2 extension (disjunctive compound predicates spanning "
+    "both join sides; TPC-H Q19 shape)",
+    doc="Revenue under an OR of three brand/size/quantity conjunctions. "
+    "The predicate references both join sides, so it evaluates as a "
+    "post-join filter; Spark's CNF conversion still derives the "
+    "single-side prefilters (l_quantity in [1,30]; the brand/size "
+    "disjunction on part) and pushes them into the parquet scans, so "
+    "the broadcast build side carries only candidate parts. One "
+    "aggregate row out — no shuffle beyond the final partial-agg "
+    "merge.",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    arm = lambda brand, sz_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, sz_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#3", 15, 20, 30)
+        )
+        .agg(
+            det_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "dormant_customer_balance",
+    oracle="""
+        WITH thresh AS (
+          SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                   / 100.0 / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_acctbal
+        FROM customer, thresh
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1998-01-01'
+          )
+        GROUP BY c_mktsegment
+    """,
+    survey="§2.2/§2.3 extension (global scalar threshold + NOT EXISTS "
+    "anti-join; TPC-H Q22 shape)",
+    doc="Well-funded customers gone dormant: balance above the positive-"
+    "balance average, no orders since 1998. The global average is a "
+    "1-row aggregate broadcast-cross-joined into the filter (never "
+    "collected to the driver); dormancy is a left_anti join against "
+    "the date-filtered orders scan (filter pushed to parquet). The "
+    "threshold derives from det_sum so the comparison is bit-identical "
+    "cross-engine. Reference parity: J4's anti-join generalized to a "
+    "filtered NOT EXISTS, SURVEY §7.4 risk 8 posture (no driver "
+    "materialization).",
+)
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (det_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            det_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
