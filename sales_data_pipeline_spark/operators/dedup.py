@@ -456,3 +456,41 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_ratios(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for each training document, the
+    fraction of its distinct word n-grams that also occur anywhere in
+    the benchmark corpus. The standard decontamination pass a training
+    pipeline runs before every model build (n-gram collision against
+    held-out eval sets).
+
+    Plan shape at 100 TB: the benchmark side is tiny relative to the
+    corpus (eval suites are MBs), so its distinct-gram set broadcasts;
+    the training side is one explode -> (id, gram) dedup -> broadcast
+    left join -> per-doc count aggregate. Both shuffles carry at most
+    one row per (doc, distinct gram) and partial-aggregate map-side.
+    Counts are exact integers, so the ratio is a deterministic double
+    division in any engine.
+    """
+    bgrams = (
+        shingle_rows(bench, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tgrams = shingle_rows(train, id_col, text_col, n).dropDuplicates(
+        ["id", "sh"]
+    )
+    marked = tgrams.join(F.broadcast(bgrams), "sh", "left")
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+        (F.count("_hit") / F.count(F.lit(1))).alias("ratio"),
+    )

@@ -989,3 +989,84 @@ def _ivf_probe_oracle() -> str:
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return similarity.ivf_probe_topk(e, similarity.query_vector(), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def _contamination_oracle() -> str:
+    grams = _SHINGLES_SQL
+    return f"""
+        WITH bench AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+        ),
+        train AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 300000, text || '{NEAR_DUP_PAD}' FROM bench
+        ),
+        bgr AS (
+          SELECT DISTINCT unnest(grams) AS sh FROM (
+            SELECT {grams} AS grams
+            FROM (SELECT {_WS_SQL} AS w FROM bench) z0) z1
+        ),
+        tgr AS (
+          SELECT doc_id, unnest(grams) AS sh FROM (
+            SELECT doc_id, {grams} AS grams
+            FROM (SELECT doc_id, {_WS_SQL} AS w FROM train) z2) z3
+        ),
+        marked AS (
+          SELECT t.doc_id, (b.sh IS NOT NULL) AS hit
+          FROM tgr t LEFT JOIN bgr b ON t.sh = b.sh
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_hit,
+               FLOOR(count(CASE WHEN hit THEN 1 END) * 1.0 / count(*)
+                     * 10000 + 0.5) / 10000.0 AS ratio,
+               FLOOR(count(CASE WHEN hit THEN 1 END) * 1.0 / count(*)
+                     * 10000 + 0.5) / 10000.0 >= 0.5 AS contaminated
+        FROM marked GROUP BY doc_id
+    """
+
+
+@query(
+    "benchmark_contamination",
+    oracle=_contamination_oracle(),
+    survey="LLM-ext: train/test contamination check (operators/dedup.py "
+    "contamination_ratios — n-gram collision against a held-out "
+    "benchmark)",
+    doc="Decontamination pass: per training doc, the fraction of its "
+    "distinct word-3-grams that occur anywhere in the benchmark set "
+    "(docs with doc_id%13==0 stand in for the eval suite; leaked "
+    "copies injected at +300000 must flag >=0.5 while clean docs sit "
+    "at the corpus's ~5% background collision rate). Benchmark grams "
+    "broadcast — eval suites are MBs against a 100 TB corpus — so the "
+    "training side is one explode + dedup + per-doc count, no "
+    "pair-space blowup.",
+    tags=("llm",),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_PAD)).alias("text"),
+    )
+    n = spark.sparkContext.defaultParallelism
+    train = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .unionByName(leaked)
+        .repartition(n, "doc_id")
+    )
+    ratios = dedup.contamination_ratios(train, bench, "doc_id", "text", n=3)
+    r = det_round(F.col("ratio"), 4)
+    return ratios.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_hit",
+        r.alias("ratio"),
+        (r >= 0.5).alias("contaminated"),
+    )

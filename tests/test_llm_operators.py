@@ -100,6 +100,17 @@ class TestDedup:
         assert found[(1, 3)] == pytest.approx(4 / 6)
         assert all(p[0] != 4 and p[1] != 4 for p in found)
 
+    def test_contamination_ratios(self, spark):
+        # doc 3 contains every 3-gram of benchmark doc 1; doc 4 shares none
+        bench = _docs(spark, self.CORPUS[:1])
+        train = _docs(spark, self.CORPUS[2:])
+        out = {
+            r.id: (r.n_grams, r.n_hit, r.ratio)
+            for r in dedup.contamination_ratios(train, bench).collect()
+        }
+        assert out[3] == (6, 4, pytest.approx(4 / 6))
+        assert out[4] == (4, 0, 0.0)
+
     def test_simhash_similarity_structure(self, spark):
         out = {
             r.doc_id: r.sh
