@@ -1040,3 +1040,186 @@ def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+        WITH srev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                     + 0.5) AS BIGINT)) AS rev_scaled
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, rev_scaled / 10000.0 AS total_revenue
+        FROM supplier JOIN srev ON s_suppkey = l_suppkey
+        WHERE rev_scaled = (SELECT MAX(rev_scaled) FROM srev)
+        ORDER BY s_suppkey
+    """,
+    survey="§2.2/§2.4 extension (aggregate-of-aggregate: scalar MAX over "
+    "a grouped view; TPC-H Q15 shape: top supplier)",
+    doc="Supplier(s) whose 1997 revenue equals the global maximum. The "
+    "per-supplier revenue view aggregates once (persisted — consumed "
+    "by both the MAX probe and the final filter); the MAX is a 1-row "
+    "aggregate broadcast-cross-joined back, so the equality predicate "
+    "never touches the driver. Revenues stay in exact scaled-integer "
+    "space until the final projection, so the MAX-equality compare is "
+    "bit-identical cross-engine (ties would all surface, ordered).",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    srev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_scaled")
+        )
+        .persist()
+    )
+    mx = srev.agg(F.max("rev_scaled").alias("max_scaled"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_scaled") == F.col("max_scaled"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_scaled") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+        WITH nrev AS (
+          SELECT n_name AS nation,
+                 SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                     + 0.5) AS BIGINT)) AS rev_scaled
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name
+        ),
+        tot AS (SELECT SUM(rev_scaled) AS total_scaled FROM nrev)
+        SELECT nation,
+               rev_scaled / 10000.0 AS revenue,
+               FLOOR(rev_scaled * 1.0 / total_scaled * 1000000 + 0.5)
+                 / 1000000.0 AS share
+        FROM nrev, tot
+        WHERE rev_scaled * 25 > total_scaled
+    """,
+    survey="§2.4 extension (share-of-global-total HAVING: scalar "
+    "subquery threshold over a grouped view; TPC-H Q11 shape)",
+    doc="Nations contributing more than 1/25th of global supplier "
+    "revenue. Per-nation revenues aggregate in exact scaled-integer "
+    "space; the global total is an exact integer SUM over the 25 "
+    "per-nation rows (order-insensitive, unlike a float total), so "
+    "the share threshold 'rev*25 > total' is a pure integer compare — "
+    "bit-identical in any engine at any scale. The total is a 1-row "
+    "broadcast; the grouped view is persisted and consumed twice.",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nrev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_scaled")
+        )
+        .persist()
+    )
+    tot = nrev.agg(F.sum("rev_scaled").alias("total_scaled"))
+    return (
+        nrev.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev_scaled") * 25 > F.col("total_scaled"))
+        .select(
+            "nation",
+            (F.col("rev_scaled") / F.lit(10000.0)).alias("revenue"),
+            (
+                F.floor(
+                    F.col("rev_scaled")
+                    / F.col("total_scaled")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("share"),
+        )
+    )
+
+
+@query(
+    "moving_avg_rows_frame",
+    oracle="""
+        WITH w AS (
+          SELECT o_custkey, o_orderkey,
+                 strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                 ) AS win_scaled,
+                 COUNT(*) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                 ) AS win_n
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, order_date,
+               win_scaled / 100.0 / win_n AS moving_avg_3
+        FROM w
+    """,
+    survey="§2.5 extension (ROWS BETWEEN sliding frame — the reference "
+    "has only whole-partition and rank frames, SURVEY §2.5 'no "
+    "rowsBetween/rangeBetween')",
+    doc="Per-customer 3-order moving average of order value. The frame "
+    "orders by (date, orderkey) so ties are fully determined; the "
+    "sliding SUM accumulates exact scaled integers, making the result "
+    "independent of each engine's incremental-frame evaluation order. "
+    "One shuffle on the partition key; rows frames evaluate in a "
+    "single sorted pass per partition.",
+)
+def moving_avg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    win = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    scaled = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (
+            F.sum(scaled).over(win)
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(win)
+        ).alias("moving_avg_3"),
+    )
