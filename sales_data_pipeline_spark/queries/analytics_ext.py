@@ -1223,3 +1223,130 @@ def moving_avg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(win)
         ).alias("moving_avg_3"),
     )
+
+
+@query(
+    "nation_pair_volume",
+    oracle="""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                   + 0.5) AS BIGINT)) / 10000.0 AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    survey="§2.3 extension (disjunctive cross-dimension join predicate "
+    "over a self-joined dimension; TPC-H Q7 shape: volume shipping)",
+    doc="Bilateral trade volume between two nations by ship year. The "
+    "nation dimension joins TWICE (supplier side and customer side) "
+    "and the pair constraint is an OR spanning both aliases, so it "
+    "evaluates after the dims attach — but each alias still prefilters "
+    "to the two named nations, which cascades through the broadcast "
+    "hash joins to shrink supplier/customer build sides before the "
+    "fact streams. lineitem-orders is the only non-broadcast join at "
+    "scale.",
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_3", "NATION_7")
+    n1 = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    ).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    ).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            det_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 100.0 AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    survey="§7.4 risk 8 (skew-join posture: salted replicated join — "
+    "identical results to the plain equi-join it replaces)",
+    doc="The two-sided salting pattern for a skewed shuffle join, "
+    "verified against the PLAIN join's oracle: the probe side salts "
+    "each row by a stable hash (pmod(xxhash64(linenumber), 8)); the "
+    "build side replicates every key across all 8 salts via a "
+    "posexplode; the join key becomes (key, salt) so one hot orderkey "
+    "spreads over 8 reducers instead of one. Results are provably "
+    "identical because every (key, salt) pair exists on the build "
+    "side exactly once. Use when AQE skew splitting isn't available "
+    "(e.g. a non-AQE engine or stream-static joins); the salt count "
+    "trades replication volume against reducer spread.",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    probe = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(n_salt))
+    )
+    build = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return (
+        probe.join(
+            build,
+            (probe.l_orderkey == build.o_orderkey)
+            & (probe._salt == build._salt),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            det_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
