@@ -242,3 +242,65 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_available_now(
         agg, ingest.unique_sink_name("dedup_events")
     )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               FLOOR(FLOOR(EXTRACT(epoch FROM p.ts))
+                     - FLOOR(EXTRACT(epoch FROM c.ts))) AS lag_secs,
+               FLOOR(p.value * 100 + 0.5) / 100.0 AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    survey="streaming-ext: stream-stream interval join (the remaining "
+    "Structured Streaming join mode — stream-static is covered by "
+    "streaming_static_join)",
+    doc="Two file-source streams (clicks, purchases) inner-joined on "
+    "user with a 1-hour event-time band. Both sides are watermarked "
+    "and the condition bounds time in both directions, so join state "
+    "expires at the watermark horizon (bounded memory at any stream "
+    "length); inner joins emit on match with no holdback, so the "
+    "AvailableNow end state is batch-equivalent and the DuckDB oracle "
+    "is the plain interval join. Epoch lag uses floored integer "
+    "seconds (micros truncate identically cross-engine).",
+    tags=("streaming",),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ingest.read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_user_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("value"),
+    )
+    joined = ingest.interval_join_stream(clicks, purchases).select(
+        "click_id",
+        "purchase_id",
+        F.col("l_user_id").alias("user_id"),
+        (
+            F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")
+        ).alias("lag_secs"),
+        (F.floor(F.col("value") * 100 + F.lit(0.5)) / 100.0).alias(
+            "purchase_value"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(ingest.unique_sink_name("stream_join"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(q.name)

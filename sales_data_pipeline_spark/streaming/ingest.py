@@ -109,3 +109,29 @@ _COUNTER = {"n": 0}
 def unique_sink_name(prefix: str) -> str:
     _COUNTER["n"] += 1
     return f"{prefix}_{_COUNTER['n']}"
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "5 minutes",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: rows of ``left`` matched to
+    ``right`` rows of the same user arriving within ``horizon`` after
+    them. Both sides carry watermarks and the join condition bounds
+    event time in both directions, so Spark can expire buffered state
+    once the watermark passes each row's match horizon — state is
+    O(input rate x horizon), not O(stream length). Inner joins emit a
+    pair the moment both sides arrive (no watermark holdback), so the
+    AvailableNow end state equals the batch join — oracle-checkable.
+    """
+    lw = left.withWatermark("l_ts", watermark)
+    rw = right.withWatermark("r_ts", watermark)
+    return lw.join(
+        rw,
+        F.expr(
+            "l_user_id = r_user_id AND r_ts > l_ts "
+            f"AND r_ts <= l_ts + INTERVAL {horizon}"
+        ),
+    )
