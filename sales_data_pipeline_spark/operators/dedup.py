@@ -176,10 +176,12 @@ def minhash_lsh_pairs(
     ]
     banded = sigs.select("id", F.explode(F.array(*band_exprs)).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
+    # persist: consumed 3x (both cand_ids branches + the pair join)
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
     # Jaccard verify on candidates only: shingle sets are recomputed
     # just for docs that appear in some candidate pair.
@@ -188,12 +190,16 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # persist: both pair-join branches consume the shingle sets, and
+    # the interpreted-HOF shingle_set projection is the one stage worth
+    # never computing twice
     shset = (
         df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
         .select(
             F.col(id_col).alias("id"),
             shingle_set(F.col(text_col)).alias("ws"),
         )
+        .persist()
     )
     pairs = (
         cand.join(
@@ -316,10 +322,11 @@ def ngram_jaccard_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # persist: both pair-join branches consume the gram sets
     grams = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi").select(
         F.col(id_col).alias("id"),
         shingle_set(F.col(text_col), n).alias("grams"),
-    )
+    ).persist()
     pairs = cand.join(
         grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")),
         "id_a",

@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: lock in the SCALE.md audit facts.
+
+A catalog query that silently loses its filter pushdown, broadcasts a
+side it shouldn't shuffle, or grows an extra Exchange still passes the
+value-correctness oracle — these tests fail instead. Plan shape is
+scale-invariant, so asserting it at sf0.001 pins the 100 TB behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    df = load_all()[name].fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def shuffles(plan: str) -> int:
+    """Count shuffle Exchange nodes (BroadcastExchange excluded)."""
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+class TestScanPushdown:
+    def test_filters_reach_parquet_scan(self, spark):
+        plan = plan_of(spark, "scan_filter_project")
+        assert "PushedFilters" in plan
+        assert "LessThan(l_shipdate" in plan
+        assert "GreaterThan(l_quantity" in plan
+        assert shuffles(plan) == 0
+
+    def test_column_pruning(self, spark):
+        plan = plan_of(spark, "scan_filter_project")
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        # 4 of lineitem's 11 columns — projection reached the scan
+        assert len(m.group(1).split(",")) <= 4
+
+    def test_disjunctive_cnf_pushdown_both_scans(self, spark):
+        plan = plan_of(spark, "disjunctive_brand_revenue")
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        quantity_side = [p for p in pushed if "l_quantity" in p and "Or(" in p]
+        part_side = [p for p in pushed if "p_brand" in p and "Or(" in p]
+        assert quantity_side, pushed
+        assert part_side, pushed
+
+
+class TestJoinStrategy:
+    def test_star_join_all_broadcast_no_shuffle(self, spark):
+        plan = plan_of(spark, "star_join_enriched")
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert shuffles(plan) == 0
+
+    def test_gold_composite_single_shuffle(self, spark):
+        plan = plan_of(spark, "gold_customer_metrics")
+        assert "SortMergeJoin" not in plan
+        assert shuffles(plan) == 1
+
+    def test_anti_join_stays_distributed(self, spark):
+        plan = plan_of(spark, "dormant_customer_balance")
+        assert "LeftAnti" in plan
+        # the 1-row threshold rides a broadcast, never a collect
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestAggregation:
+    def test_partial_aggregation_single_exchange(self, spark):
+        plan = plan_of(spark, "agg_customer_metrics")
+        assert shuffles(plan) == 1
+        # partial + final pair: HashAggregate appears on both shuffle sides
+        assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+    def test_topk_never_global_sorts(self, spark):
+        for q in ("topk_customers", "shipping_priority_topk"):
+            plan = plan_of(spark, q)
+            assert "TakeOrderedAndProject" in plan, q
+            assert "\n(\\d+) Sort " not in plan, q
+
+
+class TestWindow:
+    def test_window_dedup_one_shuffle(self, spark):
+        plan = plan_of(spark, "dedup_keep_latest")
+        assert shuffles(plan) == 1
+
+    def test_rows_frame_one_shuffle(self, spark):
+        plan = plan_of(spark, "moving_avg_rows_frame")
+        assert "Window" in plan
+        assert shuffles(plan) == 1
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
