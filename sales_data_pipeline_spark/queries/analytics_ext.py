@@ -1350,3 +1350,88 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_sum(F.col("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "supplier_market_share",
+    oracle="""
+        WITH vol AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+                   AS order_year,
+                 CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                      + 0.5) AS BIGINT) AS v_scaled,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'ASIA'
+        )
+        SELECT order_year,
+               SUM(CASE WHEN supp_nation = 'NATION_3'
+                   THEN v_scaled ELSE 0 END) / 10000.0 AS nation_volume,
+               SUM(v_scaled) / 10000.0 AS total_volume,
+               FLOOR(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN v_scaled ELSE 0 END) * 1.0
+                     / SUM(v_scaled) * 1000000 + 0.5) / 1000000.0
+                 AS mkt_share
+        FROM vol GROUP BY order_year
+    """,
+    survey="§2.4 extension (per-group ratio of conditional aggregates; "
+    "TPC-H Q8 shape: national market share)",
+    doc="NATION_3 suppliers' share of ASIA-region customers' order "
+    "volume by year. Seven-way join where every dimension side "
+    "broadcasts (region prefilter cascades through customer-nation); "
+    "numerator and denominator aggregate in ONE pass as conditional "
+    "sums over exact scaled integers, so the share ratio is a "
+    "deterministic division of exact ints — no second scan, no float "
+    "drift. Only lineitem-orders is non-broadcast at 100 TB.",
+)
+def supplier_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    v_scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
+    nation_scaled = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", v_scaled).otherwise(0)
+    )
+    total_scaled = F.sum(v_scaled)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.cn_key)
+        .join(F.broadcast(r), cn.cn_region == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (nation_scaled / F.lit(10000.0)).alias("nation_volume"),
+            (total_scaled / F.lit(10000.0)).alias("total_volume"),
+            (
+                F.floor(
+                    nation_scaled / total_scaled * 1000000 + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("mkt_share"),
+        )
+    )
