@@ -36,7 +36,11 @@ HEADLINE = [
     "scd2_merge_history",
     "gold_customer_metrics",
     "silver_customer_transform",
+    # decision-support shapes (big shuffle join / disjunctive pushdown)
+    "nation_pair_volume",
+    "disjunctive_brand_revenue",
     # LLM-data extensions
+    "benchmark_contamination",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
