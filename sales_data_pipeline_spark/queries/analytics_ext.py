@@ -1435,3 +1435,44 @@ def supplier_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share"),
         )
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+        SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS revenue_delta,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    survey="P5,A2 composite (TPC-H Q6 shape: the canonical "
+    "filter-pushdown aggregate)",
+    doc="Revenue increase if low-discount small-quantity items had "
+    "shipped discount-free: a pure scan-filter-aggregate where ALL "
+    "three predicates (date range, discount band, quantity cap) push "
+    "into the parquet scan and the 4-column ReadSchema prunes the "
+    "rest. At 100 TB this is the query shape that proves row-group "
+    "min/max skipping: zero joins, zero wide shuffles, one partial-agg "
+    "exchange. Discount literals are exactly-representable only as "
+    "stored doubles — BETWEEN on the raw column avoids re-rounding.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            det_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
