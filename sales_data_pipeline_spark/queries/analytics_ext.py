@@ -1476,3 +1476,289 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "late_shipment_priority",
+    oracle="""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    survey="§2.3/§2.4 extension (non-equi join residual + two-way "
+    "conditional counts; TPC-H Q12 shape: shipping modes and order "
+    "priority)",
+    doc="Late shipments (>60 days after order) bucketed by return flag "
+    "with urgent-vs-other conditional counts. The date comparison "
+    "spans both join sides, so it runs as a post-join residual on the "
+    "equi join; only the single-table ship-date range pushes into the "
+    "lineitem scan. One conditional-agg pass — no second scan for the "
+    "second count. Orders-lineitem is the lone shuffle at 100 TB.",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "waiting_orders_suppliers",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 120
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3 JOIN orders o3
+              ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND CAST(l3.l_shipdate AS DATE)
+                  > CAST(o3.o_orderdate AS DATE) + 120)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    survey="§2.3 extension (EXISTS + NOT EXISTS self-join composite; "
+    "TPC-H Q21 shape: suppliers who kept orders waiting)",
+    doc="Suppliers solely responsible for a late multi-supplier order. "
+    "The correlated EXISTS/NOT EXISTS pair is decorrelated by hand "
+    "into ONE per-order aggregate (distinct suppliers, distinct late "
+    "suppliers via conditional count_distinct) joined back to the "
+    "late line items — the set-valued predicates become `nsupp > 1 "
+    "AND nlate = 1`. Two lineitem scans total (TPC-H reference "
+    "implementations use three); the per-order distinct aggregate and "
+    "the join-back all key on l_orderkey, and the post-filter rowset "
+    "entering the final supplier rollup is tiny. Top-k carries the "
+    "s_name tiebreaker.",
+)
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    is_late = F.to_date("l_shipdate") > F.date_add(
+        F.to_date("o_orderdate"), 120
+    )
+    enriched = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", is_late
+    )
+    per_order = enriched.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    return (
+        enriched.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "product_profit_by_nation",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                    - p_retailprice * 0.6 * l_quantity) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS sum_profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, o_year
+    """,
+    survey="§2.4 extension (substring-filtered dimension driving a "
+    "multi-join profit rollup; TPC-H Q9 shape: product-type profit)",
+    doc="Profit on widget parts by supplier nation and year, with cost "
+    "modeled as 60% of retail. The LIKE filter pushes to the part "
+    "scan (StringContains) and the shrunken part dim broadcasts, "
+    "pre-filtering lineitem before the orders join — the one "
+    "sort-merge at 100 TB. Profit is summed via the scaled-integer "
+    "det_sum contract; the float expression is evaluated in identical "
+    "left-to-right order on both engines.",
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(det_sum(profit, 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS unit_price
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), ranked AS (
+          SELECT *, MIN(unit_price) OVER (PARTITION BY l_partkey)
+                   AS min_price
+          FROM offers
+        )
+        SELECT p_partkey, p_name, s_name, n_name AS nation, unit_price
+        FROM ranked
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'ECONOMY' AND unit_price = min_price
+    """,
+    survey="§2.2/§2.4 extension (correlated per-group MIN join-back / "
+    "argmin; TPC-H Q2 shape: minimum-cost supplier)",
+    doc="For every ECONOMY part, the supplier(s) offering the lowest "
+    "observed unit price. The correlated MIN subquery is decorrelated "
+    "to a per-part MIN window over the (part, supplier) aggregate — "
+    "two shuffles total (partial-combined agg, then the window "
+    "re-key to l_partkey), versus three for the naive "
+    "aggregate-then-join-back; both carry aggregate-sized data, not "
+    "raw lineitem. Float equality is exact: MIN selects an existing "
+    "division result, never accumulates. Ties (several suppliers at "
+    "the minimum) are all returned — no LIMIT, so no tiebreak needed.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey", "p_name")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    ranked = offers.withColumn(
+        "min_price", F.min("unit_price").over(W.partitionBy("l_partkey"))
+    )
+    return (
+        ranked.filter(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_name", "s_name",
+                F.col("n_name").alias("nation"), "unit_price")
+    )
+
+
+@query(
+    "supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type <> 'PROMO'
+          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 20
+    """,
+    survey="§2.3/§2.4 extension (NOT-IN subquery exclusion + distinct "
+    "aggregation; TPC-H Q16 shape: parts/supplier relationship)",
+    doc="Distinct supplier counts per (brand, type, size) excluding "
+    "low-balance suppliers. The NOT IN subquery runs as a broadcast "
+    "LEFT ANTI join — exact NOT IN semantics here because both key "
+    "sides are non-null; a nullable key would need Spark's null-aware "
+    "anti join, which forces a broadcast nested loop. The negated "
+    "brand/type filters and the size IN-list all push to the part "
+    "scan; COUNT(DISTINCT) runs as Spark's two-phase distinct "
+    "aggregate (expand + two exchanges on the same grouping key). "
+    "Full ORDER BY tiebreak (brand, type, size) under the LIMIT.",
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1500)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"),
+        )
+        .limit(20)
+    )

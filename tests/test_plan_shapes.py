@@ -98,5 +98,39 @@ class TestWindow:
         assert shuffles(plan) == 1
 
 
+class TestDecisionSupportShapes:
+    def test_late_shipment_residual_single_shuffle(self, spark):
+        # non-equi date residual rides the equi join; shipdate range pushes
+        plan = plan_of(spark, "late_shipment_priority")
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("GreaterThanOrEqual(l_shipdate" in p for p in pushed)
+        assert shuffles(plan) == 1  # the groupBy; join broadcasts
+
+    def test_product_profit_like_pushdown_single_shuffle(self, spark):
+        plan = plan_of(spark, "product_profit_by_nation")
+        assert "StringContains(p_name,widget)" in plan
+        assert shuffles(plan) == 1  # all dims broadcast; only the groupBy
+
+    def test_cheapest_supplier_two_aggregate_sized_shuffles(self, spark):
+        plan = plan_of(spark, "cheapest_supplier_per_part")
+        assert "Window" in plan
+        assert shuffles(plan) == 2  # offers agg + window re-key, no 3rd
+
+    def test_supplier_counts_not_in_as_broadcast_anti(self, spark):
+        plan = plan_of(spark, "supplier_part_counts")
+        assert "LeftAnti" in plan
+        assert "TakeOrderedAndProject" in plan
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("Not(EqualTo(p_brand" in p for p in pushed)
+        assert any("In(p_size" in p for p in pushed)
+
+    def test_waiting_suppliers_decorrelated_no_cartesian(self, spark):
+        # EXISTS/NOT EXISTS decorrelation must never plan a nested loop
+        plan = plan_of(spark, "waiting_orders_suppliers")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
