@@ -36,9 +36,12 @@ HEADLINE = [
     "scd2_merge_history",
     "gold_customer_metrics",
     "silver_customer_transform",
-    # decision-support shapes (big shuffle join / disjunctive pushdown)
+    # decision-support shapes (big shuffle join / disjunctive pushdown /
+    # decorrelated EXISTS / broadcast-dim profit rollup)
     "nation_pair_volume",
     "disjunctive_brand_revenue",
+    "waiting_orders_suppliers",
+    "product_profit_by_nation",
     # LLM-data extensions
     "benchmark_contamination",
     "dedup_exact",

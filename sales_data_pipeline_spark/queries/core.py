@@ -1252,3 +1252,114 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "array_functions_showcase",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+                 AS n_pos,
+               CAST(list_max(embedding) AS DOUBLE) AS max_val,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               list_reduce(list_prepend(0.0, list_transform(
+                   list_filter(embedding, x -> x > 0),
+                   x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS pos_sum,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(
+                   embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) AS l2_norm,
+               list_reduce(list_prepend(0.0, list_transform(
+                   embedding,
+                   (x, i) -> CAST(x AS DOUBLE)
+                       * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))),
+                   (a, b) -> a + b) AS rev_dot
+        FROM embeddings
+    """,
+    survey="§2.10 extension (array / higher-order functions — absent from "
+    "the reference, which has no nested types at all, SURVEY §1.2)",
+    doc="Array surface over the embedding column: size, filter, "
+    "element access, transform, left-fold aggregate, and "
+    "zip_with-against-reverse (a positional pairing no flat SQL "
+    "expresses). All lambdas run inside codegen — no Python. "
+    "Cross-engine float parity holds because both sides fold "
+    "left-to-right from an explicit 0.0 seed over identically-cast "
+    "doubles (DuckDB: list_reduce over list_prepend; index lambdas "
+    "are 1-based there vs zip_with+reverse here) and sqrt is "
+    "IEEE-exact. Embarrassingly parallel at 100 TB: zero shuffles, "
+    "pure per-row projection.",
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(  # noqa: E731 — left fold, 0.0 seed
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.get("embedding", 0).cast("double").alias("first_val"),
+        fold(F.filter(embd, lambda x: x > 0)).alias("pos_sum"),
+        F.sqrt(fold(F.transform(embd, lambda x: x * x))).alias("l2_norm"),
+        fold(F.zip_with(embd, F.reverse(embd), lambda x, y: x * y)).alias(
+            "rev_dot"
+        ),
+    )
+
+
+@query(
+    "math_functions_showcase",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(abs(l_extendedprice - l_quantity * 1000.0)
+                   * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_abs_dev,
+               SUM(CAST(FLOOR(sqrt(l_extendedprice) * 1000000 + 0.5)
+                   AS BIGINT)) / 1000000.0 AS sum_sqrt_price,
+               SUM(CAST(FLOOR(pow(l_quantity, 2) * 100 + 0.5)
+                   AS BIGINT)) / 100.0 AS sum_qty_sq,
+               SUM(CAST(FLOOR(exp(l_discount) * 1000000 + 0.5)
+                   AS BIGINT)) / 1000000.0 AS sum_exp_disc,
+               SUM(CAST(FLOOR(ln(l_extendedprice) * 1000000 + 0.5)
+                   AS BIGINT)) / 1000000.0 AS sum_ln_price,
+               SUM(CAST(sign(l_discount - 0.05) AS BIGINT)) AS net_disc_sign,
+               SUM(CAST(FLOOR(greatest(l_tax, l_discount) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS sum_max_rate,
+               SUM(CAST(FLOOR(least(l_tax, l_discount) * 10000 + 0.5)
+                   AS BIGINT)) / 10000.0 AS sum_min_rate,
+               SUM(CAST(FLOOR(fmod(l_extendedprice, 100.0) * 100 + 0.5)
+                   AS BIGINT)) / 100.0 AS sum_price_mod
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    survey="§2.10 math fns (extension: the reference uses only * and "
+    "boolean negation)",
+    doc="Math scalar surface aggregated by return flag: abs, sqrt, pow, "
+    "exp, ln, sign, greatest, least, fmod — all under the "
+    "scaled-integer det_sum contract. Transcendentals (exp/ln) carry "
+    "a <=1-ulp JVM-vs-libm risk, so their inputs are kept at "
+    "magnitudes where one ulp is ~1e9 times smaller than the "
+    "rounding grid; sqrt is IEEE-correctly-rounded and pow has an "
+    "exact integer exponent. One partial-agg shuffle, 3 groups.",
+)
+def math_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        det_sum(
+            F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0), 2
+        ).alias("sum_abs_dev"),
+        det_sum(F.sqrt("l_extendedprice"), 6).alias("sum_sqrt_price"),
+        det_sum(F.pow("l_quantity", 2), 2).alias("sum_qty_sq"),
+        det_sum(F.exp("l_discount"), 6).alias("sum_exp_disc"),
+        det_sum(F.log("l_extendedprice"), 6).alias("sum_ln_price"),
+        F.sum(F.signum(F.col("l_discount") - 0.05).cast("bigint")).alias(
+            "net_disc_sign"
+        ),
+        det_sum(F.greatest("l_tax", "l_discount"), 4).alias("sum_max_rate"),
+        det_sum(F.least("l_tax", "l_discount"), 4).alias("sum_min_rate"),
+        det_sum(F.col("l_extendedprice") % 100.0, 2).alias("sum_price_mod"),
+    )
