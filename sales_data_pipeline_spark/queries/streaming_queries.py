@@ -304,3 +304,58 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(q.name)
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    survey="streaming-ext: bounded-state dedup across retries "
+    "(dropDuplicatesWithinWatermark — duplicates whose event times "
+    "DIFFER, the case plain dropDuplicates keys cannot bound)",
+    doc="At-least-once delivery where the retry arrives 30 seconds "
+    "later with a RE-STAMPED event time — so (event_id, ts) dedup "
+    "would keep both copies, and ts-less dropDuplicates state relies "
+    "on the first-seen timestamp alone. dropDuplicatesWithinWatermark "
+    "guarantees single delivery for duplicates arriving within the "
+    "watermark delay of each other while evicting state as the "
+    "watermark advances — the 100 TB answer for retry storms: state "
+    "is O(events in the delay horizon), not O(all event ids ever). "
+    "The oracle is the single-copy aggregate; value totals match "
+    "only if every re-stamped duplicate was dropped.",
+    tags=("streaming",),
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s1 = ingest.read_events_stream(spark, sf_dir)
+    retry = ingest.read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
+    )
+    deduped = (
+        s1.unionByName(retry)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("value_cents") / 100.0).alias("total_value"),
+        )
+    )
+    return ingest.run_available_now(
+        agg, ingest.unique_sink_name("dedup_within_wm")
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.operators import timeseries
-from sales_data_pipeline_spark.queries.base import query, table
+from sales_data_pipeline_spark.queries.base import det_sum, query, table
 
 SEVEN_DAYS_US = 7 * 86400 * 1_000_000
 
@@ -128,3 +128,67 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
     return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "gapfill_daily_revenue",
+    oracle="""
+        WITH spine AS (
+          SELECT CAST(d AS DATE) AS day
+          FROM generate_series(DATE '1996-01-01', DATE '1996-02-29',
+                               INTERVAL 1 DAY) AS t(d)
+        ), daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   / 100.0 AS revenue,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-03-01'
+          GROUP BY day
+        )
+        SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+               COALESCE(daily.revenue, 0.0) AS revenue,
+               COALESCE(daily.n_orders, 0) AS n_orders
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    survey="timeseries-ext: calendar-spine gap filling (sequence + "
+    "explode + left join — densifies sparse daily aggregates)",
+    doc="Daily revenue over a fixed two-month window, zero-filled on "
+    "days with no orders. The calendar spine is generated engine-side "
+    "(sequence -> explode from a 1-row seed: ~60 rows, broadcast), so "
+    "gap detection never depends on which days happen to have data — "
+    "the classic time-series densification every dashboard needs. At "
+    "100 TB the daily aggregate is one partial-agg shuffle; the spine "
+    "join is a broadcast of the spine, costing nothing.",
+    tags=("timeseries",),
+)
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-03-01")
+    )
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        det_sum(F.col("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-02-29").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
+        )
+    )
