@@ -1070,3 +1070,76 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("ratio"),
         (r >= 0.5).alias("contaminated"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM words WHERE term <> '' GROUP BY doc_id, term
+        ), dft AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ), scored AS (
+          SELECT doc_id, term, tf, df,
+                 tf * ln((n_docs + 1) / (df + 1)) AS score
+          FROM tf JOIN dft USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df,
+               FLOOR(score * 1000000 + 0.5) / 1000000.0 AS score
+        FROM ranked WHERE rk <= 3
+    """,
+    survey="LLM-text extension (TF-IDF term weighting: the per-document "
+    "keyword extraction a corpus-curation pipeline runs before "
+    "clustering or topic labeling)",
+    doc="Top-3 TF-IDF terms per document. Term frequencies and document "
+    "frequencies are two partial-agg passes over the exploded token "
+    "stream; the df side joins back as a broadcast (a vocabulary is "
+    "MBs even for a 100 TB corpus after the distinct — for a truly "
+    "open vocabulary, swap the broadcast for a shuffle join on term, "
+    "same semantics). The corpus cardinality rides in as a 1-row "
+    "broadcast, never a driver collect. Ranking floats are safe "
+    "cross-engine: equal (tf, df) pairs produce bit-identical scores "
+    "(same int-to-double division, same ln), and the row_number "
+    "window carries the term tiebreaker.",
+    tags=("llm",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            det_round(F.col("score"), 6).alias("score"),
+        )
+    )

@@ -132,5 +132,43 @@ class TestDecisionSupportShapes:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestRuntimeFilters:
+    def test_bloom_filter_injected_into_shuffle_join(self, spark):
+        """When a selective dim side can't broadcast, Spark injects a
+        runtime Bloom filter that prunes the fact side BEFORE the
+        shuffle — the 100 TB posture for selective shuffle joins. Pin
+        that the optimizer actually does it (thresholds lowered so the
+        sf0.001 inputs qualify; plan shape is scale-invariant)."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            phys = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in phys.lower(), phys[:2000]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
