@@ -192,3 +192,46 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
         )
     )
+
+
+@query(
+    "locf_forward_fill",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+        FROM events
+    """,
+    survey="timeseries-ext: LOCF forward fill (last_value IGNORE NULLS "
+    "over an unbounded-preceding frame — sparse-signal imputation)",
+    doc="Every event annotated with the user's most recent purchase "
+    "value at that point — last-observation-carried-forward, the "
+    "standard imputation for sparse sensors/prices. One shuffle on "
+    "user_id, one ordered pass per partition; the carried value is a "
+    "bit-exact copy of a stored double, so cross-engine parity is "
+    "exact. NULL until the user's first purchase (no fabricated "
+    "zeros). The (ts, event_id) ordering is a total order, so the "
+    "fill is deterministic under any partitioning.",
+    tags=("timeseries",),
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )

@@ -170,5 +170,38 @@ class TestRuntimeFilters:
                     spark.conf.set(k, v)
 
 
+class TestNoPythonOnHotPath:
+    def test_catalog_plans_free_of_row_udfs(self, spark):
+        """SURVEY §2.11: the engine keeps the no-UDF discipline. Every
+        batch catalog query must plan without BatchEvalPython (a
+        row-at-a-time Python UDF would break whole-stage codegen and
+        cost 10-100x at scale). Arrow-batched MapInPandas is sanctioned
+        for the multimodal codec boundary only."""
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        # streaming queries execute on build; the iterative CC loop and
+        # IVF training run driver-coordinated jobs — plan-shape for
+        # those is covered by their own tests
+        skip = {"dedup_cluster_assign", "knn_ivf_probe", "ivf_centroid_assign"}
+        arrow_ok = {"multimodal_decode_meta", "multimodal_resize_meta",
+                    "multimodal_feature_extract", "multimodal_frame_sample"}
+        offenders, arrow_misuse = [], []
+        for name, spec in sorted(load_all().items()):
+            if "streaming" in spec.tags or name in skip:
+                continue
+            plan = spec.fn(spark, SF_DIR)._jdf.queryExecution() \
+                .explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("simple")
+                )
+            if "BatchEvalPython" in plan:
+                offenders.append(name)
+            if ("MapInPandas" in plan or "ArrowEvalPython" in plan) \
+                    and name not in arrow_ok:
+                arrow_misuse.append(name)
+        assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+        assert not arrow_misuse, f"unsanctioned Arrow UDFs in: {arrow_misuse}"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
