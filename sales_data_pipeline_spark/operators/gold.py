@@ -183,3 +183,57 @@ def enrich_with_sales_team(
         F.col("st.address").alias("sales_person_address"),
         F.col("st.pincode").alias("sales_person_pincode"),
     )
+
+
+def merge_customer_metrics(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incrementally maintain a per-customer metrics table: merge a
+    pre-aggregated delta batch into the existing metrics WITHOUT
+    re-reading history — the materialized-view maintenance pattern that
+    replaces a full gold rebuild at 100 TB (only the delta is scanned;
+    the merge is one full-outer join of two aggregate-sized tables).
+
+    Both inputs carry the same schema: a key column plus mergeable
+    accumulators — ``n_orders`` (count), ``total_cents`` (exact scaled
+    integer sum — floats would drift under re-aggregation), and
+    ``first_order`` / ``last_order`` date bounds. Associativity of the
+    accumulators makes the merge exact: merging any partition of the
+    history yields bit-identical results to one global aggregate
+    (oracle-verified by ``incremental_metrics_merge``).
+
+    Extends the reference's full-refresh-only gold build
+    (/root/reference/src/main/gold/customer_metrics_gold.py:26-37),
+    whose incremental mode re-aggregates everything each run.
+    """
+    o, d = old.alias("o"), delta.alias("d")
+    key = F.coalesce(F.col("o.custkey"), F.col("d.custkey"))
+    zero = F.lit(0).cast("bigint")
+    return o.join(d, F.col("o.custkey") == F.col("d.custkey"), "full_outer").select(
+        key.alias("custkey"),
+        (
+            F.coalesce(F.col("o.n_orders"), zero)
+            + F.coalesce(F.col("d.n_orders"), zero)
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("o.total_cents"), zero)
+            + F.coalesce(F.col("d.total_cents"), zero)
+        ).alias("total_cents"),
+        F.least(F.col("o.first_order"), F.col("d.first_order")).alias(
+            "first_order"
+        ),
+        F.greatest(F.col("o.last_order"), F.col("d.last_order")).alias(
+            "last_order"
+        ),
+    )
+
+
+def aggregate_order_metrics(orders: DataFrame) -> DataFrame:
+    """One batch's worth of mergeable per-customer accumulators (the
+    map side of merge_customer_metrics)."""
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+        F.min(F.to_date("o_orderdate")).alias("first_order"),
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+    )

@@ -997,3 +997,50 @@ def silver_store_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         silver.transform_store(base.unionByName(v2), AS_OF)
     )
 
+
+
+@query(
+    "incremental_metrics_merge",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 / 100.0 AS total_spent,
+               strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+                 AS first_order,
+               strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+                 AS last_order
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    survey="I1-I4 extension (incremental aggregate maintenance: "
+    "materialized-view-style merge of a delta batch into existing "
+    "metrics — the scale path the reference's full-refresh gold "
+    "rebuild lacks, customer_metrics_gold.py:26-37)",
+    doc="History is split at 1998-01-01 into an 'existing metrics' "
+    "side and a 'new arrivals' delta; each is aggregated "
+    "independently and merged with one full-outer join over "
+    "mergeable accumulators (count, exact integer cents, date "
+    "bounds). The oracle aggregates the WHOLE history in one pass — "
+    "the query matches only if incremental maintenance is exactly "
+    "lossless. At 100 TB this replaces a full gold rebuild with a "
+    "delta scan plus an aggregate-sized join; the same shape chains "
+    "for daily batches because the accumulators are associative.",
+)
+def incremental_metrics_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cutoff = "1998-01-01"
+    old = gold.aggregate_order_metrics(
+        o.filter(F.col("o_orderdate") < cutoff)
+    )
+    delta = gold.aggregate_order_metrics(
+        o.filter(F.col("o_orderdate") >= cutoff)
+    )
+    merged = gold.merge_customer_metrics(old, delta)
+    return merged.select(
+        "custkey",
+        "n_orders",
+        (F.col("total_cents") / F.lit(100.0)).alias("total_spent"),
+        F.date_format("first_order", "yyyy-MM-dd").alias("first_order"),
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+    )

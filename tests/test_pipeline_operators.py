@@ -513,3 +513,44 @@ class TestWatermark:
             [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 1, 3),)], "ts timestamp"
         )
         assert df.filter(m.get_filter_column()).count() == 1
+
+
+class TestIncrementalMetricsMerge:
+    """merge_customer_metrics must be exactly lossless under ANY
+    partition of the history — associativity is what lets daily delta
+    batches chain for years without drift."""
+
+    def test_three_way_chain_equals_global(self, spark):
+        from pyspark.sql import functions as F
+
+        from sales_data_pipeline_spark.operators import gold
+
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        full = gold.aggregate_order_metrics(o)
+        parts = [
+            o.filter(F.col("o_orderdate") < "1996-06-01"),
+            o.filter(
+                (F.col("o_orderdate") >= "1996-06-01")
+                & (F.col("o_orderdate") < "1999-01-01")
+            ),
+            o.filter(F.col("o_orderdate") >= "1999-01-01"),
+        ]
+        merged = gold.aggregate_order_metrics(parts[0])
+        for p in parts[1:]:
+            merged = gold.merge_customer_metrics(
+                merged, gold.aggregate_order_metrics(p)
+            )
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+
+    def test_empty_delta_is_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from sales_data_pipeline_spark.operators import gold
+
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        full = gold.aggregate_order_metrics(o)
+        empty = gold.aggregate_order_metrics(o.filter(F.lit(False)))
+        merged = gold.merge_customer_metrics(full, empty)
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
