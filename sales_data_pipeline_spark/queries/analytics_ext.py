@@ -1762,3 +1762,50 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "incremental_distinct_sketch",
+    oracle=None,  # Datasketches HLL internals aren't reproducible in
+    # DuckDB (different HLL implementation); the query self-validates
+    # merge-vs-global consistency and tests pin the error bound
+    survey="§2.4/I1-I4 extension (mergeable HLL sketches: incremental "
+    "distinct counts — the sketch twin of incremental_metrics_merge)",
+    doc="Distinct users per event type computed three ways: exact, one "
+    "global HLL sketch, and two per-batch sketches unioned with "
+    "hll_union_agg. Sketch union is associative and lossless over "
+    "sketches, so merged == global EXACTLY (emitted as a boolean the "
+    "tests assert) — which is what lets 100 TB of history keep a "
+    "per-partition sketch and answer distinct-count queries by "
+    "merging kilobytes instead of rescanning: the expand-based exact "
+    "countDistinct rescans everything on every refresh.",
+)
+def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    cutoff = "2024-01-15"
+    sketch = F.hll_sketch_agg("user_id")
+    batches = (
+        e.withColumn("batch", (F.col("ts") >= cutoff).cast("int"))
+        .groupBy("event_type", "batch")
+        .agg(sketch.alias("sk"))
+    )
+    merged = batches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged")
+    )
+    globl = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(sketch).alias("n_sketch"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return (
+        globl.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_sketch",
+            "n_merged",
+            (F.col("n_sketch") == F.col("n_merged")).alias(
+                "merge_consistent"
+            ),
+        )
+        .orderBy("event_type")
+    )

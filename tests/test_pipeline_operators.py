@@ -554,3 +554,20 @@ class TestIncrementalMetricsMerge:
         merged = gold.merge_customer_metrics(full, empty)
         assert merged.exceptAll(full).count() == 0
         assert full.exceptAll(merged).count() == 0
+
+
+class TestDistinctSketchMerge:
+    def test_merged_sketches_match_global_and_bound_error(self, spark):
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        rows = (
+            load_all()["incremental_distinct_sketch"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            # union of per-batch sketches must equal the one-pass sketch
+            assert r.merge_consistent, r
+            # HLL (lgConfigK=12) relative error is ~1.6%; allow 5%
+            assert abs(r.n_sketch - r.n_exact) <= max(2, 0.05 * r.n_exact), r
