@@ -359,3 +359,74 @@ def streaming_dedup_within_watermark(
     return ingest.run_available_now(
         agg, ingest.unique_sink_name("dedup_within_wm")
     )
+
+
+@query(
+    "streaming_stream_left_join",
+    oracle="""
+        WITH wm AS (
+          SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+          ) - INTERVAL 5 MINUTE AS final_wm
+        )
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               FLOOR(p.value * 100 + 0.5) / 100.0 AS purchase_value
+        FROM events c
+        LEFT JOIN events p
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        CROSS JOIN wm
+        WHERE c.event_type = 'click'
+          AND (p.event_id IS NOT NULL
+               OR c.ts + INTERVAL 1 HOUR < final_wm)
+    """,
+    survey="streaming-ext: stream-stream LEFT OUTER interval join "
+    "(watermark-gated NULL emission — the join mode inner joins "
+    "don't cover)",
+    doc="Clicks left-joined to purchases within an hour: matches emit "
+    "immediately; a click with no purchase emits with NULLs only "
+    "once the watermark proves no match can ever arrive. The oracle "
+    "encodes Spark's eviction rule explicitly — final watermark = "
+    "min(max event time per side) - delay, and unmatched clicks "
+    "whose 1-hour horizon is still inside it stay withheld — so the "
+    "compare verifies the STREAMING semantics (bounded state + "
+    "correct holdback), not just the batch join. Microsecond-random "
+    "event times keep the boundary comparison collision-free.",
+    tags=("streaming",),
+)
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ingest.read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_user_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("value"),
+    )
+    joined = ingest.interval_join_stream(
+        clicks, purchases, how="left_outer"
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("l_user_id").alias("user_id"),
+        (F.floor(F.col("value") * 100 + F.lit(0.5)) / 100.0).alias(
+            "purchase_value"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(ingest.unique_sink_name("stream_left_join"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(q.name)

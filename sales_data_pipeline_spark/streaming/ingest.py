@@ -116,8 +116,9 @@ def interval_join_stream(
     right: DataFrame,
     watermark: str = "5 minutes",
     horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER interval join: rows of ``left`` matched to
+    """Stream-stream interval join: rows of ``left`` matched to
     ``right`` rows of the same user arriving within ``horizon`` after
     them. Both sides carry watermarks and the join condition bounds
     event time in both directions, so Spark can expire buffered state
@@ -125,6 +126,13 @@ def interval_join_stream(
     O(input rate x horizon), not O(stream length). Inner joins emit a
     pair the moment both sides arrive (no watermark holdback), so the
     AvailableNow end state equals the batch join — oracle-checkable.
+
+    ``how="left_outer"`` additionally emits each unmatched left row
+    (right columns NULL) once the watermark passes its match horizon —
+    i.e. only when no match can ever arrive. Left rows whose horizon is
+    still inside the final watermark remain in state, so the
+    AvailableNow end state equals the batch left join MINUS that tail
+    (the oracle encodes the eviction rule explicitly).
     """
     lw = left.withWatermark("l_ts", watermark)
     rw = right.withWatermark("r_ts", watermark)
@@ -134,4 +142,5 @@ def interval_join_stream(
             "l_user_id = r_user_id AND r_ts > l_ts "
             f"AND r_ts <= l_ts + INTERVAL {horizon}"
         ),
+        how,
     )
