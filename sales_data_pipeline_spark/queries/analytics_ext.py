@@ -1809,3 +1809,66 @@ def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dominant_volume_suppliers",
+    oracle="""
+        WITH widget AS (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+        ), sq AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+          FROM lineitem JOIN widget ON l_partkey = p_partkey
+          GROUP BY l_partkey, l_suppkey
+        ), tq AS (
+          SELECT l_partkey, SUM(supp_qty) AS total_qty,
+                 CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM sq GROUP BY l_partkey
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_dominant
+        FROM sq JOIN tq USING (l_partkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE supp_qty * n_supp > 2 * total_qty
+        GROUP BY s_name
+        ORDER BY n_dominant DESC, s_name
+    """,
+    survey="§2.2/§2.4 extension (nested aggregate subqueries driving a "
+    "per-group share threshold; TPC-H Q20 shape: suppliers with "
+    "excess volume)",
+    doc="Suppliers shipping more than 2x their fair share of a widget "
+    "part's volume. Q20's nested IN-subqueries decorrelate to a "
+    "two-level aggregate: per-(part,supplier) sums, then per-part "
+    "totals over THAT aggregate — the second groupBy and the "
+    "join-back both consume aggregate-sized data keyed on l_partkey. "
+    "The fair-share threshold (share > 2/n_supp) is scale-invariant, "
+    "unlike an absolute cutoff. All quantities are integral-valued "
+    "doubles, so sums and the cross-multiplied comparison are exact "
+    "in any summation order — no epsilon, no det_round.",
+)
+def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widget = table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sq = (
+        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tq = sq.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty"),
+        F.count("*").alias("n_supp"),
+    )
+    return (
+        sq.join(tq, "l_partkey")
+        .filter(
+            F.col("supp_qty") * F.col("n_supp") > 2 * F.col("total_qty")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_dominant"))
+        .orderBy(F.desc("n_dominant"), F.asc("s_name"))
+    )

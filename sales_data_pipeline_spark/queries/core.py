@@ -1395,3 +1395,40 @@ def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
         )
     )
+
+
+@query(
+    "ansi_safe_casts",
+    oracle="""
+        SELECT p_partkey,
+               TRY_CAST(CASE WHEN p_size > 25 THEN p_name
+                        ELSE CAST(p_size AS VARCHAR) END AS INTEGER)
+                 AS parsed_size,
+               CASE WHEN p_size - 10 = 0 THEN NULL
+                    ELSE FLOOR(p_retailprice / (p_size - 10) * 10000 + 0.5)
+                         / 10000.0 END AS price_per_excess
+        FROM part
+    """,
+    survey="§2.10/P4 extension (ANSI-mode-safe coercion: try_cast / "
+    "try_divide — the bronze-cleaning posture under Spark 4's "
+    "ANSI-by-default runtime, SURVEY §7.4 risk 4)",
+    doc="Dirty-value coercion without job-killing exceptions: "
+    "try_cast turns unparseable strings into NULL (Spark 4 ANSI mode "
+    "makes plain CAST throw — the reference's inferSchema-era "
+    "'nulls on cast failure' behavior now requires try_cast "
+    "explicitly), and try_divide turns division by zero into NULL. "
+    "Both stay in codegen; DuckDB mirrors with TRY_CAST and an "
+    "explicit zero guard.",
+)
+def ansi_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_size") > 25, F.col("p_name")
+    ).otherwise(F.col("p_size").cast("string"))
+    return p.select(
+        "p_partkey",
+        mixed.try_cast("int").alias("parsed_size"),
+        det_round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 10), 4
+        ).alias("price_per_excess"),
+    )

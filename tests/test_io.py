@@ -101,3 +101,29 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on a Hive partition column must become a
+    PartitionFilter (directory pruning — the scan never lists the
+    other partitions), not a row-level predicate. This is the layout
+    contract that makes the reference's partitionBy(sales_year,
+    sales_month) scheme pay off at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.io import writers
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "part_pruned")
+    writers.write_parquet(
+        li.withColumn("yr", F.year("l_shipdate")),
+        out,
+        partition_cols=["yr"],
+    )
+    df = spark.read.parquet(out).filter(F.col("yr") == 1996)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan
+    assert "(yr" in plan.split("PartitionFilters")[1][:80]
+    # the partition predicate must NOT appear as a pushed data filter
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "yr" not in pushed
