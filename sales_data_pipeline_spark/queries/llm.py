@@ -1143,3 +1143,99 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.col("score"), 6).alias("score"),
         )
     )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+                 AS edit_dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey="LLM-ext: fuzzy entity matching (blocked edit-distance "
+    "self-join — the record-linkage primitive exact and hash dedup "
+    "can't express)",
+    doc="Customer pairs within edit distance 1, blocked on nation so "
+    "the quadratic comparison runs per block instead of over the "
+    "whole table — the standard blocking-key design: candidate "
+    "generation is an equi-join (one shuffle), levenshtein runs "
+    "codegen-side on the join output, and the c_custkey < ordering "
+    "de-duplicates unordered pairs. At 100 TB the blocking key "
+    "(nation here; sorted-neighborhood or phonetic keys in a real "
+    "linkage) is what keeps the pair space linear-ish; distance is "
+    "exact Levenshtein in both engines, integer-deterministic.",
+    tags=("llm",),
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "dataset_split_assign",
+    oracle="""
+        WITH assigned AS (
+          SELECT source,
+                 CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 4)) AS INTEGER) % 10 < 8 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 4)) AS INTEGER) % 10 = 8 THEN 'val'
+                   ELSE 'test'
+                 END AS split
+          FROM documents
+        )
+        SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY source, split
+    """,
+    survey="LLM-ext: deterministic train/val/test split (content-hash "
+    "bucketing — the replacement for rand()-seeded splits that "
+    "reshuffle membership under retries or repartitioning)",
+    doc="80/10/10 split assignment from the first 16 bits of "
+    "md5(doc_id): a pure projection — stable under retries, "
+    "engine choice, and data layout, and any worker can recompute "
+    "membership without a lookup table. Counts per (source, split) "
+    "verify the bucketing end-to-end. The same hash-mod idiom "
+    "extends to user-level splits (hash the user id, not the row) "
+    "to prevent leakage across correlated rows.",
+    tags=("llm",),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
