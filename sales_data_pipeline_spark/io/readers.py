@@ -26,14 +26,29 @@ def read_csv(
     schema: T.StructType,
     filter_condition: str | Column | None = None,
     header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """CSV scan with contract schema (S1) + optional incremental filter
-    (S2, from WatermarkManager.get_filter_condition/_column)."""
-    df = (
-        spark.read.option("header", str(header).lower())
-        .schema(schema)
-        .csv(path)
+    (S2, from WatermarkManager.get_filter_condition/_column).
+
+    ``mode`` is Spark's malformed-row policy: PERMISSIVE (default —
+    unparseable fields null out; pass ``corrupt_record_col`` to also
+    capture the raw line for a quarantine sink), DROPMALFORMED, or
+    FAILFAST. At 100 TB PERMISSIVE + quarantine is the only sane
+    posture: one bad row must neither kill the job nor vanish
+    silently — it lands in bronze/rejected with its source text.
+    """
+    reader = spark.read.option("header", str(header).lower()).option(
+        "mode", mode
     )
+    if corrupt_record_col is not None:
+        schema = T.StructType(
+            schema.fields
+            + [T.StructField(corrupt_record_col, T.StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    df = reader.schema(schema).csv(path)
     if filter_condition is not None:
         df = df.filter(filter_condition)
     return df

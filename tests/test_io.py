@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import types as T
 
 from sales_data_pipeline_spark.io import fs, readers, writers
@@ -127,3 +128,68 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     # the partition predicate must NOT appear as a pushed data filter
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "yr" not in pushed
+
+
+class TestMalformedCsvPolicy:
+    CSV = "id,price\n1,9.50\n2,notanumber\n3,4.25\n"
+
+    def _schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+
+    def test_permissive_quarantines_raw_line(self, spark, tmp_path):
+        from sales_data_pipeline_spark.io import readers
+
+        p = tmp_path / "dirty.csv"
+        p.write_text(self.CSV)
+        df = readers.read_csv(
+            spark, str(p), self._schema(), corrupt_record_col="_raw"
+        )
+        rows = {r.id: r for r in df.collect()}
+        assert rows[2].price is None  # unparseable field nulls out
+        assert rows[2]._raw == "2,notanumber"  # raw line captured
+        assert rows[1]._raw is None and rows[1].price == 9.50
+
+    def test_dropmalformed_drops(self, spark, tmp_path):
+        from sales_data_pipeline_spark.io import readers
+
+        p = tmp_path / "dirty.csv"
+        p.write_text(self.CSV)
+        df = readers.read_csv(
+            spark, str(p), self._schema(), mode="DROPMALFORMED"
+        )
+        assert sorted(r.id for r in df.collect()) == [1, 3]
+
+    def test_failfast_raises(self, spark, tmp_path):
+        from sales_data_pipeline_spark.io import readers
+
+        p = tmp_path / "dirty.csv"
+        p.write_text(self.CSV)
+        df = readers.read_csv(spark, str(p), self._schema(), mode="FAILFAST")
+        with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+            df.collect()
+
+
+def test_max_records_per_file_bounds_output_files(spark, tmp_path):
+    """Output-file sizing is the flip side of small-file control: a
+    100 TB write needs BOTH a floor (coalesce_files) and a ceiling
+    (maxRecordsPerFile prevents one giant task output)."""
+    out = str(tmp_path / "sized")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (
+        li.repartition(1)
+        .write.option("maxRecordsPerFile", 1000)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    n = li.count()
+    assert len(files) >= n // 1000  # one task still splits its output
