@@ -51,6 +51,9 @@ HEADLINE = [
     "knn_lsh_bucket",
     "text_token_stats",
     "session_window_agg",
+    # incremental maintenance + corpus curation breadth
+    "incremental_metrics_merge",
+    "tfidf_top_terms",
 ]
 
 

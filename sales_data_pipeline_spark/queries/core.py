@@ -1432,3 +1432,48 @@ def ansi_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("p_retailprice"), F.col("p_size") - 10), 4
         ).alias("price_per_excess"),
     )
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+        WITH unioned AS (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          UNION ALL BY NAME
+          SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        )
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+                 AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority
+        FROM unioned GROUP BY order_year
+    """,
+    survey="U1 extension (schema evolution across batches: unionByName "
+    "with allowMissingColumns — positional union, the reference's only "
+    "mode, silently mis-binds when schemas drift, SURVEY §2.7)",
+    doc="An old-schema batch (no priority column — the pre-migration "
+    "shape) unioned with the current schema by NAME, missing columns "
+    "null-padded. This is how a 100 TB lake survives column adds "
+    "without rewriting history: readers union epochs by name and "
+    "COUNT(col) naturally scopes to rows that have the field. The "
+    "reference's positional union would instead shift columns or "
+    "throw.",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    old_batch = o.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    new_batch = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    )
+    return (
+        old_batch.unionByName(new_batch, allowMissingColumns=True)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+        )
+    )

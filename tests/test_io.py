@@ -193,3 +193,22 @@ def test_max_records_per_file_bounds_output_files(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     n = li.count()
     assert len(files) >= n // 1000  # one task still splits its output
+
+
+def test_parquet_merge_schema_across_epochs(spark, tmp_path):
+    """Schema evolution on the lake itself: epoch directories written
+    before and after a column add read back as ONE table with
+    mergeSchema, old rows null-padded — no history rewrite."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lake")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.select("o_orderkey", "o_totalprice").write.parquet(f"{out}/epoch=1")
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority").write.parquet(
+        f"{out}/epoch=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "o_orderpriority" in merged.columns
+    n = o.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("o_orderpriority").isNull()).count() == n
