@@ -149,3 +149,18 @@ def get_current(scd_df: DataFrame) -> DataFrame:
 def get_history(scd_df: DataFrame, business_key: str, key_value) -> DataFrame:
     """Full ordered history for one key (scd_customer_transform.py:224-241)."""
     return scd_df.filter(F.col(business_key) == key_value).orderBy("valid_from")
+
+
+def as_of(scd_df: DataFrame, as_of_date: str) -> DataFrame:
+    """Point-in-time snapshot: the version of each key that was valid
+    on ``as_of_date`` — the temporal query SCD2 history exists to
+    answer (the reference stores valid_from/valid_to but never reads
+    them back, scd_customer_transform.py:44-63). A key with no version
+    covering the date (created later / deleted before) is absent.
+    Pure filter — partition-prunable if history is laid out by
+    valid_from, and costs one scan at any scale."""
+    d = F.lit(as_of_date).cast("date")
+    return scd_df.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    )

@@ -1477,3 +1477,90 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderpriority").alias("n_with_priority"),
         )
     )
+
+
+@query(
+    "map_functions_pivot",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END),
+                        0) AS purchases,
+               COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END),
+                        0) AS clicks,
+               CAST(COUNT(CASE WHEN n >= 5 THEN 1 END) AS INTEGER)
+                 AS n_frequent_types
+        FROM c GROUP BY user_id
+    """,
+    survey="§2.10 extension (map type surface: map_from_entries, "
+    "element_at, map_filter — no map functions anywhere in the "
+    "reference, SURVEY §1.2/§2.10)",
+    doc="Per-user event-type counts assembled into a MAP column, then "
+    "read back with element_at lookups and a map_filter cardinality "
+    "— the map is the engine-side representation (collect_list order "
+    "doesn't matter: key lookup is order-independent and keys are "
+    "unique by construction); the oracle computes the same scalars "
+    "relationally. Map columns never cross the comparison boundary — "
+    "only deterministic scalar extractions do.",
+)
+def map_functions_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias(
+            "purchases"
+        ),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias(
+            "clicks"
+        ),
+        F.size(F.map_filter("m", lambda k, v: v >= 5)).alias(
+            "n_frequent_types"
+        ),
+    )
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+        WITH tagged AS (
+          SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_n
+          FROM customer
+        ), dim AS (
+          SELECT seg_n, CAST(COUNT(*) AS BIGINT) AS seg_size
+          FROM tagged GROUP BY seg_n
+        )
+        SELECT t.seg_n, d.seg_size, CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tagged t JOIN dim d ON t.seg_n IS NOT DISTINCT FROM d.seg_n
+        GROUP BY t.seg_n, d.seg_size
+    """,
+    survey="§2.3 extension (null-safe equality join <=> — plain equi "
+    "joins silently drop NULL keys, the classic lost-rows bug in "
+    "dimension lookups with incomplete data)",
+    doc="BUILDING is nulled out to manufacture NULL join keys, then the "
+    "table joins its own key histogram with eqNullSafe: the NULL "
+    "group survives as a first-class key (plain = would drop every "
+    "such row). EqualNullSafe remains a hash-joinable equi key — "
+    "same broadcast/shuffle strategies, no nested loop. DuckDB "
+    "mirrors with IS NOT DISTINCT FROM.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_n"),
+    )
+    dim = c.groupBy("seg_n").agg(F.count("*").alias("seg_size"))
+    t, d = c.alias("t"), dim.alias("d")
+    return (
+        t.join(d, F.col("t.seg_n").eqNullSafe(F.col("d.seg_n")))
+        .groupBy(F.col("t.seg_n").alias("seg_n"), "seg_size")
+        .agg(F.count("*").alias("n_matched"))
+    )

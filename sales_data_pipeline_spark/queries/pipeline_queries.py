@@ -1044,3 +1044,85 @@ def incremental_metrics_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_order", "yyyy-MM-dd").alias("first_order"),
         F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle=f"""
+        WITH {_SCD_V1_SQL},
+        v2 AS (
+          SELECT customer_id, first_name, last_name, email, phone_number,
+                 city, state,
+                 CASE WHEN customer_id % 5 = 0 THEN 'moved-' || address
+                      ELSE address END AS address,
+                 pincode
+          FROM v1
+          UNION ALL
+          SELECT customer_id + 10000000, first_name, last_name, email,
+                 phone_number, city, state,
+                 'addr-new-' || CAST(customer_id AS VARCHAR), pincode
+          FROM v1 WHERE customer_id % 9 = 0
+        ),
+        h1 AS (SELECT v1.*, {_SCD_HASH_SQL} AS row_hash FROM v1),
+        h2 AS (SELECT v2.*, {_SCD_HASH_SQL} AS row_hash FROM v2),
+        changed AS (
+          SELECT h2.customer_id
+          FROM h2 JOIN h1 USING (customer_id)
+          WHERE h2.row_hash <> h1.row_hash
+        ),
+        hist AS (
+          SELECT h1.*, TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                 CASE WHEN c.customer_id IS NOT NULL
+                      THEN TIMESTAMP '2024-02-01 00:00:00'
+                 END AS valid_to,
+                 c.customer_id IS NULL AS is_current
+          FROM h1 LEFT JOIN changed c USING (customer_id)
+          UNION ALL
+          SELECT h2.*, TIMESTAMP '2024-02-01 00:00:00',
+                 CAST(NULL AS TIMESTAMP), TRUE
+          FROM h2 WHERE customer_id IN (SELECT customer_id FROM changed)
+          UNION ALL
+          SELECT h2.*, TIMESTAMP '2024-02-01 00:00:00',
+                 CAST(NULL AS TIMESTAMP), TRUE
+          FROM h2 WHERE customer_id NOT IN (SELECT customer_id FROM v1)
+        )
+        SELECT * FROM hist
+        WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+          AND (valid_to IS NULL
+               OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+    survey="§2.12 extension (temporal point-in-time read over SCD2 "
+    "history — the reference stores valid_from/valid_to but never "
+    "queries them back)",
+    doc="The customer base exactly as it stood on 2024-01-15 — between "
+    "the seed batch and the second merge, so changed keys surface "
+    "their SINCE-CLOSED first versions (valid_to already stamped, "
+    "is_current false) and keys created by batch 2 are absent. "
+    "Pure validity-interval filter over the merged history "
+    "(operators/scd2.py as_of); at 100 TB it partition-prunes if "
+    "history is laid out by valid_from.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = _scd_v1(spark, sf_dir)
+    v2_changed = v1.withColumn(
+        "address",
+        F.when(
+            F.col("customer_id") % 5 == 0,
+            F.concat(F.lit("moved-"), F.col("address")),
+        ).otherwise(F.col("address")),
+    )
+    v2_new = (
+        v1.filter(F.col("customer_id") % 9 == 0)
+        .withColumn("customer_id", F.col("customer_id") + 10000000)
+        .withColumn(
+            "address",
+            F.concat(
+                F.lit("addr-new-"),
+                (F.col("customer_id") - 10000000).cast("string"),
+            ),
+        )
+    )
+    v2 = v2_changed.unionByName(v2_new)
+    hist1 = scd2.apply_scd_type2(v1.limit(0), v1, "2024-01-01")
+    hist2 = scd2.apply_scd_type2(hist1, v2, "2024-02-01")
+    return _dates_to_ts(scd2.as_of(hist2, "2024-01-15"))
