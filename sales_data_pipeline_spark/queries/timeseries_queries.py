@@ -235,3 +235,149 @@ def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Smoothing / anomaly detection over the daily revenue series.
+#
+# Both queries aggregate orders to a daily series first (det_sum cents ->
+# exact grid doubles), so the windowed arithmetic downstream starts from
+# bit-identical inputs on both engines. The global ordered window runs on
+# the AGGREGATED series (~1 row/day — a few thousand rows even at 100 TB
+# of raw orders), so the single-partition window is not a scale concern;
+# the heavy lifting is the partial-agg groupBy shuffle before it.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 10
+_EWMA_W = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j for j in range(EWMA_LAGS)]
+
+_DAILY_SQL = """
+  daily AS (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS revenue
+    FROM orders
+    GROUP BY 1
+  )
+"""
+
+
+def _ewma_sql() -> str:
+    num = "0.0"
+    den = "0.0"
+    for j, w in enumerate(_EWMA_W):
+        x = "revenue" if j == 0 else f"LAG(revenue, {j}) OVER win"
+        num += f" + {w!r} * COALESCE({x}, 0.0)"
+        den += f" + CASE WHEN {x} IS NULL THEN 0.0 ELSE {w!r} END"
+    return (
+        "SELECT day, revenue,\n"
+        f"  FLOOR(({num}) / ({den}) * 10000 + 0.5) / 10000.0 AS ewma\n"
+        f"FROM daily\nWINDOW win AS (ORDER BY day)"
+    )
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"WITH {_DAILY_SQL} {_ewma_sql()}",
+    survey="timeseries-ext: exponentially weighted moving average "
+    "(truncated-kernel EWMA as a lag-weighted window projection)",
+    doc="EWMA (alpha=0.3, 10-day kernel) over daily revenue. The kernel "
+    "is unrolled into a literal-weight lag chain — pure codegen window "
+    "projection, no UDF, no recursion; weights renormalize over the "
+    "rows that exist so the series starts unbiased. Identical "
+    "left-fold double chains on both engines make it hash-exact.",
+    tags=("timeseries",),
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(det_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    win = W.orderBy("day")
+    num: F.Column = F.lit(0.0)
+    den: F.Column = F.lit(0.0)
+    for j, w in enumerate(_EWMA_W):
+        x = F.col("revenue") if j == 0 else F.lag("revenue", j).over(win)
+        num = num + F.lit(w) * F.coalesce(x, F.lit(0.0))
+        den = den + F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(w))
+    return daily.select(
+        "day",
+        "revenue",
+        (F.floor(num / den * 10000 + F.lit(0.5)) / 10000.0).alias("ewma"),
+    )
+
+
+@query(
+    "rolling_zscore_anomaly",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        graded AS (
+          SELECT day, revenue,
+                 CAST(FLOOR(revenue + 0.5) AS BIGINT) AS xd,
+                 SUM(CAST(FLOOR(revenue + 0.5) AS BIGINT)) OVER trail AS s1,
+                 SUM(CAST(FLOOR(revenue + 0.5) AS BIGINT)
+                     * CAST(FLOOR(revenue + 0.5) AS BIGINT)) OVER trail AS s2,
+                 COUNT(*) OVER trail AS n
+          FROM daily
+          WINDOW trail AS (ORDER BY day ROWS BETWEEN 14 PRECEDING
+                           AND 1 PRECEDING)
+        )
+        SELECT day, revenue,
+               CASE WHEN n >= 5 THEN
+                 FLOOR((CAST(xd AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) + 1e-9)
+                   * 10000 + 0.5) / 10000.0
+               END AS zscore,
+               CASE WHEN n >= 5 THEN
+                 abs((CAST(xd AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) + 1e-9))
+                   > 2.0
+                 ELSE FALSE END AS is_anomaly
+        FROM graded
+    """,
+    survey="timeseries-ext: rolling z-score anomaly detection "
+    "(trailing mean/stddev from integer-grid frame sums)",
+    doc="Each day's revenue scored against the trailing 15-day window "
+    "(current row excluded). Mean and variance derive from exact "
+    "integer frame sums (dollar grid), so the statistic is "
+    "order-independent and bit-identical cross-engine — the rolling "
+    "stddev a naive stddev_samp window cannot keep deterministic. "
+    "NULL until 5 prior days exist.",
+    tags=("timeseries",),
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(det_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    xd = F.floor(F.col("revenue") + F.lit(0.5)).cast("long")
+    trail = W.orderBy("day").rowsBetween(-14, -1)
+    graded = daily.select(
+        "day",
+        "revenue",
+        xd.alias("xd"),
+        F.sum(xd).over(trail).alias("s1"),
+        F.sum(xd * xd).over(trail).alias("s2"),
+        F.count(F.lit(1)).over(trail).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean,
+        F.lit(0.0),
+    )
+    z = (F.col("xd").cast("double") - mean) / F.sqrt(var + F.lit(1e-9))
+    return graded.select(
+        "day",
+        "revenue",
+        F.when(
+            F.col("n") >= 5, F.floor(z * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("zscore"),
+        F.when(F.col("n") >= 5, F.abs(z) > 2.0)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
