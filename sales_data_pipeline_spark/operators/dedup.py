@@ -190,15 +190,15 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # persist: both pair-join branches consume the shingle sets, and
-    # the interpreted-HOF shingle_set projection is the one stage worth
-    # never computing twice
+    # persist: both pair-join branches consume the shingle sets. Sets
+    # are built codegen-side (shingle_rows + collect_set) — the
+    # interpreted-HOF shingle_set Column was ~2.5x slower end-to-end
+    # even though this path shuffles the candidates' shingle rows.
+    cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
     shset = (
-        df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
-        .select(
-            F.col(id_col).alias("id"),
-            shingle_set(F.col(text_col)).alias("ws"),
-        )
+        shingle_rows(cand_docs, id_col, text_col, 3)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("ws"))
         .persist()
     )
     pairs = (
@@ -322,11 +322,15 @@ def ngram_jaccard_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # persist: both pair-join branches consume the gram sets
-    grams = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi").select(
-        F.col(id_col).alias("id"),
-        shingle_set(F.col(text_col), n).alias("grams"),
-    ).persist()
+    # persist: both pair-join branches consume the gram sets (built
+    # codegen-side via shingle_rows + collect_set, not interpreted HOF)
+    cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
+    grams = (
+        shingle_rows(cand_docs, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("grams"))
+        .persist()
+    )
     pairs = cand.join(
         grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")),
         "id_a",

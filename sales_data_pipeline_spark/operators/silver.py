@@ -34,9 +34,10 @@ from sales_data_pipeline_spark.schemas import (
 
 
 def _lower_trim(df: DataFrame, *cols: str) -> DataFrame:
-    for c in cols:
-        df = df.withColumn(c, F.lower(F.trim(F.col(c))))
-    return df
+    # single withColumns call: classic-mode withColumn re-analyzes the
+    # whole plan per invocation (quadratic in chain length), which
+    # dominates wall time for short dimension batches
+    return df.withColumns({c: F.lower(F.trim(F.col(c))) for c in cols})
 
 
 def _as_of(as_of_date: dt.date | str):
@@ -52,20 +53,24 @@ def transform_sales(sales_df: DataFrame, product_df: DataFrame) -> DataFrame:
     lock. The product lookup is tiny => broadcast (the fact side never
     shuffles here).
     """
-    df_clean = (
-        sales_df.withColumn("product_name", F.lower(F.trim(F.col("product_name"))))
-        .withColumn("price", F.col("price").cast("double"))
-        .withColumn("quantity", F.col("quantity").cast("int"))
+    df_clean = sales_df.withColumns(
+        {
+            "product_name": F.lower(F.trim(F.col("product_name"))),
+            "price": F.col("price").cast("double"),
+            "quantity": F.col("quantity").cast("int"),
+        }
     )
-    lookup = (
-        product_df.select("product_id", "product_name")
-        .withColumn("product_name", F.lower(F.trim(F.col("product_name"))))
+    lookup = product_df.select(
+        "product_id", F.lower(F.trim(F.col("product_name"))).alias("product_name")
     )
-    enriched = (
-        df_clean.join(F.broadcast(lookup), on="product_name", how="inner")
-        .withColumn("total_cost", F.col("price") * F.col("quantity"))
-        .withColumn("sales_year", F.year("sales_date"))
-        .withColumn("sales_month", F.month("sales_date"))
+    enriched = df_clean.join(
+        F.broadcast(lookup), on="product_name", how="inner"
+    ).withColumns(
+        {
+            "total_cost": F.col("price") * F.col("quantity"),
+            "sales_year": F.year("sales_date"),
+            "sales_month": F.month("sales_date"),
+        }
     )
     gate = (
         F.col("customer_id").isNotNull()
@@ -88,20 +93,21 @@ def transform_customer(
     ('@' required)/DOB<=as_of; dedup keep-latest per customer_id by
     (updated_date DESC, ingestion_date DESC) + email tiebreaker.
     """
-    df = _lower_trim(df, "first_name", "last_name", "email", "city", "state")
-    df = df.withColumn(
-        "phone_number", F.regexp_replace(F.col("phone_number"), "[^0-9]", "")
-    ).withColumn(
-        "phone_number",
-        F.when(
-            F.col("phone_number").rlike("^[0-9]{10,}$"), F.col("phone_number")
-        ).otherwise(F.lit(None)),
-    )
-    df = df.withColumn(
-        "updated_date",
-        F.when(
-            F.col("updated_date") < F.col("created_date"), F.col("created_date")
-        ).otherwise(F.col("updated_date")),
+    digits = F.regexp_replace(F.col("phone_number"), "[^0-9]", "")
+    df = df.withColumns(
+        {
+            **{
+                c: F.lower(F.trim(F.col(c)))
+                for c in ("first_name", "last_name", "email", "city", "state")
+            },
+            "phone_number": F.when(
+                digits.rlike("^[0-9]{10,}$"), digits
+            ).otherwise(F.lit(None)),
+            "updated_date": F.when(
+                F.col("updated_date") < F.col("created_date"),
+                F.col("created_date"),
+            ).otherwise(F.col("updated_date")),
+        }
     )
     gate = (
         F.col("customer_id").isNotNull()
@@ -131,31 +137,34 @@ def transform_product(df: DataFrame, as_of_date: dt.date | str) -> DataFrame:
     re-derive is_active from expiry vs as_of (source value untrusted),
     dedup keep-latest updated_date per product_id.
     """
-    df = _lower_trim(df, "product_name", "category", "brand")
-    df = df.filter(F.col("current_price") > 0)
-    df = df.withColumn(
-        "old_price",
-        F.when(F.col("old_price") < 0, F.lit(None))
-        .when(F.col("old_price") == F.col("current_price"), F.lit(None))
-        .otherwise(F.col("old_price")),
-    )
+    # the two filters reference only un-rewritten columns, so hoisting
+    # them ahead of the batched column rewrite preserves semantics
     df = df.filter(
-        F.col("expiry_date").isNull()
-        | (F.col("expiry_date") >= F.col("created_date"))
-    )
-    df = df.withColumn(
-        "updated_date",
-        F.when(
-            F.col("updated_date") < F.col("created_date"), F.col("created_date")
-        ).otherwise(F.col("updated_date")),
-    )
-    df = df.withColumn(
-        "is_active",
-        F.when(
+        (F.col("current_price") > 0)
+        & (
             F.col("expiry_date").isNull()
-            | (F.col("expiry_date") >= _as_of(as_of_date)),
-            F.lit(True),
-        ).otherwise(F.lit(False)),
+            | (F.col("expiry_date") >= F.col("created_date"))
+        )
+    )
+    df = df.withColumns(
+        {
+            **{
+                c: F.lower(F.trim(F.col(c)))
+                for c in ("product_name", "category", "brand")
+            },
+            "old_price": F.when(F.col("old_price") < 0, F.lit(None))
+            .when(F.col("old_price") == F.col("current_price"), F.lit(None))
+            .otherwise(F.col("old_price")),
+            "updated_date": F.when(
+                F.col("updated_date") < F.col("created_date"),
+                F.col("created_date"),
+            ).otherwise(F.col("updated_date")),
+            "is_active": F.when(
+                F.col("expiry_date").isNull()
+                | (F.col("expiry_date") >= _as_of(as_of_date)),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        }
     )
     w = W.partitionBy("product_id").orderBy(
         F.desc("updated_date"),
@@ -175,21 +184,24 @@ def transform_store(df: DataFrame, as_of_date: dt.date | str) -> DataFrame:
     closing date vs as_of; gate on id/name/opening<=as_of; dedup
     keep-latest ingestion_date per store_id.
     """
-    df = _lower_trim(df, "store_name", "city", "state", "store_manager_name")
-    df = df.withColumn(
-        "store_closing_date",
-        F.when(
-            F.col("store_closing_date") < F.col("store_opening_date"),
-            F.lit(None),
-        ).otherwise(F.col("store_closing_date")),
-    )
-    df = df.withColumn(
-        "is_active",
-        F.when(
-            F.col("store_closing_date").isNull()
-            | (F.col("store_closing_date") >= _as_of(as_of_date)),
-            F.lit(True),
-        ).otherwise(F.lit(False)),
+    # closing-date repair feeds is_active, so compose the repaired
+    # expression inline (one batched projection, not a rewrite chain)
+    closing = F.when(
+        F.col("store_closing_date") < F.col("store_opening_date"),
+        F.lit(None),
+    ).otherwise(F.col("store_closing_date"))
+    df = df.withColumns(
+        {
+            **{
+                c: F.lower(F.trim(F.col(c)))
+                for c in ("store_name", "city", "state", "store_manager_name")
+            },
+            "store_closing_date": closing,
+            "is_active": F.when(
+                closing.isNull() | (closing >= _as_of(as_of_date)),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        }
     )
     gate = (
         F.col("store_id").isNotNull()

@@ -92,10 +92,13 @@ def range_join_count(
     the exact interval filters after the equi-join.
     """
     # microsecond arithmetic: unix_timestamp() truncates sub-second
-    # parts and would shift interval edges vs exact engines
+    # parts and would shift interval edges vs exact engines. The
+    # cast("timestamp") is a no-op for TIMESTAMP inputs and a
+    # session-tz conversion for TIMESTAMP_NTZ — both sides shift by
+    # the same offset, so interval membership is unchanged.
     width = lookback_seconds * 1_000_000
-    lsec = F.unix_micros(F.col(left_ts))
-    rsec = F.unix_micros(F.col(right_ts))
+    lsec = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rsec = F.unix_micros(F.col(right_ts).cast("timestamp"))
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_lts"),

@@ -1030,7 +1030,11 @@ def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        | (
+            F.col("ts").cast("timestamp").cast("long")
+            - prev_ts.cast("timestamp").cast("long")
+            > 1800
+        ),
         1,
     ).otherwise(0)
     return (

@@ -42,10 +42,12 @@ def _dates_to_ts(df: DataFrame) -> DataFrame:
     pandas as datetime.date objects while DuckDB DATEs arrive as
     Timestamps — the driver's value-hash compare needs one canonical
     representation on both sides (oracle SQL casts to TIMESTAMP too)."""
-    for name, dtype in df.dtypes:
-        if dtype == "date":
-            df = df.withColumn(name, F.col(name).cast("timestamp"))
-    return df
+    casts = {
+        name: F.col(name).cast("timestamp")
+        for name, dtype in df.dtypes
+        if dtype == "date"
+    }
+    return df.withColumns(casts) if casts else df
 
 
 # ---------------------------------------------------------------------------
@@ -126,12 +128,13 @@ def _raw_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("updated_date"),
         F.lit("2024-03-01").cast("date").alias("ingestion_date"),
     )
-    v2 = (
-        base.filter(F.col("customer_id") % 7 == 0)
-        .withColumn("email", F.concat(F.lit("v2."), F.col("email")))
-        .withColumn("city", F.concat(F.lit("moved-"), F.col("city")))
-        .withColumn("updated_date", F.date_add(F.col("created_date"), 40))
-        .withColumn("ingestion_date", F.lit("2024-04-01").cast("date"))
+    v2 = base.filter(F.col("customer_id") % 7 == 0).withColumns(
+        {
+            "email": F.concat(F.lit("v2."), F.col("email")),
+            "city": F.concat(F.lit("moved-"), F.col("city")),
+            "updated_date": F.date_add(F.col("created_date"), 40),
+            "ingestion_date": F.lit("2024-04-01").cast("date"),
+        }
     )
     return base.unionByName(v2)
 

@@ -289,7 +289,8 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.col("l_user_id").alias("user_id"),
         (
-            F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")
+            F.unix_timestamp(F.col("r_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("l_ts").cast("timestamp"))
         ).alias("lag_secs"),
         (F.floor(F.col("value") * 100 + F.lit(0.5)) / 100.0).alias(
             "purchase_value"

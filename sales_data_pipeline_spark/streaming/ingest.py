@@ -15,35 +15,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts -> micros,
-    same conversion as the batch reader in queries/base.py). File
-    streams take a DIRECTORY; pathGlobFilter narrows to the events
-    table inside the testdata dir."""
+    """File-source stream over the events parquet. The stream schema is
+    taken from a batch read of the same file, so the reader adapts to
+    either testdata vintage — TIMESTAMP(NANOS) (arrives as long under
+    nanosAsLong, converted to micros here, matching the batch reader in
+    queries/base.py) or plain micros TIMESTAMP/TIMESTAMP_NTZ (passes
+    through). File streams take a DIRECTORY; pathGlobFilter narrows to
+    the events table inside the testdata dir."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark only accepts TIMESTAMP; the session tz is pinned
+        # to UTC (queries/base.py) so this cast is deterministic
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(
