@@ -54,6 +54,10 @@ HEADLINE = [
     # incremental maintenance + corpus curation breadth
     "incremental_metrics_merge",
     "tfidf_top_terms",
+    # corpus prep + interval analytics
+    "doc_chunk_overlap",
+    "pii_redaction",
+    "concurrent_events_daily_peak",
 ]
 
 

@@ -1872,3 +1872,194 @@ def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dominant"))
         .orderBy(F.desc("n_dominant"), F.asc("s_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trend / interval / statistical quality queries (dashboard + ops class)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT month,
+               rev_cents / 100.0 AS revenue,
+               lag(rev_cents) OVER (ORDER BY month) / 100.0 AS prev_revenue,
+               CASE WHEN lag(rev_cents) OVER (ORDER BY month) IS NULL
+                    THEN NULL
+                    ELSE FLOOR((rev_cents - lag(rev_cents) OVER (ORDER BY month))
+                               * 10000 / lag(rev_cents) OVER (ORDER BY month)
+                               + 0.5) / 100.0
+               END AS growth_pct
+        FROM monthly
+    """,
+    survey="§2.4/§2.5 extension (month-over-month growth: lag over a "
+    "pre-aggregated monthly series — the dashboard trend query the "
+    "reference's static group-bys can't answer)",
+    doc="Monthly revenue with percent change vs the previous month. "
+    "Cents-integer monthly sums make the lag ratio a deterministic "
+    "double on both engines; the global window orders a post-aggregate "
+    "series of ~tens of rows, so the single-partition window is "
+    "scale-safe (the shuffle-heavy work is the partial-agg groupBy).",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_cents")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        (prev / 100.0).alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.floor((F.col("rev_cents") - prev) * 10000 / prev + 0.5) / 100.0
+        )
+        .alias("growth_pct"),
+    )
+
+
+@query(
+    "concurrent_events_daily_peak",
+    oracle="""
+        WITH deltas AS (
+          SELECT date_trunc('day', ts) AS day, ts AS t, 1 AS delta
+          FROM events
+          UNION ALL
+          SELECT date_trunc('day', ts) AS day,
+                 LEAST(ts + INTERVAL 30 MINUTE,
+                       date_trunc('day', ts) + INTERVAL 1 DAY) AS t,
+                 -1 AS delta
+          FROM events
+        ),
+        running AS (
+          SELECT day,
+                 SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                   ROWS UNBOUNDED PRECEDING) AS conc
+          FROM deltas
+        )
+        SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+        FROM running GROUP BY day
+    """,
+    survey="timeseries-ext: interval-overlap sweep line (peak "
+    "concurrency — the capacity-planning query no plain groupBy "
+    "expresses)",
+    doc="Peak number of simultaneously-open 30-minute event windows "
+    "per day (windows clipped at midnight so each day is independent). "
+    "Classic sweep line as relational ops: +1/-1 boundary deltas, a "
+    "per-day running sum ordered by (time, delta) — ends sort before "
+    "starts at equal timestamps, giving half-open [s, e) semantics — "
+    "then MAX per day. Day partitioning makes the sweep "
+    "embarrassingly parallel at 100 TB (no global order); within-tie "
+    "row order affects only intermediate prefix values, whose "
+    "multiset — and hence the MAX — is order-invariant.",
+    tags=("timeseries",),
+)
+def concurrent_events_daily_peak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts")
+    day = F.date_trunc("day", F.col("ts"))
+    opens = ev.select(
+        day.alias("day"), F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    closes = ev.select(
+        day.alias("day"),
+        F.least(
+            F.col("ts") + F.expr("INTERVAL 30 MINUTES"),
+            day + F.expr("INTERVAL 1 DAY"),
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        W.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        opens.unionByName(closes)
+        .select("day", F.sum("delta").over(w).alias("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+    )
+
+
+@query(
+    "zscore_outlier_counts",
+    oracle="""
+        WITH cents AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events
+        ),
+        stats AS (
+          SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+          FROM cents GROUP BY 1
+        )
+        SELECT cents.event_type,
+               CAST(MAX(stats.n) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN ABS(cents.c * stats.n - stats.s)
+                      > 3.0 * stats.n
+                        * SQRT((CAST(stats.ss AS DOUBLE)
+                                - CAST(stats.s AS DOUBLE)
+                                  * CAST(stats.s AS DOUBLE) / stats.n)
+                               / stats.n)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM cents JOIN stats USING (event_type)
+        GROUP BY cents.event_type
+    """,
+    survey="§2.4/§2.9 extension (statistical outlier gate: population "
+    "z-score per group — the data-quality check threshold suites "
+    "can't express)",
+    doc="Per event type, the count of values beyond 3 population "
+    "standard deviations. All moments accumulate as exact cents "
+    "integers (sum, sum-of-squares fit int64 at any realistic scale "
+    "via per-shard partials); the |x-mean| > 3 sigma test is evaluated "
+    "in the integer domain multiplied through by n, with sigma the "
+    "only float — the identical expression tree on both engines makes "
+    "the comparison deterministic. Two narrow shuffles: the stats "
+    "aggregate and the broadcast join back.",
+    tags=("timeseries",),
+)
+def zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    stats = cents.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / F.col("n")
+    )
+    flagged = F.when(
+        F.abs(F.col("c") * F.col("n") - F.col("s"))
+        > F.lit(3.0) * F.col("n") * sigma,
+        1,
+    ).otherwise(0)
+    return (
+        cents.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum(flagged).cast("long").alias("n_outliers"),
+        )
+    )

@@ -1239,3 +1239,146 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + PII scrubbing (corpus-prep surface)
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40  # 10-word overlap between consecutive chunks
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+        WITH ws AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, len(w) AS nw, w,
+                 unnest(generate_series(
+                   1,
+                   greatest(len(w) - {CHUNK_WORDS - CHUNK_STRIDE}, 1),
+                   {CHUNK_STRIDE})) AS start
+          FROM ws
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+               CAST(LEAST({CHUNK_WORDS}, nw - start + 1) AS INTEGER)
+                 AS n_words,
+               md5(array_to_string(
+                 w[start:start + {CHUNK_WORDS - 1}], ' ')) AS chunk_hash
+        FROM chunks
+    """,
+    survey="LLM-ext: context-window chunking (fixed-size overlapping "
+    "word chunks — the splitting pass that feeds tokenizers, "
+    "embedding models, and RAG indexes)",
+    doc=f"Splits each document into {CHUNK_WORDS}-word chunks every "
+    f"{CHUNK_STRIDE} words ({CHUNK_WORDS - CHUNK_STRIDE}-word overlap "
+    "so no boundary context is lost). Pure per-row work: split once, "
+    "explode a stride sequence, slice per chunk (O(chunk) each) — no "
+    "shuffle at all, embarrassingly parallel at 100 TB. Chunk hashes "
+    "(not texts) are the output so the oracle compare stays cheap; "
+    "start sequence 1, 1+stride, ... caps at nw-chunk+stride so the "
+    "final chunk covers the tail exactly once.",
+    tags=("llm",),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    prepared = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).alias("nw"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.size(w) - (CHUNK_WORDS - CHUNK_STRIDE), F.lit(1)
+                ),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    return prepared.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.least(F.lit(CHUNK_WORDS), F.col("nw") - F.col("start") + 1)
+        .cast("int")
+        .alias("n_words"),
+        F.md5(
+            F.array_join(F.slice(F.col("w"), F.col("start"), CHUNK_WORDS), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RX = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or +1-415-555-0199.'
+                      ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RX}')) AS INTEGER)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RX}')) AS INTEGER)
+                 AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(text, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                     '{_PHONE_RX}', '<PHONE>', 'g')) AS redacted_hash
+        FROM seeded
+    """,
+    survey="LLM-ext: PII redaction (regex scrub of emails/phones with "
+    "per-doc match counts — the privacy pass every training corpus "
+    "runs before release)",
+    doc="Scrubs email addresses and international phone numbers to "
+    "placeholder tokens and counts matches per document (the audit "
+    "trail). PII is seeded deterministically on doc_id%5 so the "
+    "operator provably fires; patterns stay in the "
+    "Java-regex/RE2 common subset so both engines match identical "
+    "spans. Pure projection — no shuffle, scan-parallel at any "
+    "scale; redacted-text hashes keep the compare cheap.",
+    tags=("llm",),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-415-555-0199."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RX, "<EMAIL>"),
+        _PHONE_RX,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RX))
+        .cast("int")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RX))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
