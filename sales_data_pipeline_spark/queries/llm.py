@@ -1382,3 +1382,86 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+@query(
+    "repetition_quality_metrics",
+    oracle="""
+        WITH ws AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, n,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(w) - n, 0) + 1),
+                   s -> array_to_string(w[s:s + n - 1], ' '))) AS g
+          FROM (SELECT doc_id, w, unnest([2, 5]) AS n FROM ws)
+        ),
+        counts AS (
+          SELECT doc_id, n, g, COUNT(*) AS c
+          FROM grams GROUP BY doc_id, n, g
+        ),
+        per_doc AS (
+          SELECT doc_id, n,
+                 MAX(c) AS top_c,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+                 SUM(c) AS total_c
+          FROM counts GROUP BY doc_id, n
+        )
+        SELECT doc_id,
+               FLOOR(MAX(CASE WHEN n = 2 THEN top_c * 10000.0 / total_c END)
+                     + 0.5) / 10000.0 AS top_bigram_frac,
+               FLOOR(MAX(CASE WHEN n = 5 THEN dup_c * 10000.0 / total_c END)
+                     + 0.5) / 10000.0 AS dup_5gram_frac
+        FROM per_doc GROUP BY doc_id
+    """,
+    survey="LLM-ext: repetition quality metrics (top-bigram mass + "
+    "duplicate-5-gram fraction — the Gopher-rule repetition filters "
+    "that catch boilerplate and degenerate generations)",
+    doc="Per document: the corpus-quality repetition signals — the "
+    "fraction of word-bigram occurrences claimed by the single most "
+    "frequent bigram, and the fraction of 5-gram occurrences whose "
+    "5-gram appears more than once. Both engines build positional "
+    "n-grams with the same clamped slice, so counts are identical; "
+    "ratios are det-rounded to 4 places. The n-gram counts reuse the "
+    "id-partitioned window shuffle; everything aggregates map-side "
+    "first.",
+    tags=("llm",),
+)
+def repetition_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    sized = d.select(
+        "doc_id", w.alias("w"), F.explode(F.array(F.lit(2), F.lit(5))).alias("n")
+    )
+    grams = sized.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("w") - F.col("n"), F.lit(0)) + 1,
+                ),
+                lambda start: F.array_join(
+                    F.slice(F.col("w"), start, F.col("n")), " "
+                ),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_c"),
+        F.sum("c").alias("total_c"),
+    )
+    frac = lambda num: F.floor(num * 10000.0 / F.col("total_c") + 0.5) / 10000.0  # noqa: E731
+    return per_doc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, frac(F.col("top_c")))).alias(
+            "top_bigram_frac"
+        ),
+        F.max(F.when(F.col("n") == 5, frac(F.col("dup_c")))).alias(
+            "dup_5gram_frac"
+        ),
+    )

@@ -381,3 +381,58 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+@query(
+    "rolling_7d_distinct_users",
+    oracle="""
+        WITH pairs AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 user_id
+          FROM events
+        ),
+        contrib AS (
+          SELECT day + CAST(off AS INTEGER) AS report_day, user_id
+          FROM pairs, (SELECT unnest(generate_series(0, 6)) AS off) o
+        ),
+        actual AS (SELECT DISTINCT day FROM pairs)
+        SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+        FROM contrib JOIN actual ON contrib.report_day = actual.day
+        GROUP BY 1
+    """,
+    survey="timeseries-ext: sliding-window DISTINCT (7-day active "
+    "users — not window-decomposable, solved by bounded-offset "
+    "expansion into an equi-join)",
+    doc="Trailing-7-day distinct active users per day. COUNT(DISTINCT) "
+    "cannot ride a sliding window frame (distinct does not merge "
+    "across frame slides), so each (day, user) first-seen pair is "
+    "expanded to the <=7 report days it contributes to — a bounded "
+    "fan-out equi-join, the same trick the range join uses — then a "
+    "plain distinct aggregate per report day. Scale shape: dedup to "
+    "day-grain pairs shrinks the input by the events-per-user-day "
+    "factor BEFORE the 7x expansion, and every stage partial-aggregates "
+    "map-side.",
+    tags=("timeseries",),
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    contrib = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("report_day"), "user_id")
+    actual = pairs.select("day").distinct()
+    return (
+        contrib.join(actual, contrib.report_day == actual.day)
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.col("report_day").cast("timestamp").alias("report_day"),
+            "active_users_7d",
+        )
+    )
