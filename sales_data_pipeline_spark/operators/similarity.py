@@ -38,25 +38,31 @@ def query_vector(dim: int = DIM) -> list[float]:
 
 def dot_literal(vec: Column, lit_vec: list[float], dim: int = DIM) -> Column:
     """Left-fold dot product of a vector column with a Python literal
-    vector — an explicit sequential add chain ((t1+t2)+t3)..., the same
-    association the oracle SQL generates, so double accumulation is
-    bit-identical across engines. element_at is 1-based."""
-    out: Column = F.lit(0.0)
-    for j, x in enumerate(lit_vec):
-        out = out + F.element_at(vec, j + 1).cast("double") * F.lit(float(x))
-    return out
+    vector: aggregate(zip_with(vec, lit, *), 0.0, +) — a sequential
+    ((0+t1)+t2)... fold, the same association the oracle SQL generates,
+    so double accumulation is bit-identical across engines.
+
+    HOF fold, not an unrolled element_at chain: the unrolled form made
+    every consumer compile a ~dim*N_PLANES-term codegen expression
+    (8-11s of janino per query plan — measured 8x slower end-to-end at
+    bench scale), while the fold's expression tree is O(1). Values are
+    identical; per-row interpretation is nanoseconds against the scan."""
+    arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def dot(a: Column, b: Column, dim: int = DIM) -> Column:
-    """Left-fold dot product of two vector columns (explicit sequential
-    add chain — see dot_literal)."""
-    out: Column = F.lit(0.0)
-    for j in range(dim):
-        out = out + (
-            F.element_at(a, j + 1).cast("double")
-            * F.element_at(b, j + 1).cast("double")
-        )
-    return out
+    """Left-fold dot product of two vector columns (same sequential
+    association as dot_literal)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def norm(vec: Column, dim: int = DIM) -> Column:
@@ -190,13 +196,17 @@ def ivf_centroid(i: int, dim: int = DIM) -> list[float]:
 
 
 def l2sq_to_literal(vec: Column, lit_vec: list[float]) -> Column:
-    """Left-fold squared-L2 distance to a literal vector — explicit
-    sequential add chain, bit-identical to the oracle SQL."""
-    out: Column = F.lit(0.0)
-    for j, x in enumerate(lit_vec):
-        d = F.element_at(vec, j + 1).cast("double") - F.lit(float(x))
-        out = out + d * d
-    return out
+    """Left-fold squared-L2 distance to a literal vector — sequential
+    ((0+d1²)+d2²)... fold, bit-identical to the oracle SQL. HOF fold
+    for the same codegen-compile reason as dot_literal."""
+    arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(
+            vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def ivf_assign(vec: Column, n: int = N_IVF_CENTROIDS) -> Column:
@@ -238,18 +248,13 @@ def ivf_probe_topk(
     ~1/n_centroids of the data — same storage trick as the LSH-bucket
     path, but with data-adaptive (trained) cells.
 
-    The cell selection is materialized (localCheckpoint) before the
-    cosine rerank: assignment and rerank each carry ~5k-node literal
-    expression trees, and fusing them into ONE generated stage makes
-    codegen stack-depth-fragile (observed: a warm JVM wedged compiling
-    the fused stage while each half compiles fine). The barrier splits
-    them into two small jobs — exactly the shape the partitioned-
-    storage path has at scale, where the cell arrives pre-materialized
-    from the pruned scan."""
+    Assignment and rerank fuse into one generated stage. (An earlier
+    unrolled-expression formulation needed a localCheckpoint barrier
+    here — its ~5k-node literal trees wedged janino when fused; the
+    HOF folds keep the fused stage's expression tree O(planes+dims) so
+    the barrier, and its extra job, are gone.)"""
     probe = ivf_probe_centroid(query)
-    in_cell = (
-        df.select(id_col, vec_col)
-        .filter(ivf_assign(F.col(vec_col)) == probe)
-        .localCheckpoint(eager=True)
+    in_cell = df.select(id_col, vec_col).filter(
+        ivf_assign(F.col(vec_col)) == probe
     )
     return brute_force_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
