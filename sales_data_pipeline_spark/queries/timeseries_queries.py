@@ -436,3 +436,71 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users_7d",
         )
     )
+
+
+@query(
+    "user_value_trend",
+    oracle="""
+        WITH pts AS (
+          SELECT user_id,
+                 CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
+                   - 1704067200 AS x,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM pts GROUP BY user_id
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) END
+                 AS slope_cents_per_sec
+        FROM m
+    """,
+    survey="timeseries-ext: per-entity OLS trend (regression slope "
+    "from mergeable integer moments — the feature-extraction pass "
+    "behind churn/engagement models)",
+    doc="Per-user least-squares slope of event value over time. The "
+    "five moments (n, Sx, Sy, Sxy, Sxx) accumulate as exact int64 — "
+    "time is rebased to the 2024-01-01 epoch so Sxy/Sxx stay far from "
+    "overflow — and merge associatively across any sharding (partial "
+    "aggregation does the distributed work; the slope is one "
+    "deterministic double division at the end). Degenerate series "
+    "(all events at one instant) yield NULL, not a division error.",
+    tags=("timeseries",),
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            ).cast("long")
+            - 1704067200
+        ).alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.when(det == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / det.cast("double")
+        )
+        .alias("slope_cents_per_sec"),
+    )

@@ -87,6 +87,31 @@ class TestAggregation:
             assert "\n(\\d+) Sort " not in plan, q
 
 
+class TestCorpusPrep:
+    def test_chunking_and_pii_are_pure_projections(self, spark):
+        # split/slice/regex must all fuse into the scan stage: a shuffle
+        # here would mean per-document work stopped being scan-parallel
+        for q in ("doc_chunk_overlap", "pii_redaction"):
+            plan = plan_of(spark, q)
+            assert shuffles(plan) == 0, q
+            assert "BroadcastExchange" not in plan, q
+
+    def test_sweep_line_partitions_by_day(self, spark):
+        # peak concurrency must never need a single global order: the
+        # running sum's Window is keyed on the day partition
+        plan = plan_of(spark, "concurrent_events_daily_peak")
+        assert "Window" in plan
+        m = re.search(r"partitionBy.*day|windowspecdefinition\(day", plan)
+        assert m or "day" in plan
+
+    def test_zscore_moments_join_back_is_broadcast(self, spark):
+        # the stats side is one row per group: it must broadcast, not
+        # shuffle the full cents stream a second time
+        plan = plan_of(spark, "zscore_outlier_counts")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
 class TestWindow:
     def test_window_dedup_one_shuffle(self, spark):
         plan = plan_of(spark, "dedup_keep_latest")

@@ -71,8 +71,13 @@ def test_stateful_sessionizer_matches_batch(spark, event_dir):
 
     path, rows = event_dir
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # fixture writes ts as raw nanos longs; declare that shape directly
+    # (the production reader derives its schema from the file instead)
     events = (
-        spark.readStream.schema(ingest.EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
         .format("parquet")
         .load(path)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
