@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_chunk_overlap",
     "pii_redaction",
     "concurrent_events_daily_peak",
+    # Arrow/pandas codec boundary
+    "multimodal_audio_energy",
 ]
 
 

@@ -215,3 +215,58 @@ def extract_features(
             )
 
     return df.select(id_col, bytes_col).mapInPandas(batches, FEATURES_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    frame_len: int = 32,
+) -> DataFrame:
+    """Audio feature pass: treat the payload as unsigned 8-bit PCM
+    samples and emit per-frame RMS energy (the silence-trim /
+    voice-activity primitive an audio curation pipeline runs first).
+    Arrow-batched mapInPandas with vectorized numpy per frame; squared
+    sums accumulate as exact int64 so the one float op (sqrt of the
+    mean) is deterministic across engines. Empty payloads emit a single
+    zero-energy frame, mirroring the oracle's clamp."""
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fnos, ns, rmss = [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[bytes_col]):
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n_frames = max(1, -(-arr.size // frame_len))
+                for j in range(n_frames):
+                    fr = arr[j * frame_len : (j + 1) * frame_len]
+                    n = int(fr.size)
+                    ssq = int((fr * fr).sum()) if n else 0
+                    ids.append(int(did))
+                    fnos.append(j)
+                    ns.append(n)
+                    rmss.append(math.sqrt(ssq / n) if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        batches, AUDIO_ENERGY_SCHEMA
+    )

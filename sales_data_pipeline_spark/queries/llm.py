@@ -1465,3 +1465,48 @@ def repetition_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_5gram_frac"
         ),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+        WITH frames AS (
+          SELECT doc_id, text, length(text) AS len,
+                 unnest(generate_series(1, greatest(length(text), 1), 32))
+                   AS start
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, start, len,
+                 CAST(GREATEST(LEAST(32, len - start + 1), 0) AS INTEGER)
+                   AS n_samples,
+                 COALESCE(list_sum(list_transform(
+                   generate_series(start, LEAST(start + 31, len)),
+                   i -> ord(substr(text, CAST(i AS INTEGER), 1))
+                        * ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+                   AS ssq
+          FROM frames
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 32 AS INTEGER) AS frame_no,
+               n_samples,
+               CASE WHEN n_samples = 0 THEN 0.0
+                    ELSE SQRT(ssq * 1.0 / n_samples) END AS rms
+        FROM scored
+    """,
+    survey="LLM-ext: audio frame energy (per-frame PCM RMS via "
+    "Arrow-batched mapInPandas — the voice-activity / silence-trim "
+    "primitive of an audio curation pipeline)",
+    doc="Treats each payload as unsigned 8-bit PCM and emits RMS "
+    "energy per 32-sample frame. The codec boundary is the same "
+    "mapInPandas plumbing as decode/resize (numpy-vectorized inside "
+    "Arrow batches, bytes never touch the driver); squared sums stay "
+    "exact int64 so sqrt(mean) is the only float and both engines "
+    "agree bitwise. The oracle reads the same bytes through the "
+    "ASCII-payload VARCHAR trick (ord == byte value).",
+    tags=("llm",),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
+    return multimodal.frame_energy(with_bytes, frame_len=32)
