@@ -164,3 +164,28 @@ def as_of(scd_df: DataFrame, as_of_date: str) -> DataFrame:
         (F.col("valid_from") <= d)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
     )
+
+
+def scd1_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    delete_flag: str = "is_delete",
+) -> DataFrame:
+    """Type-1 merge (MERGE INTO semantics, no history): rows in
+    ``changes`` overwrite matching ``base`` rows, new keys insert, and
+    rows flagged ``delete_flag`` remove the key entirely. The
+    complement of SCD2 (scd2.apply_scd_type2 keeps versions; this
+    keeps only latest state — the reference's overwrite-mode silver
+    dims are an implicit, file-level version of exactly this).
+
+    Formulation: base LEFT ANTI touched-keys ∪ non-delete changes —
+    one shuffle on the key for the anti join (the union is free).
+    At scale this is what Delta/Iceberg MERGE compiles to minus the
+    file-pruning layer; with the base bucketed on the key
+    (io/writers.write_bucketed) the anti join is exchange-free too.
+    """
+    upserts = changes.filter(~F.col(delete_flag)).drop(delete_flag)
+    touched = changes.select(key)
+    kept = base.join(touched, key, "left_anti")
+    return kept.unionByName(upserts)

@@ -2063,3 +2063,113 @@ def zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(flagged).cast("long").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+        WITH per_key AS (
+          SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM per_key)
+        SELECT per_key.user_id, CAST(per_key.n_rows AS BIGINT) AS n_rows,
+               FLOOR(per_key.n_rows * 1000000.0 / tot.total + 0.5) / 10000.0
+                 AS pct_of_rows,
+               FLOOR(per_key.n_rows * CAST(tot.n_keys AS DOUBLE) * 100.0
+                     / tot.total + 0.5) / 100.0 AS x_mean
+        FROM per_key, tot
+        ORDER BY n_rows DESC, user_id LIMIT 20
+    """,
+    survey="§7.4 risk 8 extension (skew audit: heaviest join/agg keys "
+    "with share-of-rows and multiple-of-mean — the profiler that "
+    "decides between plain, salted, and AQE-skew plans)",
+    doc="Top-20 heaviest keys with their row share and hotness as a "
+    "multiple of the mean key. This is the diagnostic run BEFORE "
+    "picking a 100 TB join strategy: a key at many times the mean "
+    "wants salting (salted_skew_agg/join) or AQE skew splitting. One "
+    "partial-agg shuffle; the global totals ride in as a 1-row "
+    "cross-joined broadcast, never a driver collect; top-k is "
+    "TakeOrderedAndProject with an id tiebreak.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            (F.floor(F.col("n_rows") * 1000000.0 / F.col("total") + 0.5) / 10000.0).alias(
+                "pct_of_rows"
+            ),
+            (
+                F.floor(
+                    F.col("n_rows")
+                    * F.col("n_keys").cast("double")
+                    * 100.0
+                    / F.col("total")
+                    + 0.5
+                )
+                / 100.0
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "column_profile_orders",
+    oracle="""
+        SELECT 'o_totalprice' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(o_totalprice) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+               FLOOR(MIN(o_totalprice) * 100 + 0.5) / 100.0 AS min_val,
+               FLOOR(MAX(o_totalprice) * 100 + 0.5) / 100.0 AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS DOUBLE),
+               CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+    """,
+    survey="§2.9 extension (column statistics profiling: the "
+    "ANALYZE-style null/distinct/min/max summary that feeds both "
+    "data-quality suites and CBO-style sizing decisions)",
+    doc="Per-column profile (rows, non-nulls, exact distincts, "
+    "rounded min/max) for two orders columns in one pass each — the "
+    "stats a quality suite compares against expectations and a "
+    "planner uses for broadcast decisions. At 100 TB swap exact "
+    "COUNT(DISTINCT) for approx_count_distinct (same plan shape, "
+    "sketch-mergeable); everything else partial-aggregates.",
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    price = o.agg(
+        F.lit("o_totalprice").alias("column_name"),
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_nonnull"),
+        F.countDistinct("o_totalprice").alias("n_distinct"),
+        (F.floor(F.min("o_totalprice") * 100 + F.lit(0.5)) / 100.0).alias(
+            "min_val"
+        ),
+        (F.floor(F.max("o_totalprice") * 100 + F.lit(0.5)) / 100.0).alias(
+            "max_val"
+        ),
+    )
+    prio = o.agg(
+        F.lit("o_custkey").alias("column_name"),
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_nonnull"),
+        F.countDistinct("o_custkey").alias("n_distinct"),
+        F.min("o_custkey").cast("double").alias("min_val"),
+        F.max("o_custkey").cast("double").alias("max_val"),
+    )
+    return price.unionByName(prio)

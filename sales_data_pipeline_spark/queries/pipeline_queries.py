@@ -1129,3 +1129,71 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist1 = scd2.apply_scd_type2(v1.limit(0), v1, "2024-01-01")
     hist2 = scd2.apply_scd_type2(hist1, v2, "2024-02-01")
     return _dates_to_ts(scd2.as_of(hist2, "2024-01-15"))
+
+
+@query(
+    "scd1_upsert_merge",
+    oracle="""
+        WITH base AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+          FROM customer
+        ),
+        changes AS (
+          SELECT c_custkey AS id, c_name || ' (updated)' AS name,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100
+                   AS bal_cents,
+                 FALSE AS is_delete
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey + 500000, 'new-' || CAST(c_custkey AS VARCHAR),
+                 CAST(1000 AS BIGINT), FALSE
+          FROM customer WHERE c_custkey % 3 = 1
+          UNION ALL
+          SELECT c_custkey, NULL, NULL, TRUE
+          FROM customer WHERE c_custkey % 3 = 2
+        )
+        SELECT id, name, bal_cents FROM base
+        WHERE id NOT IN (SELECT id FROM changes)
+        UNION ALL
+        SELECT id, name, bal_cents FROM changes WHERE NOT is_delete
+    """,
+    survey="§2.12 extension (Type-1 MERGE upsert: update/insert/delete "
+    "in one pass — the stateless complement of SCD2 the reference only "
+    "approximates by whole-layer overwrite)",
+    doc="MERGE INTO semantics on plain DataFrames: matched keys "
+    "overwrite, new keys insert, delete-flagged keys drop. One anti-"
+    "join shuffle plus a free union (operators/scd2.scd1_upsert); "
+    "bucketing the base on the key makes even that exchange-free. "
+    "Balances carried as exact cents integers.",
+)
+def scd1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    base = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        cents.alias("bal_cents"),
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.col("c_name"), F.lit(" (updated)")).alias("name"),
+        (cents + 100).alias("bal_cents"),
+        F.lit(False).alias("is_delete"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 3 == 1).select(
+        (F.col("c_custkey") + 500000).alias("id"),
+        F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.lit(1000).cast("long").alias("bal_cents"),
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = c.filter(F.col("c_custkey") % 3 == 2).select(
+        F.col("c_custkey").alias("id"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(True).alias("is_delete"),
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    return scd2.scd1_upsert(base, changes, key="id")
