@@ -209,7 +209,8 @@ class TestNoPythonOnHotPath:
         # those is covered by their own tests
         skip = {"dedup_cluster_assign", "knn_ivf_probe", "ivf_centroid_assign"}
         arrow_ok = {"multimodal_decode_meta", "multimodal_resize_meta",
-                    "multimodal_feature_extract", "multimodal_frame_sample"}
+                    "multimodal_feature_extract", "multimodal_frame_sample",
+                    "multimodal_audio_energy"}
         offenders, arrow_misuse = [], []
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags or name in skip:
