@@ -1,0 +1,46 @@
+"""Results must not depend on physical partitioning: the same logical
+plan re-planned with a different shuffle-partition count (what AQE and
+cluster sizing do at 100 TB) has to produce identical rows. Queries
+whose operators involve windows, hash self-joins, iterative label
+propagation, or salting are the ones that would drift if any step
+leaked partition order into results."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "dedup_keep_latest",       # row_number window with tiebreakers
+    "dedup_minhash_lsh",       # band self-join + persist + verify
+    "dedup_cluster_assign",    # iterative connected components
+    "salted_skew_agg",         # two-phase salted aggregation
+    "concurrent_events_daily_peak",  # running-sum sweep with ties
+    "scd2_merge_history",      # multi-branch merge over persists
+    "topk_per_group",          # per-group top-k ordering
+]
+
+
+def run_sorted(spark, name: str) -> pd.DataFrame:
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    df = load_all()[name].fn(spark, SF_DIR).toPandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_to_shuffle_partitions(spark, name):
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = run_sorted(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        b = run_sorted(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
