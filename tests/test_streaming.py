@@ -149,103 +149,6 @@ def test_foreach_batch_partitioned_sink(spark, tmp_path):
 def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark 4's transformWithStateInPandas (the arbitrary-stateful
     successor to applyInPandasWithState): per-user running purchase
-    totals maintained in ValueState across MULTIPLE micro-batches
-    (maxFilesPerTrigger=1 forces one batch per input file). The final
-    emission per user must equal the all-batches batch aggregate —
-    state genuinely carried across batch boundaries."""
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.streaming import StatefulProcessor
-
-    src = tmp_path / "chunks"
-    src.mkdir()
-    # 3 chunk files -> 3 micro-batches; overlapping users across chunks
-    chunks = [
-        [(1, 10.0), (2, 5.0)],
-        [(1, 2.5), (3, 1.0)],
-        [(1, 4.0), (2, 0.5), (3, 9.0)],
-    ]
-    for i, rows in enumerate(chunks):
-        spark.createDataFrame(
-            rows, "user_id int, amount double"
-        ).coalesce(1).write.parquet(str(src / f"c{i}.parquet"))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.IntegerType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("total", T.DoubleType()),
-        ]
-    )
-
-    class RunningTotal(StatefulProcessor):
-        def init(self, handle):
-            self._state = handle.getValueState(
-                "agg",
-                T.StructType(
-                    [
-                        T.StructField("n", T.LongType()),
-                        T.StructField("total", T.DoubleType()),
-                    ]
-                ),
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, total = (
-                self._state.get() if self._state.exists() else (0, 0.0)
-            )
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["amount"].sum())
-            self._state.update((n, total))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n": [n], "total": [total]}
-            )
-
-        def close(self):
-            pass
-
-    stream = (
-        spark.readStream.schema("user_id int, amount double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-    )
-    q = (
-        stream.groupBy("user_id")
-        .transformWithStateInPandas(
-            RunningTotal(),
-            outputStructType=out_schema,
-            outputMode="append",
-            timeMode="none",
-        )
-        .writeStream.format("memory")
-        .queryName("twstate_totals")
-        .outputMode("append")
-        .option(
-            "checkpointLocation", str(tmp_path / "ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    emitted = spark.table("twstate_totals").toPandas()
-    # several emissions per user (one per batch containing it); the
-    # LAST per user is the full running total
-    final = (
-        emitted.sort_values(["user_id", "n"]).groupby("user_id").last()
-    )
-    all_rows = [r for c in chunks for r in c]
-    for uid in {u for u, _ in all_rows}:
-        amounts = [a for u, a in all_rows if u == uid]
-        assert final.loc[uid, "n"] == len(amounts)
-        assert abs(final.loc[uid, "total"] - sum(amounts)) < 1e-9
-    # state carried across batches: user 1 appears in 3 batches
-    assert (emitted.user_id == 1).sum() == 3
-
-
-def test_transform_with_state_running_totals(spark, tmp_path):
-    """Spark 4's transformWithStateInPandas (the arbitrary-stateful
-    successor to applyInPandasWithState): per-user running purchase
     totals in ValueState across MULTIPLE micro-batches
     (maxFilesPerTrigger=1 -> one batch per chunk file). Gated on
     google.protobuf — the state-server protocol needs it and this
