@@ -504,3 +504,184 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("slope_cents_per_sec"),
     )
+
+
+@query(
+    "click_purchase_conversion",
+    oracle="""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        converted AS (
+          SELECT DISTINCT c.event_id
+          FROM clicks c JOIN purchases p
+            ON c.user_id = p.user_id
+           AND p.ts > c.ts
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        )
+        SELECT date_trunc('day', c.ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(COUNT(cv.event_id) AS BIGINT) AS n_converted,
+               FLOOR(COUNT(cv.event_id) * 10000.0 / COUNT(*) + 0.5) / 100.0
+                 AS conversion_pct
+        FROM clicks c LEFT JOIN converted cv ON c.event_id = cv.event_id
+        GROUP BY 1
+    """,
+    survey="timeseries-ext: attribution funnel (forward interval join "
+    "-> daily conversion rate — the batch twin of the stream-stream "
+    "interval join, banded so no inequality join ever runs)",
+    doc="Per day: clicks, clicks followed by a same-user purchase "
+    "within one hour, and the conversion rate. The forward-looking "
+    "interval match uses the same epoch-band trick as the range join "
+    "— purchases land in 1h bands, each click probes its own and the "
+    "NEXT band (bounded 2x fan-out equi-join, AQE-managed) — then "
+    "dedups to at-most-one conversion marker per click before the "
+    "daily rollup. Exact integer ratio, det-rounded.",
+    tags=("timeseries",),
+)
+def click_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    width = 3600 * 1_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        us(F.col("ts")).alias("c_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        us(F.col("ts")).alias("p_us"),
+        (us(F.col("ts")) / width).cast("long").alias("band"),
+    )
+    probes = clicks.select(
+        "event_id",
+        "user_id",
+        "c_us",
+        F.explode(
+            F.array(
+                (F.col("c_us") / width).cast("long"),
+                (F.col("c_us") / width).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    converted = (
+        probes.join(
+            purchases,
+            (probes.user_id == purchases.p_user)
+            & (probes.band == purchases.band)
+            & (purchases.p_us > probes.c_us)
+            & (purchases.p_us <= probes.c_us + width),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    return (
+        clicks.join(converted, "event_id", "left")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count("_conv").alias("n_converted"),
+            (
+                F.floor(F.count("_conv") * 10000.0 / F.count("*") + 0.5)
+                / 100.0
+            ).alias("conversion_pct"),
+        )
+    )
+
+
+@query(
+    "asof_nearest_either",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, n.ts AS nearest_view_ts,
+               n.value AS nearest_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+          SELECT v.ts, v.value
+          FROM events v
+          WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          ORDER BY ABS(epoch_us(v.ts) - epoch_us(p.ts)), v.ts
+          LIMIT 1
+        ) n ON TRUE
+    """,
+    survey="timeseries-ext: nearest-in-time join, either direction "
+    "(the |delta|-minimizing variant backward-only ASOF can't "
+    "express; sensor/label alignment in training pipelines)",
+    doc="Each purchase attaches the temporally CLOSEST same-user view "
+    "— before or after. One union+window pass per direction (last "
+    "non-null backward, first non-null forward — the as-of mechanism "
+    "run both ways), then an arithmetic argmin of the two candidate "
+    "deltas; ties at equal distance take the earlier view, matching "
+    "the oracle's (abs_delta, ts) order. Two key-partitioned window "
+    "shuffles, no join, no candidate pairs.",
+    tags=("timeseries",),
+)
+def asof_nearest_either(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("value").alias("v_value")
+    )
+    lt = purchases.select(
+        "user_id",
+        F.col("ts").alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        "event_id",
+        "ts",
+        F.lit(None).cast(views.schema["v_ts"].dataType).alias("v_ts"),
+        F.lit(None).cast("double").alias("v_value"),
+    )
+    rt = views.select(
+        "user_id",
+        F.col("v_ts").alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast(purchases.schema["ts"].dataType).alias("ts"),
+        "v_ts",
+        "v_value",
+    )
+    u = lt.unionByName(rt)
+    # backward pass: most recent view at-or-before; right rows sort
+    # first at equal ts so an equal-timestamp view is visible both ways
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    cand = u.select(
+        "*",
+        F.last("v_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("v_value", ignorenulls=True).over(wb).alias("b_value"),
+        F.first("v_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.first("v_value", ignorenulls=True).over(wf).alias("f_value"),
+    ).filter(F.col("_is_left") == 1)
+    b_delta = F.abs(us(F.col("ts")) - us(F.col("b_ts")))
+    f_delta = F.abs(us(F.col("f_ts")) - us(F.col("ts")))
+    # argmin with earlier-wins tie (backward candidate is the earlier)
+    take_backward = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_delta <= f_delta)
+    )
+    return cand.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(take_backward, F.col("b_ts"))
+        .otherwise(F.col("f_ts"))
+        .alias("nearest_view_ts"),
+        F.when(take_backward, F.col("b_value"))
+        .otherwise(F.col("f_value"))
+        .alias("nearest_view_value"),
+    )
