@@ -1510,3 +1510,54 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
     return multimodal.frame_energy(with_bytes, frame_len=32)
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+        WITH comps AS (
+          SELECT label, u.pos AS pos,
+                 CAST(FLOOR(CAST(u.val AS DOUBLE) * 1000000
+                      + CASE WHEN u.val >= 0 THEN 0.5 ELSE -0.5 END)
+                   AS BIGINT) AS scaled
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS val,
+                               generate_subscripts(embedding, 1) AS pos) u
+        )
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               SUM(scaled) / 1000000.0 / COUNT(*) AS centroid_val,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM comps GROUP BY label, pos
+    """,
+    survey="LLM-ext: exact per-label centroids (element-wise mean of "
+    "an embedding column via integer-scaled sums — the class-"
+    "prototype computation behind nearest-centroid classification "
+    "and cluster drift monitoring)",
+    doc="Per (label, dimension): the exact mean component across all "
+    "vectors. Distributed float summation is order-nondeterministic, "
+    "so components scale to micro-unit int64 first (posexplode -> "
+    "partial-agg integer sums — associative in any shard order), and "
+    "the mean is one deterministic double division. Rounding is "
+    "symmetric (away-from-zero) because embedding components can be "
+    "negative. One shuffle carrying (label, pos) partial sums; "
+    "reconstruction to array form is a collect_list away if needed.",
+    tags=("llm",),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(
+            F.col("val").cast("double") * 1000000
+            + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        )
+        .cast("long")
+        .alias("scaled"),
+    )
+    return comp.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        (F.sum("scaled") / 1000000.0 / F.count("*")).alias("centroid_val"),
+        F.count("*").alias("n_vectors"),
+    )

@@ -685,3 +685,91 @@ def asof_nearest_either(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_value"))
         .alias("nearest_view_value"),
     )
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_no
+          FROM marked
+        ),
+        paths AS (
+          SELECT user_id, session_no,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM numbered GROUP BY user_id, session_no
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    survey="timeseries-ext: session path analysis (ordered within-"
+    "session string aggregation — the user-journey query behind "
+    "funnel design)",
+    doc="Top-20 most common within-session event sequences (30-minute "
+    "gap sessions). Ordered aggregation is the mechanism plain "
+    "collect_list can't give deterministically: events collect as "
+    "(ts, event_id, type) structs, array_sort fixes the order by the "
+    "same total key the oracle's ORDER BY string_agg uses, then the "
+    "path string joins. Session assignment reuses the lag/running-sum "
+    "sessionization; the whole thing is two key-partitioned window "
+    "passes plus two partial-agg shuffles — no driver involvement, "
+    "top-k via TakeOrderedAndProject.",
+    tags=("timeseries",),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            F.col("ts").cast("timestamp").cast("long")
+            - prev_ts.cast("timestamp").cast("long")
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new).over(wrun).alias("session_no"),
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
