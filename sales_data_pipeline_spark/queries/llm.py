@@ -1561,3 +1561,155 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("scaled") / 1000000.0 / F.count("*")).alias("centroid_val"),
         F.count("*").alias("n_vectors"),
     )
+
+
+def _incremental_oracle() -> str:
+    grams = _SHINGLES_SQL
+    fresh_text = (
+        "array_to_string(list_transform(generate_series(0, 9), "
+        "k -> 'fresh-' || CAST(doc_id AS VARCHAR) || '-w' "
+        "|| CAST(k AS VARCHAR)), ' ')"
+    )
+    return f"""
+        WITH batch AS (
+          SELECT doc_id + 200000 AS doc_id, text || '{NEAR_DUP_PAD}' AS text
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 300000, {fresh_text}
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        pb AS (
+          SELECT doc_id AS id, {grams} AS grams
+          FROM (SELECT doc_id, {_WS_SQL} AS w FROM documents) w0
+        ),
+        pq AS (
+          SELECT doc_id AS id, {grams} AS grams
+          FROM (SELECT doc_id, {_WS_SQL} AS w FROM batch) w1
+        ),
+        blocks_b AS (
+          SELECT id, unnest([
+            '0:' || list_min(list_transform(grams, g -> substr(md5(g), 1, 8))),
+            '1:' || list_min(list_transform(grams, g -> substr(md5(g), 9, 8)))
+          ]) AS block FROM pb
+        ),
+        blocks_q AS (
+          SELECT id, unnest([
+            '0:' || list_min(list_transform(grams, g -> substr(md5(g), 1, 8))),
+            '1:' || list_min(list_transform(grams, g -> substr(md5(g), 9, 8)))
+          ]) AS block FROM pq
+        ),
+        cand AS (
+          SELECT DISTINCT q.id AS qid, b.id AS bid
+          FROM blocks_q q JOIN blocks_b b ON q.block = b.block
+        ),
+        pairs AS (
+          SELECT c.qid, c.bid,
+                 len(list_intersect(pq.grams, pb.grams))
+                   / len(list_distinct(list_concat(pq.grams, pb.grams))) AS j
+          FROM cand c
+          JOIN pq ON pq.id = c.qid
+          JOIN pb ON pb.id = c.bid
+        ),
+        best AS (
+          SELECT qid, bid, j,
+                 row_number() OVER (PARTITION BY qid ORDER BY j DESC, bid)
+                   AS rn
+          FROM pairs WHERE j >= 0.3
+        )
+        SELECT batch.doc_id,
+               best.bid AS matched_base_id,
+               CASE WHEN best.bid IS NULL THEN NULL
+                    ELSE FLOOR(best.j * 10000 + 0.5) / 10000.0 END AS jaccard,
+               best.bid IS NULL AS is_unique
+        FROM batch LEFT JOIN (SELECT * FROM best WHERE rn = 1) best
+          ON batch.doc_id = best.qid
+    """
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=_incremental_oracle(),
+    survey="LLM-ext: incremental dedup (incoming batch vs existing "
+    "corpus via MinHash blocks — at 100 TB you NEVER re-dedup the "
+    "corpus; each ingest batch probes stored block keys)",
+    doc="Matches an incoming document batch (padded near-dups of "
+    "doc_id%7 plus genuinely fresh doc_id%11 docs) against the "
+    "existing corpus: both sides map to 2 one-row-band MinHash block "
+    "keys, candidates come from the block equi-join — corpus-side "
+    "work is ONLY for blocks the batch actually touches; at scale the "
+    "stored (id, block) index makes this a partition-pruned probe — "
+    "then exact Jaccard verifies and each batch doc keeps its best "
+    "match (ties to the lowest base id). Unmatched docs flag "
+    "is_unique and enter the corpus.",
+    tags=("llm",),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_PAD)).alias("text"),
+    )
+    fresh = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda k: F.concat(
+                    F.lit("fresh-"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("-w"),
+                    k.cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    batch = near.unionByName(fresh)
+
+    bm_base = dedup.minhash_block_map(base, "doc_id", "text", 3)
+    bm_batch = dedup.minhash_block_map(batch, "doc_id", "text", 3)
+    cand = (
+        bm_batch.alias("q")
+        .join(bm_base.alias("b"), F.col("q.block") == F.col("b.block"))
+        .select(F.col("q.id").alias("qid"), F.col("b.id").alias("bid"))
+        .distinct()
+        .persist()
+    )
+    # gram sets only for docs appearing in candidates (both sides)
+    def gram_sets(df, ids, idc):
+        touched = df.join(cand.select(F.col(idc).alias("doc_id")).distinct(),
+                          "doc_id", "left_semi")
+        return (
+            dedup.shingle_rows(touched, "doc_id", "text", 3)
+            .groupBy("id")
+            .agg(F.collect_set("sh").alias("grams"))
+        )
+
+    gq = gram_sets(batch, cand, "qid").persist()
+    gb = gram_sets(base, cand, "bid").persist()
+    pairs = (
+        cand.join(gq.select(F.col("id").alias("qid"), F.col("grams").alias("ga")), "qid")
+        .join(gb.select(F.col("id").alias("bid"), F.col("grams").alias("gb")), "bid")
+        .withColumn("j", dedup.jaccard(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= 0.3)
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("j"), F.asc("bid"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "bid", "j")
+    )
+    return batch.join(
+        best, batch.doc_id == best.qid, "left"
+    ).select(
+        "doc_id",
+        F.col("bid").alias("matched_base_id"),
+        F.when(
+            F.col("bid").isNull(), F.lit(None).cast("double")
+        ).otherwise(F.floor(F.col("j") * 10000 + F.lit(0.5)) / 10000.0).alias(
+            "jaccard"
+        ),
+        F.col("bid").isNull().alias("is_unique"),
+    )
