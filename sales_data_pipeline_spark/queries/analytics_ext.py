@@ -2173,3 +2173,70 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").cast("double").alias("max_val"),
     )
     return price.unionByName(prio)
+
+
+@query(
+    "median_imputation_events",
+    oracle="""
+        WITH seeded AS (
+          SELECT event_id, event_type,
+                 CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END
+                   AS value
+          FROM events
+        ),
+        med AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.5) AS med_value
+          FROM seeded GROUP BY event_type
+        )
+        SELECT seeded.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN seeded.value IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_imputed,
+               SUM(CAST(FLOOR(COALESCE(seeded.value, med.med_value) * 10000
+                   + 0.5) AS BIGINT)) / 10000.0 AS imputed_sum
+        FROM seeded JOIN med USING (event_type)
+        GROUP BY seeded.event_type
+    """,
+    survey="§2.9/ML-prep extension (group-median imputation: fill "
+    "nulls from a per-group statistic — the feature-cleaning pass "
+    "between quality gates and model training)",
+    doc="Nulls are seeded deterministically (event_id%13), then filled "
+    "with the per-type exact interpolated median; the audit output is "
+    "the imputed count and a det-rounded sum of the post-imputation "
+    "column, which only matches if every imputed cell got the exact "
+    "same median on both engines. Two shuffles: the median aggregate "
+    "(at 100 TB: approx_percentile, same shape) and the broadcast "
+    "join back.",
+)
+def median_imputation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    seeded = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    med = seeded.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med_value")
+    )
+    return (
+        seeded.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("value").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_imputed"),
+            (
+                F.sum(
+                    F.floor(
+                        F.coalesce(F.col("value"), F.col("med_value")) * 10000
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("imputed_sum"),
+        )
+    )

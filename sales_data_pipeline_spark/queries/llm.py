@@ -1713,3 +1713,49 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("bid").isNull().alias("is_unique"),
     )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) / 4294967296.0 AS u
+          FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM scored
+        WHERE u < n_chars / 600.0
+        GROUP BY source
+    """,
+    survey="LLM-ext: deterministic weighted sampling (length-"
+    "proportional inclusion via content-hash uniforms — importance "
+    "sampling that is stable under retries and repartitioning, "
+    "unlike rand()-weighted df.sample)",
+    doc="Each document enters the sample with probability proportional "
+    "to its length (p = n_chars/600, clamped by the uniform's [0,1) "
+    "range): the uniform is the first 32 bits of md5(doc_id) — a pure "
+    "projection any worker can recompute, so membership never changes "
+    "across retries, engines, or data layout. Output is the per-source "
+    "sample census. The same idiom does temperature-weighted corpus "
+    "mixing (p = weight_source * len / total).",
+    tags=("llm",),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    return (
+        d.filter(u < F.col("n_chars") / 600.0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
