@@ -2240,3 +2240,155 @@ def median_imputation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("imputed_sum"),
         )
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'lineitem_orphans' AS check_name,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                 AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'childless_orders',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                       WHERE l.l_orderkey = o.o_orderkey))
+                 AS BIGINT)
+        UNION ALL
+        SELECT 'customer_fk_orphans',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                 AS BIGINT)
+    """,
+    survey="§2.9 extension (referential-integrity audit: anti-join "
+    "orphan checks across the star schema — the FK constraint a "
+    "data lake never enforces and a quality gate must)",
+    doc="Counts fact rows whose parent key is missing and parents "
+    "with no children, for three relationships, via left-anti joins "
+    "(each one shuffle on the key; the orders->customer check "
+    "broadcasts the dim). Parquet has no FK enforcement — this audit "
+    "is how a medallion pipeline catches partial loads and botched "
+    "backfills before gold builds on them.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+
+    def count_row(name: str, df) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_violations"),
+        )
+
+    li_orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+    cust_orphans = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    )
+    return (
+        count_row("lineitem_orphans", li_orphans)
+        .unionByName(count_row("childless_orders", childless))
+        .unionByName(count_row("customer_fk_orphans", cust_orphans))
+    )
+
+
+@query(
+    "revenue_pareto_curve",
+    oracle="""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT rev_cents,
+                 row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+                   AS rnk,
+                 SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                 COUNT(*) OVER () AS n_cust,
+                 SUM(rev_cents) OVER () AS total_cents
+          FROM per_cust
+        )
+        SELECT top_pct, CAST(n_top AS BIGINT) AS n_top,
+               FLOOR(cum * 10000.0 / total + 0.5) / 100.0 AS revenue_share_pct
+        FROM (
+          SELECT 1 AS top_pct, MAX(CASE WHEN rnk * 100 <= n_cust THEN rnk END) AS n_top,
+                 MAX(CASE WHEN rnk * 100 <= n_cust THEN cum_cents END) AS cum,
+                 MAX(total_cents) AS total
+          FROM ranked
+          UNION ALL
+          SELECT 5, MAX(CASE WHEN rnk * 20 <= n_cust THEN rnk END),
+                 MAX(CASE WHEN rnk * 20 <= n_cust THEN cum_cents END),
+                 MAX(total_cents)
+          FROM ranked
+          UNION ALL
+          SELECT 10, MAX(CASE WHEN rnk * 10 <= n_cust THEN rnk END),
+                 MAX(CASE WHEN rnk * 10 <= n_cust THEN cum_cents END),
+                 MAX(total_cents)
+          FROM ranked
+        ) t
+    """,
+    survey="§2.4/§2.5 extension (revenue concentration: cumulative "
+    "share at top-k% of customers — the Pareto curve behind account "
+    "prioritization)",
+    doc="What share of revenue the top 1/5/10 percent of customers "
+    "carry. Customer revenues aggregate to exact cents, a cumulative "
+    "window over the DESC-ranked aggregate (total order via the key "
+    "tiebreak) yields running share, and each percentile reads the "
+    "last rank within its cutoff. The global window runs over the "
+    "per-customer AGGREGATE (thousands of rows at any corpus size "
+    "where customers fit an aggregate), not raw orders; shares are "
+    "exact integer ratios det-rounded.",
+)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_cents")
+    )
+    w = W.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "rev_cents",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("rev_cents")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_cents"),
+    ).crossJoin(
+        F.broadcast(
+            per_cust.agg(
+                F.count("*").alias("n_cust"),
+                F.sum("rev_cents").alias("total_cents"),
+            )
+        )
+    )
+    slices = []
+    for pct, mult in ((1, 100), (5, 20), (10, 10)):
+        slices.append(
+            ranked.filter(F.col("rnk") * mult <= F.col("n_cust")).agg(
+                F.lit(pct).alias("top_pct"),
+                F.max("rnk").alias("n_top"),
+                (
+                    F.floor(
+                        F.max(F.when(F.col("rnk") * mult <= F.col("n_cust"),
+                                     F.col("cum_cents")))
+                        * 10000.0
+                        / F.max("total_cents")
+                        + 0.5
+                    )
+                    / 100.0
+                ).alias("revenue_share_pct"),
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
