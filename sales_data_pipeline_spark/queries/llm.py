@@ -1759,3 +1759,64 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+@query(
+    "char_entropy_scores",
+    oracle="""
+        WITH chars AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(1, length(text)))
+                        AS i) t
+          WHERE length(text) > 0
+        ),
+        counts AS (
+          SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+        ),
+        totals AS (
+          SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+        )
+        SELECT counts.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               FLOOR(SUM(-(counts.c * 1.0 / totals.n)
+                         * ln(counts.c * 1.0 / totals.n)) * 10000 + 0.5)
+                 / 10000.0 AS entropy_nats
+        FROM counts JOIN totals USING (doc_id)
+        GROUP BY counts.doc_id
+    """,
+    survey="LLM-ext: character-entropy scoring (Shannon entropy per "
+    "document — the information-theoretic filter that catches "
+    "base64 blobs, key dumps, and repeated-character padding that "
+    "word-level quality rules miss)",
+    doc="Per document: distinct characters and Shannon entropy (nats) "
+    "of the character distribution. Counts are exact; the only floats "
+    "are p*ln(p) terms whose cross-libm drift is ~1 ulp, far below "
+    "the det-round 1e-4 grid. Both engines enumerate characters the "
+    "same way (positional substring), so distributions are identical. "
+    "Plan: one explode + two partial-agg shuffles keyed on doc_id — "
+    "the second reuses the first's partitioning.",
+    tags=("llm",),
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # split on the zero-width (?!^) lookahead -> one element per char;
+    # Spark's split keeps a trailing empty element (limit=-1 semantics),
+    # which the oracle's positional-substr enumeration never produces
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            (
+                F.floor(F.sum(-p * F.log(p)) * 10000 + F.lit(0.5)) / 10000.0
+            ).alias("entropy_nats"),
+        )
+    )
