@@ -1820,3 +1820,166 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "inverted_index_tokens",
+    oracle="""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+          FROM documents
+        )
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS doc_freq,
+               array_to_string(list_slice(list_sort(list(doc_id)), 1, 10),
+                 ',') AS postings_head
+        FROM toks GROUP BY token
+        HAVING COUNT(*) >= 50
+    """,
+    survey="LLM-ext: inverted-index build (token -> posting list + "
+    "document frequency — the index-construction pass behind keyword "
+    "retrieval and hybrid search)",
+    doc="Posting lists for every token appearing in >= 50 documents: "
+    "document frequency plus the first 10 doc ids. The list is sorted "
+    "AFTER collect (collect_list order is partition-dependent — same "
+    "determinism rule as the path query) and truncated via slice, so "
+    "the output is stable and small. One explode + distinct + one "
+    "grouped shuffle, all partial-agg; at scale the posting lists "
+    "write out partitioned by token hash and the HAVING threshold "
+    "prunes the long tail that carries no retrieval signal.",
+    tags=("llm",),
+)
+def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).distinct()
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("postings_head"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
+BM25_QUERY_TERMS = ["hash", "join", "table"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+          FROM documents
+        ),
+        dl AS (
+          SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token IN ({terms})
+          GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 SUM(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl * stats.n_docs * 1.0
+                        / stats.total_len))
+                 ) AS score
+          FROM tf
+          JOIN df USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, FLOOR(score * 10000 + 0.5) / 10000.0 AS bm25
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@query(
+    "bm25_search",
+    oracle=_bm25_oracle(),
+    survey="LLM-ext: BM25 keyword search (tf/df/length-normalized "
+    "relevance top-k — the lexical retrieval twin of the cosine ANN "
+    "queries; hybrid search runs both)",
+    doc="Top-10 documents for a fixed 3-term query under BM25 "
+    "(k1=1.2, b=0.75). Every statistic is an exact integer (term "
+    "freq, doc freq, doc length, corpus size/total length — the "
+    "latter two a 1-row broadcast), so the score expression is "
+    "deterministic float arithmetic identical on both engines, "
+    "det-rounded for the compare. The token explode happens once and "
+    "feeds doc-length and tf branches; only query-term rows survive "
+    "into the scoring joins, and df/dl both broadcast.",
+    tags=("llm",),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0
+        - BM25_B
+        + BM25_B * F.col("dl") * F.col("n_docs") * 1.0 / F.col("total_len")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias(
+                "score"
+            )
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            (F.floor(F.col("score") * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "bm25"
+            ),
+        )
+    )
