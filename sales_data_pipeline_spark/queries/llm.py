@@ -1983,3 +1983,146 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RRF_K = 60
+
+
+def _hybrid_rrf_oracle() -> str:
+    q = similarity.query_vector()
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token IN ({terms}) GROUP BY doc_id, token
+        ),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        lex AS (
+          SELECT tf.doc_id,
+                 SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * (tf.tf * ({BM25_K1} + 1.0))
+                     / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * dl.dl * stats.n_docs * 1.0
+                          / stats.total_len))) AS score
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN stats GROUP BY tf.doc_id
+        ),
+        lex_ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM lex QUALIFY rnk <= 50
+        ),
+        sem AS (
+          SELECT vec_id AS doc_id,
+                 {_sql_cosine_literal("embedding", q)} AS score
+          FROM embeddings
+        ),
+        sem_ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM sem QUALIFY rnk <= 50
+        )
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               CAST(l.rnk AS INTEGER) AS lex_rank,
+               CAST(s.rnk AS INTEGER) AS sem_rank,
+               FLOOR((COALESCE(1.0 / ({RRF_K} + l.rnk), 0.0)
+                      + COALESCE(1.0 / ({RRF_K} + s.rnk), 0.0)) * 1000000
+                     + 0.5) / 1000000.0 AS rrf_score
+        FROM lex_ranked l FULL OUTER JOIN sem_ranked s USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    survey="LLM-ext: hybrid retrieval (Reciprocal Rank Fusion of the "
+    "BM25 lexical ranking and the cosine semantic ranking — the "
+    "fusion step that makes keyword and vector search one system)",
+    doc="Top-10 by RRF (k=60) over two top-50 lists: the BM25 ranking "
+    "from bm25_search's statistics and the brute-force cosine ranking "
+    "over the embedding column (ids aligned for the demo corpus). "
+    "Fusion depends only on integer RANKS — both engines rank "
+    "bit-identical raw scores with an id tiebreak — so the combined "
+    "score is an exact rational, det-rounded. Plan: the two rankings "
+    "are top-k'd independently (TakeOrderedAndProject, 50 rows each), "
+    "then a full outer join of two 50-row sides — the fusion itself "
+    "costs nothing at any corpus size.",
+    tags=("llm",),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0
+        - BM25_B
+        + BM25_B * F.col("dl") * F.col("n_docs") * 1.0 / F.col("total_len")
+    )
+    lex = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias("score"))
+    )
+    wl = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_ranked = (
+        lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+        .filter(F.col("lex_rank") <= 50)
+    )
+    e = table(spark, sf_dir, "embeddings")
+    sem = e.select(
+        F.col("vec_id").alias("doc_id"),
+        similarity.cosine_to_literal(
+            F.col("embedding"), similarity.query_vector()
+        ).alias("score"),
+    )
+    sem_ranked = (
+        sem.select("doc_id", F.row_number().over(wl).alias("sem_rank"))
+        .filter(F.col("sem_rank") <= 50)
+    )
+    fused = lex_ranked.join(sem_ranked, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0))
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (F.floor(rrf * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
