@@ -1197,3 +1197,137 @@ def scd1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(inserts).unionByName(deletes)
     return scd2.scd1_upsert(base, changes, key="id")
+
+
+@query(
+    "scd2_compact_history",
+    oracle="""
+        WITH epochs AS (
+          SELECT c_custkey AS id, 0 AS epoch,
+                 DATE '2024-01-01' AS valid_from,
+                 DATE '2024-02-01' AS valid_to,
+                 md5(c_name || '|' || CAST(c_nationkey AS VARCHAR)) AS row_hash
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, 1, DATE '2024-02-01', DATE '2024-03-01',
+                 CASE WHEN c_custkey % 4 = 0
+                      THEN md5(c_name || '-v1|' || CAST(c_nationkey AS VARCHAR))
+                      ELSE md5(c_name || '|' || CAST(c_nationkey AS VARCHAR))
+                 END
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, 2, DATE '2024-03-01', NULL,
+                 CASE WHEN c_custkey % 6 = 0
+                      THEN md5(c_name || '-v2|' || CAST(c_nationkey AS VARCHAR))
+                      WHEN c_custkey % 4 = 0
+                      THEN md5(c_name || '-v1|' || CAST(c_nationkey AS VARCHAR))
+                      ELSE md5(c_name || '|' || CAST(c_nationkey AS VARCHAR))
+                 END
+          FROM customer
+        ),
+        marked AS (
+          SELECT *, CASE WHEN lag(row_hash) OVER w IS NULL
+                         OR lag(row_hash) OVER w <> row_hash
+                         THEN 1 ELSE 0 END AS is_new
+          FROM epochs
+          WINDOW w AS (PARTITION BY id ORDER BY valid_from)
+        ),
+        islands AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY id ORDER BY valid_from
+                      ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked
+        )
+        SELECT id, row_hash,
+               CAST(MIN(valid_from) AS TIMESTAMP) AS valid_from,
+               CAST(MAX(CASE WHEN valid_to IS NULL
+                             THEN DATE '2200-01-01' ELSE valid_to END)
+                 AS TIMESTAMP) AS valid_to_raw,
+               CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM islands GROUP BY id, row_hash, island
+    """,
+    survey="§2.12 extension (SCD2 history compaction: merge adjacent "
+    "versions whose tracked attributes never actually changed — the "
+    "maintenance pass that undoes re-stamped no-op loads bloating a "
+    "versioned dimension)",
+    doc="A 3-epoch history where most reloads re-stamped UNCHANGED "
+    "attributes (only id%4 changed at epoch 1, id%6 at epoch 2) "
+    "compacts via gaps-and-islands on the row hash: a change marker "
+    "per version (lag over the per-key validity order), a running-sum "
+    "island id, then one row per island with the merged validity "
+    "range (open intervals sort via a 2200-01-01 sentinel, inside the ns-timestamp range) and the "
+    "count of collapsed versions. Two window passes and one aggregate "
+    "over the same per-key partitioning — one shuffle total, and the "
+    "compacted output is what keeps point-in-time reads O(changes), "
+    "not O(loads).",
+)
+def scd2_compact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    base_hash = F.md5(
+        F.concat(
+            F.col("c_name"), F.lit("|"), F.col("c_nationkey").cast("string")
+        )
+    )
+    v1_hash = F.md5(
+        F.concat(
+            F.col("c_name"),
+            F.lit("-v1|"),
+            F.col("c_nationkey").cast("string"),
+        )
+    )
+    v2_hash = F.md5(
+        F.concat(
+            F.col("c_name"),
+            F.lit("-v2|"),
+            F.col("c_nationkey").cast("string"),
+        )
+    )
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    e0 = c.select(
+        F.col("c_custkey").alias("id"),
+        d("2024-01-01").alias("valid_from"),
+        d("2024-02-01").alias("valid_to"),
+        base_hash.alias("row_hash"),
+    )
+    e1 = c.select(
+        F.col("c_custkey").alias("id"),
+        d("2024-02-01").alias("valid_from"),
+        d("2024-03-01").alias("valid_to"),
+        F.when(F.col("c_custkey") % 4 == 0, v1_hash)
+        .otherwise(base_hash)
+        .alias("row_hash"),
+    )
+    e2 = c.select(
+        F.col("c_custkey").alias("id"),
+        d("2024-03-01").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.when(F.col("c_custkey") % 6 == 0, v2_hash)
+        .when(F.col("c_custkey") % 4 == 0, v1_hash)
+        .otherwise(base_hash)
+        .alias("row_hash"),
+    )
+    hist = e0.unionByName(e1).unionByName(e2)
+    w = W.partitionBy("id").orderBy("valid_from")
+    prev = F.lag("row_hash").over(w)
+    marked = hist.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (prev != F.col("row_hash")), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("is_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("id", "row_hash", "island")
+        .agg(
+            F.min("valid_from").cast("timestamp").alias("valid_from"),
+            F.max(
+                F.coalesce(F.col("valid_to"), d("2200-01-01"))
+            ).cast("timestamp").alias("valid_to_raw"),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("island")
+    )
