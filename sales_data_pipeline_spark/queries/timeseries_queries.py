@@ -773,3 +773,87 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "throttle_events_24h",
+    oracle="""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
+                   * 1000000
+                 + CAST(EXTRACT(microsecond FROM ts) AS BIGINT) % 1000000
+                   AS ts_us
+          FROM events
+        ),
+        em AS (
+          SELECT user_id, MIN(ts_us) AS ts_us, 1 AS n
+          FROM ev GROUP BY user_id
+          UNION ALL
+          SELECT em.user_id,
+                 (SELECT MIN(e.ts_us) FROM ev e
+                  WHERE e.user_id = em.user_id
+                    AND e.ts_us >= em.ts_us + 86400000000),
+                 em.n + 1
+          FROM em
+          WHERE (SELECT MIN(e.ts_us) FROM ev e
+                 WHERE e.user_id = em.user_id
+                   AND e.ts_us >= em.ts_us + 86400000000) IS NOT NULL
+        )
+        SELECT ev.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(em_agg.n_emitted) AS BIGINT) AS n_emitted,
+               CAST(MAX(em_agg.first_emit_us) AS BIGINT) AS first_emit_us,
+               CAST(MAX(em_agg.last_emit_us) AS BIGINT) AS last_emit_us
+        FROM ev
+        JOIN (SELECT user_id, MAX(n) AS n_emitted, MIN(ts_us) AS first_emit_us,
+                     MAX(ts_us) AS last_emit_us
+              FROM em GROUP BY user_id) em_agg USING (user_id)
+        GROUP BY ev.user_id
+    """,
+    survey="timeseries-ext: event throttling (emit-then-suppress-24h "
+    "per key — sequential state no window function expresses; the "
+    "alert-dedup / notification-rate-limit operator), via grouped "
+    "applyInPandas (the batch Arrow surface; its streaming twin is "
+    "transformWithState)",
+    doc="Per user: first event emits, then everything inside 24h of "
+    "the LAST EMITTED event is suppressed, repeating down the "
+    "timeline — each decision depends on the prior decision, so this "
+    "is a per-key sequential fold, not a window. Spark side runs it "
+    "as grouped applyInPandas (Arrow batch per key, a vectorized "
+    "sort + linear scan in pandas, keys distributed across "
+    "executors); the oracle replays the same chain with a recursive "
+    "CTE. Integer-microsecond timestamps keep the >= 24h comparison "
+    "exact on both engines.",
+    tags=("timeseries",),
+)
+def throttle_events_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+    def throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts_us"].sort_values().to_numpy()
+        emitted = []
+        last = None
+        for t in ts:
+            if last is None or t >= last + 86_400_000_000:
+                emitted.append(int(t))
+                last = int(t)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(ts)],
+                "n_emitted": [len(emitted)],
+                "first_emit_us": [emitted[0]],
+                "last_emit_us": [emitted[-1]],
+            }
+        )
+
+    out_schema = (
+        "user_id bigint, n_events bigint, n_emitted bigint, "
+        "first_emit_us bigint, last_emit_us bigint"
+    )
+    return ev.groupBy("user_id").applyInPandas(throttle, out_schema)
