@@ -60,6 +60,9 @@ HEADLINE = [
     "concurrent_events_daily_peak",
     # Arrow/pandas codec boundary
     "multimodal_audio_energy",
+    # retrieval stack
+    "bm25_search",
+    "hybrid_search_rrf",
 ]
 
 
