@@ -212,3 +212,48 @@ def test_parquet_merge_schema_across_epochs(spark, tmp_path):
     n = o.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("o_orderpriority").isNull()).count() == n
+
+
+def test_range_clustered_write_enables_file_skipping(spark, tmp_path):
+    """Range-clustering a table on its habitual filter key before the
+    write (repartitionByRange + sortWithinPartitions) gives every file
+    a narrow, mutually disjoint min/max envelope on that key — the
+    layout property parquet row-group/file skipping needs. Without it,
+    every file spans the whole key range and no filter can skip
+    anything. Asserted directly on the parquet footers."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "clustered")
+    (
+        ev.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+
+    envelopes = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = [
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "user_id"
+        ][0]
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        envelopes.append((min(mins), max(maxs)))
+    envelopes.sort()
+    # disjoint (or touching) envelopes: each file covers its own slice
+    for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
+        assert hi1 <= lo2, envelopes
+    # and the clustered copy still answers queries correctly
+    probe = envelopes[0][1]
+    got = spark.read.parquet(out).filter(F.col("user_id") == probe).count()
+    want = ev.filter(F.col("user_id") == probe).count()
+    assert got == want > 0
