@@ -857,3 +857,90 @@ def throttle_events_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_emit_us bigint, last_emit_us bigint"
     )
     return ev.groupBy("user_id").applyInPandas(throttle, out_schema)
+
+
+@query(
+    "conversion_lag_percentiles",
+    oracle="""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        lags AS (
+          SELECT c.event_id, date_trunc('day', c.ts) AS day,
+                 MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS lag_us
+          FROM clicks c JOIN purchases p
+            ON c.user_id = p.user_id
+           AND p.ts > c.ts
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+          GROUP BY c.event_id, day
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(FLOOR(quantile_cont(lag_us, 0.5) / 1000000) AS BIGINT)
+                 AS p50_lag_s,
+               CAST(FLOOR(quantile_cont(lag_us, 0.9) / 1000000) AS BIGINT)
+                 AS p90_lag_s
+        FROM lags GROUP BY day
+    """,
+    survey="timeseries-ext: time-to-convert distribution (per-day "
+    "p50/p90 of the click-to-purchase lag — the latency-SLA view of "
+    "the attribution funnel)",
+    doc="For converting clicks (first same-user purchase within 1h), "
+    "the daily median and p90 conversion lag in whole seconds. The "
+    "interval match is the same forward epoch-band equi-join as the "
+    "conversion-rate query; per-click MIN lag is an exact integer, "
+    "so the interpolated percentiles agree across engines and the "
+    "floor-to-seconds output is integer-stable.",
+    tags=("timeseries",),
+)
+def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    width = 3600 * 1_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        us(F.col("ts")).alias("c_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        us(F.col("ts")).alias("p_us"),
+        (us(F.col("ts")) / width).cast("long").alias("band"),
+    )
+    probes = clicks.select(
+        "event_id",
+        "user_id",
+        "day",
+        "c_us",
+        F.explode(
+            F.array(
+                (F.col("c_us") / width).cast("long"),
+                (F.col("c_us") / width).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    lags = (
+        probes.join(
+            purchases,
+            (probes.user_id == purchases.p_user)
+            & (probes.band == purchases.band)
+            & (purchases.p_us > probes.c_us)
+            & (purchases.p_us <= probes.c_us + width),
+        )
+        .groupBy("event_id", "day")
+        .agg(F.min(F.col("p_us") - F.col("c_us")).alias("lag_us"))
+    )
+    return lags.groupBy("day").agg(
+        F.count("*").alias("n_converted"),
+        F.floor(F.percentile(F.col("lag_us"), F.lit(0.5)) / 1000000)
+        .cast("long")
+        .alias("p50_lag_s"),
+        F.floor(F.percentile(F.col("lag_us"), F.lit(0.9)) / 1000000)
+        .cast("long")
+        .alias("p90_lag_s"),
+    )
