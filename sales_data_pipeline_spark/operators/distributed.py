@@ -1,0 +1,98 @@
+"""Scale-safe global-order primitives.
+
+A ``row_number()`` / cumulative-sum window with no PARTITION BY plans as
+a single-partition ``WindowExec`` — every row funnels through one task,
+which is the classic 100x scale-killer. ``ordered_scan`` computes the
+same global rank / running totals with the textbook two-pass plan:
+
+1. ``repartitionByRange`` on the sort key — each partition holds a
+   contiguous key range, sorted locally in parallel;
+2. per-partition window (partitioned by ``spark_partition_id()``) for
+   the local rank / local prefix sums;
+3. per-partition row counts and value totals (one tiny shuffled agg,
+   <= num_partitions rows) turned into exclusive prefix offsets and
+   broadcast back.
+
+Global rank = local rank + offset; global cumsum = local cumsum +
+offset. Works because RangePartitioning guarantees partition ``i``
+holds keys ordered before partition ``i+1``, and Spark's range-bound
+sampling is deterministic (seeded by partition index), so both
+consumers of the exchange see identical bounds (the physical plan
+reuses the exchange anyway).
+
+No analog in the reference repo (its engine is single-node, a global
+sort there is just a sort); this exists so catalog queries advertised
+as scale-safe never ship a single-partition WindowExec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_PID = "__ds_pid"
+_LRN = "__ds_lrn"
+
+
+def ordered_scan(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    sum_cols: Sequence[tuple[str, str]] = (),
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a global 1-based row number (``rank_col``) and, per
+    ``(value_col, out_col)`` in ``sum_cols``, an inclusive running sum
+    of ``value_col`` — all ordered by ``order_cols`` — without a
+    single-partition window.
+
+    ``order_cols`` must be a total order (add a unique tiebreaker) for
+    deterministic output. ``value_col`` entries must be existing
+    columns of ``df``.
+    """
+    sort_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    part = df.repartitionByRange(num_partitions, *sort_exprs).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+    wloc = W.partitionBy(_PID).orderBy(*sort_exprs)
+    wrun = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local_cols = {_LRN: F.row_number().over(wloc).cast("long")}
+    for val, out in sum_cols:
+        local_cols[f"__ds_run_{out}"] = F.sum(val).over(wrun)
+    local = part.withColumns(local_cols)
+
+    aggs = [F.count(F.lit(1)).alias("__ds_cnt")] + [
+        F.sum(val).alias(f"__ds_tot_{out}") for val, out in sum_cols
+    ]
+    stats = part.groupBy(_PID).agg(*aggs)
+    # Exclusive prefix over <= num_partitions rows: the one unpartitioned
+    # window here is bounded by the constant partition count, not data.
+    woff = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    offs = stats.select(
+        _PID,
+        F.coalesce(F.sum("__ds_cnt").over(woff), F.lit(0)).alias("__ds_rn_off"),
+        *[
+            F.coalesce(F.sum(f"__ds_tot_{out}").over(woff), F.lit(0)).alias(
+                f"__ds_off_{out}"
+            )
+            for _, out in sum_cols
+        ],
+    )
+
+    joined = local.join(F.broadcast(offs), _PID)
+    out_cols = {rank_col: F.col(_LRN) + F.col("__ds_rn_off")}
+    for _, out in sum_cols:
+        out_cols[out] = F.col(f"__ds_run_{out}") + F.col(f"__ds_off_{out}")
+    internal = [_PID, _LRN, "__ds_rn_off"] + [
+        c for _, out in sum_cols for c in (f"__ds_run_{out}", f"__ds_off_{out}")
+    ]
+    return joined.withColumns(out_cols).drop(*internal)

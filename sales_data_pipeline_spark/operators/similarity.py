@@ -46,10 +46,16 @@ def dot_literal(vec: Column, lit_vec: list[float], dim: int = DIM) -> Column:
     every consumer compile a ~dim*N_PLANES-term codegen expression
     (8-11s of janino per query plan — measured 8x slower end-to-end at
     bench scale), while the fold's expression tree is O(1). Values are
-    identical; per-row interpretation is nanoseconds against the scan."""
+    identical; per-row interpretation is nanoseconds against the scan.
+
+    Length-drift guard: the column side is sliced to the literal's
+    length, so an overlong vector truncates deterministically instead
+    of NULL-poisoning the whole score (zip_with pads the shorter side
+    with nulls). An UNDERsized vector still yields NULL — a corrupt
+    embedding should fail the score, not fake a partial one."""
     arr = F.array(*[F.lit(float(x)) for x in lit_vec])
     return F.aggregate(
-        F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+        F.zip_with(F.slice(vec, 1, len(lit_vec)), arr, lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -57,9 +63,15 @@ def dot_literal(vec: Column, lit_vec: list[float], dim: int = DIM) -> Column:
 
 def dot(a: Column, b: Column, dim: int = DIM) -> Column:
     """Left-fold dot product of two vector columns (same sequential
-    association as dot_literal)."""
+    association as dot_literal). Both sides slice to ``dim`` so an
+    overlong vector truncates; an undersized one yields NULL (see
+    dot_literal)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(
+            F.slice(a, 1, dim),
+            F.slice(b, 1, dim),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -94,8 +94,13 @@ def range_join_count(
     # microsecond arithmetic: unix_timestamp() truncates sub-second
     # parts and would shift interval edges vs exact engines. The
     # cast("timestamp") is a no-op for TIMESTAMP inputs and a
-    # session-tz conversion for TIMESTAMP_NTZ — both sides shift by
-    # the same offset, so interval membership is unchanged.
+    # session-tz conversion for TIMESTAMP_NTZ. "Both sides shift by
+    # the same offset" holds ONLY for a fixed-offset session timezone:
+    # under a DST zone, values straddling a transition shift by
+    # different offsets and band membership changes. The catalog pins
+    # spark.sql.session.timeZone=UTC (queries/base.py) — a non-UTC
+    # caller must pin a fixed-offset zone or pre-convert NTZ inputs
+    # (to_utc_timestamp) before using this operator.
     width = lookback_seconds * 1_000_000
     lsec = F.unix_micros(F.col(left_ts).cast("timestamp"))
     rsec = F.unix_micros(F.col(right_ts).cast("timestamp"))

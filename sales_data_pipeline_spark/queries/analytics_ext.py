@@ -2340,28 +2340,28 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "share at top-k% of customers — the Pareto curve behind account "
     "prioritization)",
     doc="What share of revenue the top 1/5/10 percent of customers "
-    "carry. Customer revenues aggregate to exact cents, a cumulative "
-    "window over the DESC-ranked aggregate (total order via the key "
-    "tiebreak) yields running share, and each percentile reads the "
-    "last rank within its cutoff. The global window runs over the "
-    "per-customer AGGREGATE (thousands of rows at any corpus size "
-    "where customers fit an aggregate), not raw orders; shares are "
-    "exact integer ratios det-rounded.",
+    "carry. Customer revenues aggregate to exact cents; the DESC "
+    "ranking and running revenue come from a range-partitioned "
+    "two-pass prefix sum (operators/distributed.ordered_scan) rather "
+    "than a single-partition cumulative window, so the scan "
+    "parallelizes even when customer cardinality grows with the "
+    "corpus; each percentile reads the last rank within its cutoff; "
+    "shares are exact integer ratios det-rounded.",
 )
 def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_spark.operators.distributed import ordered_scan
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("rev_cents")
     )
-    w = W.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "rev_cents",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("rev_cents")
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum_cents"),
+    ranked = ordered_scan(
+        per_cust,
+        [F.desc("rev_cents"), F.asc("o_custkey")],
+        sum_cols=[("rev_cents", "cum_cents")],
+        rank_col="rnk",
     ).crossJoin(
         F.broadcast(
             per_cust.agg(
@@ -2370,25 +2370,30 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    slices = []
+    # All three percentile cutoffs in ONE pass over the ranked frame
+    # (conditional aggregates + stack), instead of a 3-way union that
+    # would recompute the ordered_scan subtree per slice.
+    aggs = [F.max("total_cents").alias("total")]
     for pct, mult in ((1, 100), (5, 20), (10, 10)):
-        slices.append(
-            ranked.filter(F.col("rnk") * mult <= F.col("n_cust")).agg(
-                F.lit(pct).alias("top_pct"),
-                F.max("rnk").alias("n_top"),
-                (
-                    F.floor(
-                        F.max(F.when(F.col("rnk") * mult <= F.col("n_cust"),
-                                     F.col("cum_cents")))
-                        * 10000.0
-                        / F.max("total_cents")
-                        + 0.5
-                    )
-                    / 100.0
-                ).alias("revenue_share_pct"),
-            )
+        within = F.col("rnk") * mult <= F.col("n_cust")
+        aggs.append(F.max(F.when(within, F.col("rnk"))).alias(f"n_top_{pct}"))
+        aggs.append(
+            F.max(F.when(within, F.col("cum_cents"))).alias(f"cum_{pct}")
         )
-    out = slices[0]
-    for s in slices[1:]:
-        out = out.unionByName(s)
-    return out
+    wide = ranked.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack(3, "
+            "1, n_top_1, cum_1, "
+            "5, n_top_5, cum_5, "
+            "10, n_top_10, cum_10) AS (top_pct, n_top, cum)"
+        ),
+        "total",
+    )
+    return stacked.select(
+        "top_pct",
+        "n_top",
+        (
+            F.floor(F.col("cum") * 10000.0 / F.col("total") + 0.5) / 100.0
+        ).alias("revenue_share_pct"),
+    )

@@ -1678,17 +1678,20 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # gram sets only for docs appearing in candidates (both sides)
-    def gram_sets(df, ids, idc):
-        touched = df.join(cand.select(F.col(idc).alias("doc_id")).distinct(),
-                          "doc_id", "left_semi")
+    def gram_sets(df, ids):
+        touched = df.join(ids, "doc_id", "left_semi")
         return (
             dedup.shingle_rows(touched, "doc_id", "text", 3)
             .groupBy("id")
             .agg(F.collect_set("sh").alias("grams"))
         )
 
-    gq = gram_sets(batch, cand, "qid").persist()
-    gb = gram_sets(base, cand, "bid").persist()
+    gq = gram_sets(
+        batch, cand.select(F.col("qid").alias("doc_id")).distinct()
+    ).persist()
+    gb = gram_sets(
+        base, cand.select(F.col("bid").alias("doc_id")).distinct()
+    ).persist()
     pairs = (
         cand.join(gq.select(F.col("id").alias("qid"), F.col("grams").alias("ga")), "qid")
         .join(gb.select(F.col("id").alias("bid"), F.col("grams").alias("gb")), "bid")
@@ -2093,10 +2096,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias("score"))
     )
+    # Top-50 per side via orderBy().limit() — plans as
+    # TakeOrderedAndProject, so only 50 rows ever reach the ranking
+    # window below (its single partition is constant-sized at any
+    # corpus scale, unlike a row_number over the full scored set).
     wl = W.orderBy(F.desc("score"), F.asc("doc_id"))
     lex_ranked = (
-        lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
-        .filter(F.col("lex_rank") <= 50)
+        lex.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.row_number().over(wl).alias("lex_rank"))
     )
     e = table(spark, sf_dir, "embeddings")
     sem = e.select(
@@ -2106,8 +2114,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     sem_ranked = (
-        sem.select("doc_id", F.row_number().over(wl).alias("sem_rank"))
-        .filter(F.col("sem_rank") <= 50)
+        sem.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.row_number().over(wl).alias("sem_rank"))
     )
     fused = lex_ranked.join(sem_ranked, "doc_id", "full_outer")
     rrf = (

@@ -121,13 +121,43 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="timeseries-ext: ntile ranking (SURVEY §2.5 gap)",
     doc="Balance quartiles with a total-order tiebreak (ntile over a "
-    "non-unique key is partition-order nondeterminism otherwise).",
+    "non-unique key is partition-order nondeterminism otherwise). "
+    "Computed WITHOUT a global ntile window (single-partition "
+    "WindowExec): a range-partitioned distributed rank "
+    "(operators/distributed.ordered_scan) plus the exact ntile bucket "
+    "formula — the first n%4 buckets get floor(n/4)+1 rows — "
+    "reproduces ntile(4) semantics bit-for-bit at any customer "
+    "cardinality.",
     tags=("timeseries",),
 )
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_spark.operators.distributed import ordered_scan
+
     c = table(spark, sf_dir, "customer")
-    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    ranked = ordered_scan(
+        c.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        rank_col="__rnk",
+    )
+    with_n = ranked.crossJoin(
+        F.broadcast(c.agg(F.count(F.lit(1)).alias("__n")))
+    )
+
+    def idiv(a, b):  # exact integer division over positive longs
+        return (a - a % b) / b
+
+    n = F.col("__n")
+    r = F.col("__rnk")
+    base = idiv(n, F.lit(4))  # small-bucket size
+    rem = n % 4  # number of (base+1)-sized leading buckets
+    thresh = rem * (base + 1)  # ranks <= thresh land in a big bucket
+    big = idiv(r + base, base + 1)  # ceil(r / (base+1))
+    small_den = F.greatest(base, F.lit(1))  # base=0 only when thresh>=n
+    small = rem + idiv(r - thresh + small_den - 1, small_den)
+    return with_n.select(
+        "c_custkey",
+        F.when(r <= thresh, big).otherwise(small).cast("int").alias("quartile"),
+    )
 
 
 @query(

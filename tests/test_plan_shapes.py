@@ -195,6 +195,77 @@ class TestRuntimeFilters:
                     spark.conf.set(k, v)
 
 
+class TestNoGlobalWindows:
+    # Unpartitioned windows whose input is provably bounded (constant
+    # w.r.t. corpus size), so the single partition carries O(1) rows:
+    BOUNDED_INPUT_OK = {
+        # calendar-day / month spines — cardinality is the date range
+        "ewma_daily_revenue",
+        "revenue_mom_growth",
+        "rolling_zscore_anomaly",
+        # ranks computed over orderBy().limit(50) (TakeOrderedAndProject
+        # feeds the window exactly 50 rows — pinned by
+        # test_hybrid_rrf_ranks_over_limits below)
+        "hybrid_search_rrf",
+    }
+
+    def test_catalog_free_of_unbounded_global_windows(self, spark):
+        """A window with no PARTITION BY plans as a single-partition
+        WindowExec — every row through one task, the classic scale
+        killer. Catalog-wide: any such window must be over bounded
+        input (allowlisted above) or over the <=num_partitions offsets
+        frame of operators/distributed.ordered_scan (__ds_pid)."""
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        skip = {"dedup_cluster_assign", "knn_ivf_probe", "ivf_centroid_assign"}
+        offenders = {}
+        for name, spec in sorted(load_all().items()):
+            if "streaming" in spec.tags or name in skip:
+                continue
+            if name in self.BOUNDED_INPUT_OK:
+                continue
+            plan = (
+                spec.fn(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            hits = re.findall(
+                r"windowspecdefinition\(([A-Za-z_][\w.]*#\d+L?) (?:ASC|DESC)",
+                plan,
+            )
+            hits = [h for h in hits if not h.startswith("__ds_pid")]
+            if hits:
+                offenders[name] = sorted(set(hits))
+        assert not offenders, f"unbounded global windows in: {offenders}"
+
+    def test_hybrid_rrf_ranks_over_limits(self, spark):
+        """Both ranking windows must sit directly on a
+        TakeOrderedAndProject(limit=50) — the fix for the round-1
+        global-row_number plan."""
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        plan = (
+            load_all()["hybrid_search_rrf"]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("TakeOrderedAndProject(limit=50") == 2, plan[:3000]
+
+    def test_distributed_rank_queries_use_range_partitioning(self, spark):
+        for q in ("ntile_customer_quartiles", "revenue_pareto_curve"):
+            plan = plan_of(spark, q)
+            assert "rangepartitioning" in plan, q
+            # the only unpartitioned window is the per-partition offsets
+            hits = re.findall(
+                r"windowspecdefinition\(([A-Za-z_][\w.]*#\d+L?) (?:ASC|DESC)",
+                plan,
+            )
+            assert all(h.startswith("__ds_pid") for h in hits), (q, hits)
+
+
 class TestNoPythonOnHotPath:
     def test_catalog_plans_free_of_row_udfs(self, spark):
         """SURVEY §2.11: the engine keeps the no-UDF discipline. Every
