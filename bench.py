@@ -63,6 +63,13 @@ HEADLINE = [
     # retrieval stack
     "bm25_search",
     "hybrid_search_rrf",
+    # window/state regression sentinels (round-2): distributed rank /
+    # prefix sum, gap-fill LOCF, stateful throttle, SCD1 merge
+    "revenue_pareto_curve",
+    "ntile_customer_quartiles",
+    "locf_forward_fill",
+    "throttle_events_24h",
+    "scd1_upsert_merge",
 ]
 
 

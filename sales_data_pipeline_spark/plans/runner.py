@@ -52,6 +52,10 @@ class PipelineConfig:
     watermark_dir: str | None = None
     quality_suites: dict[str, dict] = field(default_factory=dict)
     max_rejection_pct: float = 10.0  # config.yaml:77
+    # Alert when < this % of silver sales rows survive the gold star
+    # join (config.yaml:78 — declared but never wired in the reference;
+    # wired here as a warn-only gate like the bronze rejection check).
+    min_gold_join_percentage: float = 70.0  # config.yaml:78
 
 
 ENTITY_RULES = {
@@ -188,6 +192,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
     )
     m.gold_counts["sales_enriched"] = obs_enriched.get["n"]
     m.gold_counts["customer_metrics"] = obs_metrics.get["n"]
+
+    # gold join-rate gate (min_gold_join_percentage): the star join is
+    # inner, so enriched/silver is the fraction of sales that resolved
+    # all three dimensions. Counts come from the Observations above —
+    # no extra scan.
+    silver_n = m.silver_counts["sales"]
+    if silver_n:
+        join_pct = m.gold_counts["sales_enriched"] / silver_n * 100
+        if join_pct < cfg.min_gold_join_percentage:
+            m.quality["gold_join_pct"] = False
     enriched.unpersist()
     customer_hist.unpersist()
 

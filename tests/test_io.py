@@ -257,3 +257,41 @@ def test_range_clustered_write_enables_file_skipping(spark, tmp_path):
     got = spark.read.parquet(out).filter(F.col("user_id") == probe).count()
     want = ev.filter(F.col("user_id") == probe).count()
     assert got == want > 0
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S4/S8 exercised end-to-end against embedded Derby (already on
+    Spark's classpath for the Hive metastore — no external DB needed;
+    reference: src/main/read/database_read.py:7-9,
+    src/main/write/database_write.py:11-14). Covers the parallel
+    range-partitioned read path too: partitionColumn splits the scan
+    into multiple JDBC partitions."""
+    url = f"jdbc:derby:{tmp_path}/rt_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS val", "CONCAT('c', id % 3) AS cat"
+    )
+    writers.write_jdbc(src, url, "t_roundtrip", mode="overwrite",
+                       properties=props)
+
+    back = readers.read_jdbc(spark, url, "t_roundtrip", properties=props)
+    assert back.count() == 100
+    assert {c.lower() for c in back.columns} == {"id", "val", "cat"}
+    assert back.agg({"val": "sum"}).first()[0] == src.agg(
+        {"val": "sum"}
+    ).first()[0]
+
+    # parallel read: 4 range partitions over id
+    par = readers.read_jdbc(
+        spark, url, "t_roundtrip", properties=props,
+        partition_column="id", lower_bound=0, upper_bound=100,
+        num_partitions=4,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == 100
+
+    # append mode accumulates
+    writers.write_jdbc(src.limit(5), url, "t_roundtrip", mode="append",
+                       properties=props)
+    assert readers.read_jdbc(spark, url, "t_roundtrip",
+                             properties=props).count() == 105

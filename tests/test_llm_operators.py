@@ -319,3 +319,24 @@ def test_multimodal_resize_and_features(spark):
     assert len(ft[1]) == multimodal.N_FEATURES
     assert all(v == float(ord("a")) for v in ft[1])
     assert ft[3] == [0.0] * multimodal.N_FEATURES
+
+
+def test_approx_distinct_within_hll_error_bounds(spark):
+    """approx_distinct_users has no DuckDB oracle (HLL register layouts
+    are engine-specific) — this pins its accuracy instead: the HLL++
+    estimate must sit within 5 standard deviations of the exact
+    distinct it is computed alongside (rsd=0.01 -> ±5% at 5 sigma;
+    P(outside) < 1e-6, and the inputs are deterministic so this never
+    flakes)."""
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    rows = (
+        load_all()["approx_distinct_users"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows  # one row per event_type
+    for r in rows:
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.05, (r.event_type, r.approx_users, r.exact_users)

@@ -179,3 +179,54 @@ def test_scd2_across_runs(spark, cfg, tmp_path):
     assert str(closed.valid_to) == "2024-07-01"
     current = [r for r in ada if r.is_current][0]
     assert current.email == "ada-new@x.com"
+
+
+def test_gold_join_rate_gate(spark, tmp_path):
+    """min_gold_join_percentage (config.yaml:78 — declared but unwired
+    in the reference): a corpus where most sales reference customers
+    missing from the dimension must flag gold_join_pct, without
+    aborting the run (warn-only, like the bronze rejection gate)."""
+    root = str(tmp_path / "in")
+    _fixtures(root)
+    # 1 of 4 valid sales resolves a known customer (id 1); 5/6/7 are
+    # orphans -> join rate 25% < 70%
+    _write_csv(
+        f"{root}/sales.csv",
+        SALES_HEADER,
+        [
+            [1, 10, "Widget", "2024-03-01", 100, 5.0, 2, 10.0],
+            [5, 10, "Widget", "2024-03-02", 100, 5.0, 1, 5.0],
+            [6, 10, "Gadget", "2024-03-03", 100, 8.0, 3, 24.0],
+            [7, 10, "Widget", "2024-03-04", 100, 5.0, 2, 10.0],
+        ],
+    )
+    cfg = PipelineConfig(
+        input_paths={
+            "sales": f"{root}/sales.csv",
+            "customer": f"{root}/customer.csv",
+            "product": f"{root}/product.csv",
+            "store": f"{root}/store.csv",
+        },
+        output_root=str(tmp_path / "lake"),
+        as_of_date="2024-06-01",
+    )
+    m = run_pipeline(spark, cfg)
+    assert m.gold_counts["sales_enriched"] == 1
+    assert m.silver_counts["sales"] == 4
+    assert m.quality["gold_join_pct"] is False
+
+    # healthy corpus never sets the key
+    root2 = str(tmp_path / "in2")
+    _fixtures(root2)
+    cfg2 = PipelineConfig(
+        input_paths={
+            "sales": f"{root2}/sales.csv",
+            "customer": f"{root2}/customer.csv",
+            "product": f"{root2}/product.csv",
+            "store": f"{root2}/store.csv",
+        },
+        output_root=str(tmp_path / "lake2"),
+        as_of_date="2024-06-01",
+    )
+    m2 = run_pipeline(spark, cfg2)
+    assert "gold_join_pct" not in m2.quality
