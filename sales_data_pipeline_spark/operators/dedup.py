@@ -162,8 +162,12 @@ def minhash_lsh_pairs(
         F.md5(F.col("sh")).alias("h0"),
         F.md5(F.concat(F.lit("1|"), F.col("sh"))).alias("h1"),
     )
-    # persist: both sides of the band self-join consume the signatures
-    sigs = hashed.groupBy("id").agg(*minhash_chunk_aggs()).persist()
+    # no persist: the band self-join's two sides are the same canonical
+    # subtree, so the signature aggregate's shuffle is consumed via
+    # ReusedExchange (verified in the executed plan) — persisting was
+    # timing-neutral at sf0.1 and held signature storage per executor
+    # that a 100 TB corpus doesn't need to hold
+    sigs = hashed.groupBy("id").agg(*minhash_chunk_aggs())
     band_exprs = [
         F.md5(
             F.concat_ws(
