@@ -230,3 +230,29 @@ def test_gold_join_rate_gate(spark, tmp_path):
     )
     m2 = run_pipeline(spark, cfg2)
     assert "gold_join_pct" not in m2.quality
+
+
+def test_gold_audit_post_hoc(spark, cfg):
+    """Airflow-DAG parity (sales_pipeline_dag.py:36-81): post-run gold
+    audit — file presence per table + distributed row counts — without
+    the reference's download-every-file driver read."""
+    from sales_data_pipeline_spark.plans.audit import audit_gold_outputs
+
+    m = run_pipeline(spark, cfg)
+    audit = audit_gold_outputs(spark, cfg.output_root)
+    assert audit.passed
+    assert audit.file_counts["gold/sales_enriched"] >= 1
+    assert audit.row_counts["gold/sales_enriched"] == m.gold_counts[
+        "sales_enriched"
+    ]
+    assert audit.row_counts["gold/customer_metrics"] == m.gold_counts[
+        "customer_metrics"
+    ]
+
+    # missing table fails loudly, present tables still reported
+    bad = audit_gold_outputs(
+        spark, cfg.output_root, {"gold/nope": 1, "gold/sales_enriched": 1}
+    )
+    assert not bad.passed
+    assert "gold/nope" in bad.failures[0]
+    assert bad.row_counts["gold/sales_enriched"] > 0
