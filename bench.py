@@ -95,6 +95,10 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist() intermediates would otherwise leak
+        # cache across measurements; drop it so every query is timed
+        # against a cold store
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

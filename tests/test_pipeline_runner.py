@@ -256,3 +256,41 @@ def test_gold_audit_post_hoc(spark, cfg):
     assert not bad.passed
     assert "gold/nope" in bad.failures[0]
     assert bad.row_counts["gold/sales_enriched"] > 0
+
+
+def test_cli_run_end_to_end(tmp_path, capsys):
+    """python -m sales_data_pipeline_spark run ... (the reference's
+    `python -m src.main.main` equivalent): config-file thresholds reach
+    the runner, metrics print as one JSON object, audit rides along."""
+    import json as jsonmod
+
+    from sales_data_pipeline_spark.__main__ import main as cli_main
+
+    root = str(tmp_path / "in")
+    _fixtures(root)
+    conf = tmp_path / "config.json"
+    conf.write_text(jsonmod.dumps({
+        "pipeline": {
+            "mode": "full_refresh",
+            "data_quality": {
+                "max_rejection_percentage": 50,
+                "min_gold_join_percentage": 60,
+            },
+        },
+    }))
+    rc = cli_main([
+        "run",
+        "--config", str(conf),
+        "--sales", f"{root}/sales.csv",
+        "--customer", f"{root}/customer.csv",
+        "--product", f"{root}/product.csv",
+        "--store", f"{root}/store.csv",
+        "--output-root", str(tmp_path / "lake"),
+        "--as-of", "2024-06-01",
+        "--audit",
+    ])
+    assert rc == 0
+    out = jsonmod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["gold_counts"]["sales_enriched"] == 3
+    assert out["audit"]["passed"] is True
+    assert out["audit"]["row_counts"]["gold/customer_metrics"] == 2
