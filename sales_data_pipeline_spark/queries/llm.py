@@ -2135,3 +2135,175 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: rule filters, per-source stats, cross-doc repetition
+# ---------------------------------------------------------------------------
+
+_MEAN_WL_SQL = (
+    "(length(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ''))"
+    " / len(regexp_split_to_array(trim(text), '\\s+')))"
+)
+_STOP_RATIO_SQL = (
+    "(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+    " w -> w IN ('the','and','of','to','in','is','a')))"
+    " / len(regexp_split_to_array(trim(text), '\\s+')))"
+)
+_SYM_RATIO_SQL = (
+    "(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    " / length(text))"
+)
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS wc,
+               len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 20 AND 80
+                 AS r_wc,
+               ({_MEAN_WL_SQL} >= 4.0 AND {_MEAN_WL_SQL} <= 10.0) AS r_wl,
+               {_STOP_RATIO_SQL} >= 0.05 AS r_stop,
+               {_SYM_RATIO_SQL} <= 0.1 AS r_sym,
+               (len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 20 AND 80
+                AND {_MEAN_WL_SQL} >= 4.0 AND {_MEAN_WL_SQL} <= 10.0
+                AND {_STOP_RATIO_SQL} >= 0.05
+                AND {_SYM_RATIO_SQL} <= 0.1) AS keep
+        FROM documents
+    """,
+    survey="LLM-ext: Gopher/C4-style composite quality rules",
+    doc="Composite rule filter (Gopher repetition/quality rules adapted "
+    "to the corpus): word-count bounds, mean-word-length bounds, minimum "
+    "stopword density, maximum symbol ratio; per-rule booleans + final "
+    "keep. Pure codegen projection — embarrassingly parallel, 0 shuffles; "
+    "thresholds calibrated so each rule splits the sf0.01 corpus "
+    "non-trivially.",
+    tags=("llm",),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = tx.words(t)
+    wc = F.size(w)
+    mean_wl = F.length(F.array_join(w, "")) / wc
+    stop = tx.stopword_ratio(t)
+    sym = tx.punct_ratio(t)
+    r_wc = (wc >= 20) & (wc <= 80)
+    r_wl = (mean_wl >= 4.0) & (mean_wl <= 10.0)
+    r_stop = stop >= 0.05
+    r_sym = sym <= 0.1
+    return d.select(
+        "doc_id",
+        wc.cast("long").alias("wc"),
+        r_wc.alias("r_wc"),
+        r_wl.alias("r_wl"),
+        r_stop.alias("r_stop"),
+        r_sym.alias("r_sym"),
+        (r_wc & r_wl & r_stop & r_sym).alias("keep"),
+    )
+
+
+@query(
+    "source_corpus_stats",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, lang, source
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                    '\\s+', ' ', 'g'))) AS BIGINT) AS n_uniq,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               FLOOR((1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                    '\\s+', ' ', 'g'))) / count(*)) * 10000 + 0.5) / 10000.0
+                 AS dup_rate,
+               FLOOR(avg(len(regexp_split_to_array(trim(text), '\\s+')))
+                    * 100 + 0.5) / 100.0 AS avg_tokens
+        FROM corpus
+        GROUP BY source
+    """,
+    survey="LLM-ext: per-source corpus curation stats (domain-level view)",
+    doc="Per-source (stand-in for per-domain) curation dashboard over the "
+    "dup-injected corpus: doc counts, exact-duplicate rate via normalized "
+    "md5 fingerprints, language spread, mean token length. One "
+    "partial-aggregated shuffle on source; distinct-counts expand to a "
+    "two-phase aggregate — no per-source collect anywhere.",
+    tags=("llm",),
+)
+def source_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+    )
+    c = d.unionByName(exact)
+    t = F.col("text")
+    n_uniq = F.countDistinct(tx.content_hash(t))
+    return c.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        n_uniq.cast("long").alias("n_uniq"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        det_round(1.0 - n_uniq / F.count("*"), 4).alias("dup_rate"),
+        det_round(F.avg(F.size(tx.words(t))), 2).alias("avg_tokens"),
+    )
+
+
+@query(
+    "cross_doc_ngram_repetition",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        ws AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM ws
+        ),
+        g AS (
+          SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               FLOOR(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END)
+                     / count(*) * 10000 + 0.5) / 10000.0 AS shared_frac
+        FROM sh JOIN g USING (sh)
+        GROUP BY doc_id
+    """,
+    survey="LLM-ext: cross-document n-gram duplication pressure",
+    doc="Per-document fraction of distinct word-3-gram shingles that also "
+    "appear in at least one other document (cross-doc boilerplate / "
+    "duplication pressure, the corpus-level complement of within-doc "
+    "repetition metrics). explode -> distinct -> grouped doc-frequency -> "
+    "join-back: every stage is key-partitioned with partial aggregation; "
+    "the gram doc-frequency table is the only wide state and it shrinks "
+    "with dedup upstream. No pair space anywhere.",
+    tags=("llm",),
+)
+def cross_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    sh = (
+        dedup.shingle_rows(c, "doc_id", "text", 3)
+        .distinct()
+        .withColumnRenamed("id", "doc_id")
+    )
+    per_gram = sh.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        sh.join(per_gram, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            det_round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("shared_frac"),
+        )
+    )
