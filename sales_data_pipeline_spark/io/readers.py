@@ -96,3 +96,48 @@ def read_jdbc(
             .option("numPartitions", str(num_partitions or 8))
         )
     return reader.load()
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    filter_condition: str | Column | None = None,
+    multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan with contract schema. Schema is REQUIRED: Spark's
+    JSON inference is a full extra pass over the input — at 100 TB that
+    doubles the scan before the job starts. Like read_csv, PERMISSIVE +
+    a corrupt-record column is the quarantine-friendly posture; JSONL
+    (multiline=False) is splittable, multiline JSON is one task per
+    file — keep it for small config-ish inputs only."""
+    reader = (
+        spark.read.option("multiLine", str(multiline).lower())
+        .option("mode", mode)
+    )
+    if corrupt_record_col is not None:
+        schema = T.StructType(
+            schema.fields
+            + [T.StructField(corrupt_record_col, T.StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    df = reader.schema(schema).json(path)
+    if filter_condition is not None:
+        df = df.filter(filter_condition)
+    return df
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    filter_condition: str | Column | None = None,
+) -> DataFrame:
+    """ORC scan — same columnar contract as parquet (stripe-level
+    min/max pruning, filter pushdown, column projection) for corpora
+    that arrive ORC-encoded (Hive-era lakes)."""
+    df = spark.read.orc(path)
+    if filter_condition is not None:
+        df = df.filter(filter_condition)
+    return df

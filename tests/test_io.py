@@ -295,3 +295,48 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
                        properties=props)
     assert readers.read_jdbc(spark, url, "t_roundtrip",
                              properties=props).count() == 105
+
+
+def test_json_reader_schema_locked_quarantine(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "price": 2.5, "label": "a"}\n'
+        'not json at all\n'
+        '{"id": 3, "price": 9.0, "label": "c"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    df = readers.read_json(
+        spark, str(p), schema, corrupt_record_col="_raw"
+    )
+    rows = sorted(df.collect(), key=lambda r: (r.id is None, r.id))
+    assert [r.id for r in rows] == [1, 3, None]
+    assert rows[2]._raw == "not json at all"  # quarantine keeps source
+    # pushdown-style filter applies post-parse
+    assert (
+        readers.read_json(spark, str(p), schema, filter_condition="price > 5")
+        .count()
+        == 1
+    )
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    src = spark.range(100).selectExpr(
+        "id", "id % 7 AS bucket", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    path = str(tmp_path / "orc_out")
+    writers.write_format(src, path, fmt="orc", options={})
+    back = readers.read_orc(spark, path, filter_condition="bucket = 3")
+    assert back.count() == src.filter("id % 7 = 3").count()
+    # filter reaches the ORC scan (stripe pruning at scale)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    # nullability flags relax on round-trip; names+types must hold
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in src.schema.fields
+    ]
