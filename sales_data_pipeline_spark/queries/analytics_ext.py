@@ -2397,3 +2397,89 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cum") * 10000.0 / F.col("total") + 0.5) / 100.0
         ).alias("revenue_share_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed statistics via exact mergeable moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_price_quantity_moments",
+    oracle="""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT))
+                      AS DOUBLE) AS sx,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))
+                      AS DOUBLE) AS sy,
+                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)
+                        * CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT))
+                      AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                        * CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))
+                      AS DOUBLE) AS syy,
+                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)
+                        * CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))
+                      AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               FLOOR((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000.0 AS corr_qty_price,
+               FLOOR(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 100.0
+                 * 10000 + 0.5) / 10000.0 AS stddev_qty,
+               FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 1000000 + 0.5) / 1000000.0 AS slope_price_on_qty,
+               FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n / 100.0 * 10000 + 0.5) / 10000.0
+                 AS intercept_price_on_qty
+        FROM m
+    """,
+    survey="§2.4 extension: corr/stddev/OLS via exact mergeable moments",
+    doc="Pearson correlation, sample stddev, and OLS slope/intercept of "
+    "extendedprice on quantity per returnflag — computed from six EXACT "
+    "integer-scaled moments (n, Σx, Σy, Σx², Σy², Σxy as decimal sums) "
+    "rather than Spark's float corr/stddev aggregates, whose partial-"
+    "merge order makes final double bits partition-count-dependent. The "
+    "moments are associative integer sums -> one partial-agg shuffle, "
+    "bit-identical at any partitioning; the closed-form double math then "
+    "evaluates on aggregate-sized rows only.",
+    tags=("analytics",),
+)
+def stats_price_quantity_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("decimal(20,0)")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(20,0)"
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (F.floor(cov_n / F.sqrt(varx_n * vary_n) * 1000000 + F.lit(0.5))
+         / 1000000.0).alias("corr_qty_price"),
+        (F.floor(F.sqrt(varx_n / (n * (n - 1))) / 100.0 * 10000 + F.lit(0.5))
+         / 10000.0).alias("stddev_qty"),
+        (F.floor(slope * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+            "slope_price_on_qty"
+        ),
+        (F.floor((sy - slope * sx) / n / 100.0 * 10000 + F.lit(0.5))
+         / 10000.0).alias("intercept_price_on_qty"),
+    )

@@ -431,3 +431,82 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(q.name)
+
+
+@query(
+    "streaming_foreach_batch_upsert",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    survey="streaming-ext: foreachBatch incremental gold upsert",
+    doc="The production stream->gold maintenance pattern: the events "
+    "table is staged as multiple files, streamed with maxFilesPerTrigger"
+    "=1 under Trigger.AvailableNow (so the run really processes several "
+    "micro-batches), and each batch's partial aggregate is MERGED into "
+    "a keyed gold store inside foreachBatch — read current store, "
+    "full-outer combine on user_id, write next version (ping-pong "
+    "directories; on a real lake this is a Delta/Iceberg MERGE or "
+    "dynamic partition overwrite keyed by user bucket). Merge math is "
+    "associative integer cents, so the final store equals the one-shot "
+    "batch aggregate regardless of batch boundaries — which is exactly "
+    "what the oracle checks. State never touches the driver; each merge "
+    "is a keyed shuffle of store+batch partials.",
+    tags=("streaming",),
+)
+def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="febatch_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value"
+    )
+    stage = f"{work}/stage"
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+    src.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    versions = {"i": 0}
+
+    def merge_batch(batch: DataFrame, _epoch: int) -> None:
+        part = batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+        cur = versions["i"]
+        if cur > 0:
+            prev = batch.sparkSession.read.parquet(f"{work}/gold_v{cur}")
+            part = (
+                prev.unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+            )
+        versions["i"] = cur + 1
+        part.write.parquet(f"{work}/gold_v{cur + 1}")
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(f"{work}/gold_v{versions['i']}")
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("cents") / 100.0).alias("total_value"),
+    )
