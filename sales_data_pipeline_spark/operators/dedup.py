@@ -60,29 +60,28 @@ def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """One row per (id, shingle) — the MULTISET of word n-grams, built
-    without any higher-order lambda: posexplode words, window lead()
-    for the following n-1 words, clamp to shingle_set's start range.
+    as a PURE PROJECTION: arrays_zip the words array with its 1..n-1
+    shifted slices (zip null-pads the shorter arrays; concat_ws skips
+    the nulls, which clamps short docs exactly like the old lead()
+    window did), posexplode the zipped array, keep starts <= len-n.
     Whole-stage codegen end-to-end (the Column-form shingle_set pays
-    ~20µs/element interpretation), and the window's hash partitioning
-    on id is reused by downstream groupBy(id) aggregates — no extra
-    shuffle. Use for min-aggregations where multiset==set; use
-    shingle_set when an actual distinct array is needed."""
+    ~20µs/element interpretation) and ZERO shuffles — the previous
+    lead()-window form hash-partitioned and sorted every exploded word
+    first, which was ~60% of minhash signature time at sf0.1. Use for
+    min-aggregations where multiset==set; use shingle_set when an
+    actual distinct array is needed."""
     w = F.split(F.trim(F.col(text_col)), "\\s+")
+    shifted = [w] + [F.slice(w, j + 1, F.size(w)) for j in range(1, n)]
+    zipped = F.arrays_zip(*shifted)
     words_df = df.select(
         F.col(id_col).alias("id"),
         F.size(w).alias("_len"),
-        F.posexplode(w).alias("_pos", "_w"),
+        F.posexplode(zipped).alias("_pos", "_z"),
     )
-    win = W.partitionBy("id").orderBy("_pos")
-    gram = F.concat_ws(
-        " ",
-        F.col("_w"),
-        *[F.lead("_w", j).over(win) for j in range(1, n)],
-    )
+    gram = F.concat_ws(" ", *[F.col("_z")[str(j)] for j in range(n)])
     return (
-        words_df.select("id", "_pos", "_len", gram.alias("sh"))
-        .filter(F.col("_pos") <= F.greatest(F.col("_len") - n, F.lit(0)))
-        .select("id", "sh")
+        words_df.filter(F.col("_pos") <= F.greatest(F.col("_len") - n, F.lit(0)))
+        .select("id", gram.alias("sh"))
     )
 
 
