@@ -2314,3 +2314,61 @@ def cross_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+        WITH x AS (
+          SELECT j AS dim,
+                 CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000 + 0.5)
+                      AS HUGEINT) AS v
+          FROM embeddings CROSS JOIN generate_series(1, 64) t(j)
+        ),
+        m AS (
+          SELECT dim,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(v) AS DOUBLE) AS sx,
+                 CAST(sum(v * v) AS DOUBLE) AS sxx
+          FROM x GROUP BY dim
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(n AS BIGINT) AS n,
+               FLOOR((n * sxx - sx * sx) / (n * n) / 1000000.0
+                 + 0.5) / 1000000.0 AS var_pop,
+               FLOOR(sx / n + 0.5) / 1000000.0 AS mean
+        FROM m
+    """,
+    survey="LLM-ext: per-dimension embedding moments (PCA/whitening prep)",
+    doc="Population variance and mean per embedding dimension from exact "
+    "integer-scaled moments (micro-unit floor-scaling, decimal sums) — "
+    "the first pass of distributed PCA/whitening/feature-scaling. "
+    "posexplode -> one partial-agg shuffle carrying 64 x 3 moment cells "
+    "per map partition regardless of corpus size; the closed-form "
+    "variance then runs on 64 aggregate rows. Bit-identical at any "
+    "partitioning, unlike float var_pop whose merge order leaks ulps.",
+    tags=("llm",),
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("xf").cast("double") * 1000000 + F.lit(0.5)).cast(
+            "decimal(20,0)"
+        ).alias("v"),
+    )
+    m = x.groupBy("dim").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return m.select(
+        "dim",
+        n.cast("long").alias("n"),
+        (F.floor((n * sxx - sx * sx) / (n * n) / 1000000.0 + F.lit(0.5))
+         / 1000000.0).alias("var_pop"),
+        (F.floor(sx / n + F.lit(0.5)) / 1000000.0).alias("mean"),
+    )
