@@ -162,3 +162,37 @@ def test_cluster_components_matches_union_find(spark, edges):
         for r in dedup.cluster_components(pairs, max_iter=40).collect()
     }
     assert got == expected
+
+
+WORD = st.text(alphabet="abcx", min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=1, max_size=12), min_size=1, max_size=5
+    )
+)
+def test_shingle_rows_matches_python_reference(spark, docs):
+    """The arrays_zip projection form of shingle_rows must emit exactly
+    the word-3-gram MULTISET the definition implies: one gram per start
+    position 0..max(len-3, 0), short docs clamped to a single
+    (possibly <3-word) gram — the same contract the old lead()-window
+    implementation had."""
+    from sales_data_pipeline_spark.operators import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.id, r.sh)
+        for r in dedup.shingle_rows(df, "doc_id", "text", 3).collect()
+    )
+    expect = []
+    for i, ws in enumerate(docs):
+        for pos in range(max(len(ws) - 3, 0) + 1):
+            expect.append((i, " ".join(ws[pos : pos + 3])))
+    assert got == sorted(expect)
