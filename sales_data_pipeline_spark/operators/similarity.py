@@ -270,3 +270,53 @@ def ivf_probe_topk(
         ivf_assign(F.col(vec_col)) == probe
     )
     return brute_force_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pca_loadings(
+    df: DataFrame, vec_col: str = "embedding", k: int = 4
+) -> list[list[float]]:
+    """Fit distributed PCA and return k sign-normalized loading vectors
+    (each a dim-length list, column of the loading matrix).
+
+    The fit is pyspark.ml.feature.PCA: the covariance Gram matrix is
+    computed distributed (one pass, O(dim^2) driver state — the right
+    shape at any corpus size for dim<=a few thousand) and the
+    eigendecomposition runs on the driver's dim x dim matrix.
+    Eigenvector sign is arbitrary, so each component is flipped to make
+    its largest-|loading| coordinate positive (ties broken by lowest
+    index) — without this, reruns could emit mirrored projections.
+    The returned literals are meant to feed dot_literal, keeping the
+    projection itself whole-stage codegen."""
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    ve = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "__features"
+        )
+    )
+    model = MLPCA(k=k, inputCol="__features", outputCol="__pc").fit(ve)
+    mat = model.pc.toArray()  # dim x k, driver-local
+    out: list[list[float]] = []
+    for c in range(k):
+        col = mat[:, c]
+        pivot = max(range(len(col)), key=lambda i: (abs(col[i]), -i))
+        if col[pivot] < 0:
+            col = -col
+        out.append([float(x) for x in col])
+    return out
+
+
+def pca_project(
+    df: DataFrame,
+    loadings: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto the given loading vectors as pc1..pcK —
+    pure codegen dot_literal folds, no Python on the hot path."""
+    cols = [
+        dot_literal(F.col(vec_col), lv).alias(f"pc{i + 1}")
+        for i, lv in enumerate(loadings)
+    ]
+    return df.select(id_col, *cols)

@@ -2372,3 +2372,28 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
          / 1000000.0).alias("var_pop"),
         (F.floor(sx / n + F.lit(0.5)) / 1000000.0).alias("mean"),
     )
+
+
+@query(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible; rows-only
+    survey="LLM-ext: distributed PCA fit + codegen projection",
+    doc="Dimensionality reduction for the embedding column: "
+    "pyspark.ml PCA fits the covariance distributed (one pass, dim^2 "
+    "driver state) with the eigensolve on the driver's 64x64 matrix; "
+    "components are sign-normalized (largest-|loading| coordinate "
+    "positive) so reruns cannot emit mirrored projections; the "
+    "projection itself is dot_literal folds — whole-stage codegen, "
+    "no Python per row. Returns vec_id + pc1..pc4 rounded to 4dp. "
+    "Unit-tested against numpy's eigendecomposition on the same "
+    "covariance (tests/test_llm_operators.py).",
+    tags=("llm",),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    loadings = similarity.pca_loadings(e, "embedding", k=4)
+    proj = similarity.pca_project(e, loadings, "vec_id", "embedding")
+    return proj.select(
+        "vec_id",
+        *[det_round(F.col(f"pc{i}"), 4).alias(f"pc{i}") for i in range(1, 5)],
+    )

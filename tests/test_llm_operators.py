@@ -340,3 +340,45 @@ def test_approx_distinct_within_hll_error_bounds(spark):
         assert r.exact_users > 0
         rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
         assert rel_err <= 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+class TestPCA:
+    def test_loadings_match_numpy_eigh(self, spark):
+        """Spark's distributed PCA fit must span the same principal
+        subspace numpy finds on the collected covariance: compare each
+        sign-normalized loading vector to numpy's (eigh returns
+        ascending order; take the top-4 descending), allowing only
+        float tolerance."""
+        import numpy as np
+
+        from sales_data_pipeline_spark.operators import similarity
+        from sales_data_pipeline_spark.queries.base import table
+
+        e = table(spark, "/root/testdata/sf0.001", "embeddings")
+        loadings = similarity.pca_loadings(e, "embedding", k=4)
+
+        x = np.array(
+            [r.embedding for r in e.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        cov = np.cov(x, rowvar=False, bias=False)
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1][:4]
+        for c, got in enumerate(loadings):
+            ref = vecs[:, order[c]]
+            pivot = max(range(len(ref)), key=lambda i: (abs(ref[i]), -i))
+            if ref[pivot] < 0:
+                ref = -ref
+            assert np.allclose(np.array(got), ref, atol=1e-6), f"pc{c+1}"
+
+    def test_projection_variance_descends(self, spark):
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        pdf = (
+            load_all()["embedding_pca_project"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .toPandas()
+        )
+        variances = [pdf[f"pc{i}"].var() for i in range(1, 5)]
+        assert variances == sorted(variances, reverse=True)
+        assert len(pdf) == pdf["vec_id"].nunique()
