@@ -236,28 +236,62 @@ def frame_energy(
     """Audio feature pass: treat the payload as unsigned 8-bit PCM
     samples and emit per-frame RMS energy (the silence-trim /
     voice-activity primitive an audio curation pipeline runs first).
-    Arrow-batched mapInPandas with vectorized numpy per frame; squared
-    sums accumulate as exact int64 so the one float op (sqrt of the
-    mean) is deterministic across engines. Empty payloads emit a single
-    zero-energy frame, mirroring the oracle's clamp."""
+    Arrow-batched mapInPandas, vectorized across the WHOLE batch (no
+    per-frame or per-doc Python loop): payloads concatenate into one
+    uint8 array whose frames tile it contiguously, so per-frame squared
+    sums are a single np.add.reduceat over the frame-start boundaries.
+    Squared sums accumulate as exact int64 so the one float op (sqrt of
+    the mean) is deterministic across engines. Empty payloads emit a
+    single zero-energy frame, mirroring the oracle's clamp (handled on
+    the slow path — reduceat cannot express zero-length segments)."""
     import math
 
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pay = pdf[bytes_col].tolist()
+            lens = np.fromiter(
+                (len(p) for p in pay), dtype=np.int64, count=len(pay)
+            )
+            if len(pay) and lens.min() > 0:
+                nf = np.maximum(1, -(-lens // frame_len))
+                did = np.repeat(pdf[id_col].to_numpy(), nf)
+                ends = np.cumsum(nf)
+                fno = np.arange(ends[-1]) - np.repeat(ends - nf, nf)
+                rep_lens = np.repeat(lens, nf)
+                ns = np.minimum(frame_len, rep_lens - fno * frame_len)
+                cat = np.frombuffer(b"".join(pay), dtype=np.uint8).astype(
+                    np.int64
+                )
+                sq = cat * cat
+                doc_offs = np.repeat(np.cumsum(lens) - lens, nf)
+                starts = doc_offs + fno * frame_len
+                ssq = np.add.reduceat(sq, starts)
+                rms = np.sqrt(ssq / ns)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(did, dtype="int64"),
+                        "frame_no": pd.Series(fno, dtype="int32"),
+                        "n_samples": pd.Series(ns, dtype="int32"),
+                        "rms": pd.Series(rms, dtype="float64"),
+                    }
+                )
+                continue
+            # slow path: some payload is empty (zero-length reduceat
+            # segments are inexpressible); per-doc loop, same math
             ids, fnos, ns, rmss = [], [], [], []
-            for did, p in zip(pdf[id_col], pdf[bytes_col]):
+            for d, p in zip(pdf[id_col], pay):
                 arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
                 n_frames = max(1, -(-arr.size // frame_len))
                 for j in range(n_frames):
                     fr = arr[j * frame_len : (j + 1) * frame_len]
                     n = int(fr.size)
-                    ssq = int((fr * fr).sum()) if n else 0
-                    ids.append(int(did))
+                    ssq1 = int((fr * fr).sum()) if n else 0
+                    ids.append(int(d))
                     fnos.append(j)
                     ns.append(n)
-                    rmss.append(math.sqrt(ssq / n) if n else 0.0)
+                    rmss.append(math.sqrt(ssq1 / n) if n else 0.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
