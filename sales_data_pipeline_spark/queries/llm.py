@@ -2293,17 +2293,21 @@ def source_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def cross_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     c = _docs_corpus(spark, sf_dir)
     sh = (
         dedup.shingle_rows(c, "doc_id", "text", 3)
-        .distinct()
+        .dropDuplicates(["id", "sh"])
         .withColumnRenamed("id", "doc_id")
     )
-    per_gram = sh.groupBy("sh").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # doc-frequency per gram via a count over the gram partition —
+    # one shuffle keyed on sh, replacing the groupBy(sh) + join-back
+    # (3 shuffles) formulation; rows are already (doc, gram)-distinct
+    # so plain count == countDistinct(doc_id)
+    nd = F.count("*").over(W.partitionBy("sh"))
     return (
-        sh.join(per_gram, "sh")
+        sh.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
