@@ -63,6 +63,15 @@ HEADLINE = [
     # retrieval stack
     "bm25_search",
     "hybrid_search_rrf",
+    # round-2 additions: corpus curation + exact-moments statistics +
+    # distributed PCA + multi-batch streaming upsert
+    "cross_doc_ngram_repetition",
+    "gopher_quality_filter",
+    "source_corpus_stats",
+    "stats_price_quantity_moments",
+    "embedding_dim_variance",
+    "embedding_pca_project",
+    "streaming_foreach_batch_upsert",
     # window/state regression sentinels (round-2): distributed rank /
     # prefix sum, gap-fill LOCF, stateful throttle, SCD1 merge
     "revenue_pareto_curve",
