@@ -2401,3 +2401,64 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[det_round(F.col(f"pc{i}"), 4).alias(f"pc{i}") for i in range(1, 5)],
     )
+
+
+@query(
+    "unigram_logprob_scores",
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS word
+          FROM documents
+        ),
+        vocab AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        tot AS (SELECT count(*) AS t FROM w)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               FLOOR(sum(CAST(floor(-log2(CAST(cnt AS DOUBLE) / t)
+                                    * 1000000 + 0.5) AS BIGINT))
+                     / 1000000.0 / count(*) * 10000 + 0.5) / 10000.0
+                 AS bits_per_token
+        FROM w JOIN vocab USING (word) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    survey="LLM-ext: unigram LM quality score (bits/token)",
+    doc="KenLM-style quality signal with a corpus-trained unigram "
+    "model: every token's surprisal -log2(count(w)/T) under the "
+    "corpus's own distribution, averaged per document (low = common/"
+    "fluent tokens, high = rare-token soup). Each surprisal is floored "
+    "to a micro-unit integer BEFORE the per-doc sum, so the aggregate "
+    "is associative and partition-order-independent — a raw float sum "
+    "of logs would leak merge order into the last bits. Token stream "
+    "explodes once; the vocabulary joins back (broadcast here, swap "
+    "for a shuffle join on word for an open vocabulary); corpus total "
+    "rides a 1-row broadcast — no driver collect.",
+    tags=("llm",),
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(tx.words(F.col("text"))).alias("word")
+    )
+    vocab = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = w.agg(F.count("*").alias("t"))
+    term = F.floor(
+        -F.log2(F.col("cnt").cast("double") / F.col("t")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        w.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("term") / 1000000.0 / F.count("*") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("bits_per_token"),
+        )
+    )
