@@ -2462,3 +2462,83 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+@query(
+    "mixture_resample_plan",
+    oracle="""
+        WITH per AS (
+          SELECT source, count(*) AS n_avail FROM documents GROUP BY source
+        ),
+        tots AS (
+          SELECT count(*) AS t, count(DISTINCT source) AS s FROM documents
+        ),
+        scored AS (
+          SELECT d.doc_id, d.source, per.n_avail,
+                 CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                             1, 6) AS BIGINT) AS BIGINT)
+                   AS hv,
+                 LEAST(16777216,
+                       FLOOR(FLOOR(t / (2.0 * s)) * 16777216.0 / n_avail))
+                   AS thresh
+          FROM documents d JOIN per USING (source) CROSS JOIN tots
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_avail,
+               CAST(sum(CASE WHEN hv < thresh THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               FLOOR(sum(CASE WHEN hv < thresh THEN 1 ELSE 0 END)
+                     / count(*) * 10000 + 0.5) / 10000.0 AS kept_frac
+        FROM scored
+        GROUP BY source
+    """,
+    survey="LLM-ext: deterministic domain-mixture resampling plan",
+    doc="Domain reweighting for a training mixture: every source gets "
+    "an equal token budget (total/2 spread uniformly across sources), "
+    "each source's keep-threshold is its budget as a fraction of "
+    "16^6 hash space, and a document survives iff the first 6 hex "
+    "chars of md5(doc_id) fall under its source's threshold — the "
+    "deterministic, engine/retry/partitioning-stable analog of "
+    "weighted df.sample. Per-source stats and totals are aggregate-"
+    "sized broadcasts; the keep decision is a pure per-row filter, so "
+    "the plan is one scan + one partial-agg shuffle at any corpus "
+    "size. Over-represented sources downsample toward the budget; "
+    "under-represented ones keep everything (threshold clamps at the "
+    "full hash space).",
+    tags=("llm",),
+)
+def mixture_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    H = 16**6
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = d.groupBy("source").agg(F.count("*").alias("n_avail"))
+    tots = d.agg(
+        F.count("*").alias("t"), F.countDistinct("source").alias("s")
+    )
+    budget = F.floor(F.col("t") / (2.0 * F.col("s")))
+    thresh = F.least(
+        F.lit(H), F.floor(budget * float(H) / F.col("n_avail"))
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        d.join(F.broadcast(per), "source")
+        .crossJoin(F.broadcast(tots))
+        .select("source", hv.alias("hv"), thresh.alias("thresh"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_avail"),
+            F.sum(F.when(F.col("hv") < F.col("thresh"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("hv") < F.col("thresh"), 1).otherwise(0))
+                    / F.count("*")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("kept_frac"),
+        )
+    )
