@@ -302,3 +302,43 @@ class TestNoPythonOnHotPath:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestRound2Additions:
+    def test_gopher_filter_zero_shuffles(self, spark):
+        plan = plan_of(spark, "gopher_quality_filter")
+        assert shuffles(plan) == 0
+        assert "BroadcastExchange" not in plan
+
+    def test_mixture_resample_doc_side_never_shuffles(self, spark):
+        """Per-source stats and totals join back as broadcasts; the only
+        shuffle Exchanges are aggregate-sized (per-source partials and
+        the 1-row totals), never the document rows."""
+        plan = plan_of(spark, "mixture_resample_plan")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+        # shuffles: per-source agg + countDistinct's two-phase pair +
+        # the final per-source re-agg — all aggregate-sized
+        assert shuffles(plan) <= 4, plan
+
+    def test_unigram_vocab_broadcasts(self, spark):
+        plan = plan_of(spark, "unigram_logprob_scores")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 1
+
+    def test_stats_moments_single_shuffle(self, spark):
+        plan = plan_of(spark, "stats_price_quantity_moments")
+        assert shuffles(plan) == 1  # one partial-agg exchange
+        assert "partial" in plan.lower()
+
+    def test_embedding_dim_variance_single_shuffle(self, spark):
+        plan = plan_of(spark, "embedding_dim_variance")
+        assert shuffles(plan) == 1
+
+    def test_cross_doc_repetition_no_join_back(self, spark):
+        """Doc-frequency rides a count over the gram partition — the
+        plan must not contain any join (the old formulation joined the
+        per-gram aggregate back to the gram rows)."""
+        plan = plan_of(spark, "cross_doc_ngram_repetition")
+        assert "Join" not in plan, plan
