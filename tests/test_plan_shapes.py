@@ -281,7 +281,11 @@ class TestNoPythonOnHotPath:
         skip = {"dedup_cluster_assign", "knn_ivf_probe", "ivf_centroid_assign"}
         arrow_ok = {"multimodal_decode_meta", "multimodal_resize_meta",
                     "multimodal_feature_extract", "multimodal_frame_sample",
-                    "multimodal_audio_energy"}
+                    "multimodal_audio_energy",
+                    # sequential per-key state (emit-then-suppress chain)
+                    # is the other sanctioned Arrow surface: a sorted
+                    # per-partition mapInPandas fold
+                    "throttle_events_24h"}
         offenders, arrow_misuse = [], []
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags or name in skip:
