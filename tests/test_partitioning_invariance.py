@@ -20,6 +20,15 @@ QUERIES = [
     "concurrent_events_daily_peak",  # running-sum sweep with ties
     "scd2_merge_history",      # multi-branch merge over persists
     "topk_per_group",          # per-group top-k ordering
+    # round-2: exact-moments statistics, surprisal sums, throttle fold,
+    # hash-threshold resampling — each claims bit-identical results
+    # under any partitioning; hold them to it
+    "stats_price_quantity_moments",
+    "embedding_dim_variance",
+    "unigram_logprob_scores",
+    "mixture_resample_plan",
+    "throttle_events_24h",
+    "cross_doc_ngram_repetition",
 ]
 
 
