@@ -104,3 +104,49 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: min/max-normalize the two
+    cluster keys (bounds from one aggregate row, broadcast back),
+    interleave their bits into a Morton key, range-partition + sort on
+    it, write, drop the helper column. Every output file then has a
+    narrow min/max envelope on BOTH keys, so filters on either (or
+    both) skip most files — the poor man's Z-ORDER OPTIMIZE of the
+    lake formats, as a plain parquet layout choice (see
+    tests/test_io.py for the footer-level assertion)."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.operators.distributed import (
+        normalize_to_bits,
+        zorder_key,
+    )
+
+    bounds = df.agg(
+        F.min(col_a).alias("_alo"),
+        F.max(col_a).alias("_ahi"),
+        F.min(col_b).alias("_blo"),
+        F.max(col_b).alias("_bhi"),
+    )
+    z = zorder_key(
+        normalize_to_bits(F.col(col_a), F.col("_alo"), F.col("_ahi"), bits),
+        normalize_to_bits(F.col(col_b), F.col("_blo"), F.col("_bhi"), bits),
+        bits,
+    )
+    (
+        df.join(F.broadcast(bounds))
+        .withColumn("_zkey", z)
+        .repartitionByRange(files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_alo", "_ahi", "_blo", "_bhi", "_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -105,3 +105,32 @@ def ordered_scan(
         c for _, out in sum_cols for c in (f"__ds_run_{out}", f"__ds_off_{out}")
     ]
     return joined.withColumns(out_cols).drop(*internal)
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative ints into a
+    Z-order (Morton) key — sorting by it clusters rows that are close
+    in BOTH dimensions, so a range-clustered write on the key gives
+    every file a narrow min/max envelope on each dimension (multi-
+    dimensional file skipping, where single-key clustering only prunes
+    one dimension). Pure bit arithmetic — whole-stage codegen."""
+    out = None
+    for i in range(bits):
+        hi = F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i + 1)
+        lo = F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i)
+        pair = hi.bitwiseOR(lo)
+        out = pair if out is None else out.bitwiseOR(pair)
+    return out
+
+
+def normalize_to_bits(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
+    """Min/max-normalize a numeric column into [0, 2^bits): the rank
+    space zorder_key interleaves. lo/hi normally come from a 1-row
+    aggregate broadcast (cross join), so the normalization adds no
+    shuffle of the data itself."""
+    span = (hi.cast("double") - lo.cast("double"))
+    frac = F.when(span > 0, (col.cast("double") - lo) / span).otherwise(0.0)
+    top = (1 << bits) - 1
+    return F.least(
+        F.lit(top), F.floor(frac * (1 << bits)).cast("int")
+    ).cast("int")

@@ -340,3 +340,57 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert [(f.name, f.dataType) for f in back.schema.fields] == [
         (f.name, f.dataType) for f in src.schema.fields
     ]
+
+
+def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering on (user_id, event_id) must give every file a
+    narrow min/max envelope on BOTH keys. Single-key range clustering
+    (the previous test) prunes only its own key — the other dimension
+    spans the whole range in every file. Asserted on parquet footers:
+    per-file span on each dimension stays well under the global span."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = str(tmp_path / "zorder")
+    writers.write_zordered(ev, out, "user_id", "event_id", files=8)
+
+    def spans(col):
+        spans = []
+        glo, ghi = None, None
+        for f in glob.glob(f"{out}/part-*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = [
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == col
+            ][0]
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            lo, hi = min(mins), max(maxs)
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return spans, ghi - glo
+
+    for col in ("user_id", "event_id"):
+        file_spans, total = spans(col)
+        assert len(file_spans) >= 4
+        # every file covers a strict sub-range of BOTH dimensions
+        avg = sum(file_spans) / len(file_spans)
+        assert avg <= 0.62 * total, (col, file_spans, total)
+
+    # layout is a pure reorder: content identical
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert (
+        back.agg(F.sum("user_id"), F.sum("event_id")).collect()
+        == ev.agg(F.sum("user_id"), F.sum("event_id")).collect()
+    )
