@@ -2542,3 +2542,76 @@ def mixture_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+@query(
+    "knn_batch_lsh_join",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv,
+                 {_sql_lsh_bucket('embedding')} AS qb
+          FROM embeddings WHERE vec_id % 97 = 0
+        ),
+        c AS (
+          SELECT vec_id, embedding,
+                 {_sql_lsh_bucket('embedding')} AS cb
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT qid, vec_id,
+                 FLOOR({_sql_dot('qv', 'embedding')}
+                       / ({_sql_norm('qv')} * {_sql_norm('embedding')})
+                       * 1000000 + 0.5) / 1000000.0 AS score
+          FROM q JOIN c ON qb = cb AND vec_id <> qid
+        ),
+        ranked AS (
+          SELECT qid, vec_id, score,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, vec_id
+                 ) AS rk
+          FROM scored
+        )
+        SELECT qid, vec_id, score, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+    """,
+    survey="LLM-ext: batch k-NN via LSH bucket join",
+    doc="Many-queries-at-once ANN (dedup-against-reference-set / "
+    "retrieval-eval shape): the query batch broadcasts with its LSH "
+    "bucket, the corpus joins on bucket equality (each query scores "
+    "only ~corpus/256 candidates, never all pairs), cosine is the "
+    "fold-left double contract, and per-query top-3 ranks inside the "
+    "qid partition — a partitioned window whose input is one query's "
+    "candidate list, not the corpus. Ranking uses the ROUNDED score "
+    "on both engines so tie order is identical.",
+    tags=("llm",),
+)
+def knn_batch_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        similarity.lsh_bucket(F.col("embedding")).alias("qb"),
+    )
+    c = e.select(
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket(F.col("embedding")).alias("cb"),
+    )
+    score = det_round(
+        similarity.cosine(F.col("qv"), F.col("embedding")), 6
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qb") == F.col("cb")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", score.alias("score"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "score", "rk")
+    )
