@@ -2615,3 +2615,122 @@ def knn_batch_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "score", "rk")
     )
+
+
+@query(
+    "phrase_search_positional",
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(
+                 generate_series(1, len(w) - 1),
+                 i -> w[i] = 'the' AND w[i + 1] = 'value'
+               )) AS BIGINT) AS n_hits
+        FROM w
+        WHERE len(list_filter(
+                generate_series(1, len(w) - 1),
+                i -> w[i] = 'the' AND w[i + 1] = 'value')) > 0
+    """,
+    survey="LLM-ext: positional-index phrase search",
+    doc="Two-token phrase retrieval ('the value') through a positional "
+    "inverted index: posexplode token positions, keep ONLY the two "
+    "phrase terms' postings (with a stored index this is a pruned read "
+    "of two posting lists, not a corpus scan), self-equi-join on "
+    "(doc, pos+1=pos), count hits per doc. The join fans out only on "
+    "true phrase-term co-occurrences — never a corpus-sized pair "
+    "space. The oracle computes the same adjacency from the word "
+    "array directly, so the check validates semantics independently "
+    "of the index mechanics.",
+    tags=("llm",),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1, t2 = "the", "value"
+    d = table(spark, sf_dir, "documents")
+    idx = d.select(
+        "doc_id", F.posexplode(tx.words(F.col("text"))).alias("pos", "word")
+    ).filter(F.col("word").isin(t1, t2))
+    a = idx.filter(F.col("word") == t1).select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa")
+    )
+    b = idx.filter(F.col("word") == t2).select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("pb") == F.col("pa") + 1))
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+@query(
+    "source_kl_divergence",
+    oracle="""
+        WITH w AS (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS word
+          FROM documents
+        ),
+        sw AS (
+          SELECT source, word, count(*) AS c_sw FROM w GROUP BY source, word
+        ),
+        wt AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY word),
+        st AS (SELECT source, sum(c_sw) AS t_s FROM sw GROUP BY source),
+        tot AS (SELECT sum(c_sw) AS t FROM sw)
+        SELECT source,
+               CAST(max(t_s) AS BIGINT) AS n_tokens,
+               FLOOR(sum(CAST(floor(
+                   (CAST(c_sw AS DOUBLE) / t_s)
+                   * log2((CAST(c_sw AS DOUBLE) * t)
+                          / (CAST(c_w AS DOUBLE) * t_s))
+                   * 1000000000 + 0.5) AS BIGINT))
+                 / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS kl_bits
+        FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
+        GROUP BY source
+    """,
+    survey="LLM-ext: per-source KL divergence vs corpus distribution",
+    doc="Domain-shift detector: KL(P_source || P_corpus) over the "
+    "unigram distributions, in bits. Everything runs on aggregate-"
+    "sized frames — (source, word) counts are the only corpus-sized "
+    "shuffle; word totals and source totals derive from that aggregate "
+    "and join back (broadcast here; shuffle join on word for an open "
+    "vocabulary), the corpus total rides a 1-row broadcast. Each KL "
+    "term floors to a nano-unit integer before the per-source sum so "
+    "the result is partition-order-independent despite the "
+    "transcendental.",
+    tags=("llm",),
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(tx.words(F.col("text"))).alias("word"))
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("c_sw"))
+    wt = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    st = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    tot = sw.agg(F.sum("c_sw").alias("t"))
+    term = F.floor(
+        (F.col("c_sw").cast("double") / F.col("t_s"))
+        * F.log2(
+            (F.col("c_sw").cast("double") * F.col("t"))
+            / (F.col("c_w").cast("double") * F.col("t_s"))
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        sw.join(F.broadcast(wt), "word")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("term", term)
+        .groupBy("source")
+        .agg(
+            F.max("t_s").cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("term") / 1000000000.0 * 1000000 + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("kl_bits"),
+        )
+    )
