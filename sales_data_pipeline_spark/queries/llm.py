@@ -2734,3 +2734,61 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_bits"),
         )
     )
+
+
+@query(
+    "embedding_cosine_histogram",
+    oracle=f"""
+        WITH c AS (
+          SELECT vec_id, embedding,
+                 {_sql_lsh_bucket('embedding')} AS b
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT FLOOR(({_sql_dot('a.embedding', 'c.embedding')}
+                        / ({_sql_norm('a.embedding')}
+                           * {_sql_norm('c.embedding')}))
+                       * 10) AS bin
+          FROM c a JOIN c ON a.b = c.b AND a.vec_id < c.vec_id
+          WHERE a.vec_id % 7 = 0
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY bin
+    """,
+    survey="LLM-ext: embedding-space similarity histogram (collapse "
+    "detector)",
+    doc="Distribution of pairwise cosine similarity over LSH-bucket-"
+    "co-located pairs, binned at 0.1 — the embedding-hygiene "
+    "diagnostic that catches representation collapse (mass piling "
+    "near 1.0) or dead space. Pair generation is bucket-blocked AND "
+    "probe-side-sampled (vec_id % 7 anchors), so the pair space is a "
+    "deterministic slice, never all-pairs; at corpus scale run it on "
+    "an md5-sampled slab — the histogram is a diagnostic, not an "
+    "exact corpus statistic. One partial-agg shuffle after the "
+    "bounded join.",
+    tags=("llm",),
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    c = e.select(
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket(F.col("embedding")).alias("b"),
+    )
+    a = c.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("av"),
+        F.col("b").alias("ab"),
+    )
+    pairs = a.join(
+        c, (F.col("ab") == F.col("b")) & (F.col("aid") < F.col("vec_id"))
+    )
+    bin_col = F.floor(
+        similarity.cosine(F.col("av"), F.col("embedding")) * 10
+    ).cast("long")
+    return (
+        pairs.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
