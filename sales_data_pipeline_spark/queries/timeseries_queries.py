@@ -991,3 +991,67 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_lag_s"),
     )
+
+
+@query(
+    "winsorize_event_values",
+    oracle="""
+        WITH p AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.01) AS p01,
+                 quantile_cont(value, 0.99) AS p99
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               FLOOR(p01 * 10000 + 0.5) / 10000.0 AS p01,
+               FLOOR(p99 * 10000 + 0.5) / 10000.0 AS p99,
+               FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     / 100.0 / count(*) * 10000 + 0.5) / 10000.0
+                 AS mean_raw,
+               FLOOR(SUM(CAST(FLOOR(LEAST(GREATEST(value, p01), p99) * 100
+                                    + 0.5) AS BIGINT))
+                     / 100.0 / count(*) * 10000 + 0.5) / 10000.0
+                 AS mean_winsorized
+        FROM events e JOIN p USING (event_type)
+        GROUP BY e.event_type, p01, p99
+    """,
+    survey="timeseries-ext: quantile capping / winsorization",
+    doc="Outlier-robust metric cleaning: exact per-type p01/p99 "
+    "boundaries (aggregate-sized, broadcast back), values clipped into "
+    "the band, mean before/after. The clip is a pure projection after "
+    "a broadcast join; sums use the integer-cents det_sum contract so "
+    "both means are partition-order-exact. At 100 TB swap the exact "
+    "percentile for approx_percentile — same two-pass shape.",
+    tags=("timeseries",),
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    p = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.01)).alias("p01"),
+        F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    cents = lambda c: F.sum(F.floor(c * 100 + F.lit(0.5)).cast("long"))
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.floor(F.max("p01") * 10000 + F.lit(0.5)) / 10000.0).alias("p01"),
+            (F.floor(F.max("p99") * 10000 + F.lit(0.5)) / 10000.0).alias("p99"),
+            (
+                F.floor(
+                    cents(F.col("value")) / 100.0 / F.count("*") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("mean_raw"),
+            (
+                F.floor(
+                    cents(clipped) / 100.0 / F.count("*") * 10000 + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("mean_winsorized"),
+        )
+    )
