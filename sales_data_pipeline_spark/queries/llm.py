@@ -2792,3 +2792,91 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+@query(
+    "dedup_minhash_eval",
+    oracle=f"""
+        WITH {_minhash_pair_ctes()},
+        truth AS (
+          SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 100000, doc_id + 200000
+          FROM documents WHERE doc_id % 70 = 0
+        ),
+        m AS (
+          SELECT
+            (SELECT count(*) FROM pairs) AS n_found,
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM pairs p
+             JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b) AS tp
+        )
+        SELECT CAST(n_found AS BIGINT) AS n_found,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(tp AS BIGINT) AS tp,
+               FLOOR(tp * 1.0 / n_found * 10000 + 0.5) / 10000.0
+                 AS precision_vs_truth,
+               FLOOR(tp * 1.0 / n_truth * 10000 + 0.5) / 10000.0 AS recall
+        FROM m
+    """,
+    survey="LLM-ext: dedup quality evaluation vs injected ground truth",
+    doc="Evaluation harness for the MinHash+LSH pipeline: the corpus "
+    "builder injects known duplicate clusters (exact copy at +100000 "
+    "for doc_id%10, padded near-copy at +200000 for doc_id%7), so "
+    "recall and precision against those pairs are computable exactly — "
+    "the measure-your-dedup-before-trusting-it step of a curation "
+    "pipeline. 'Precision' counts only injected-cluster pairs as true, "
+    "so organic near-dups (if the base corpus had any) would read as "
+    "false positives; with a dup-free base it is exact. All counts are "
+    "aggregate-sized; the pair generation is the same bucket-blocked "
+    "plan as dedup_minhash_lsh.",
+    tags=("llm",),
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        c, k=8, bands=4, min_jaccard=0.5
+    ).select("id_a", "id_b")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    truth = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 70 == 0).select(
+                (F.col("doc_id") + 100000).alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+    )
+    # one full-outer join + one aggregate row: found-only rows count
+    # toward n_found, truth-only toward n_truth, matches toward all
+    # three — no driver-side count() round trips
+    j = pairs.withColumn("in_p", F.lit(1)).join(
+        truth.withColumn("in_t", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    m = j.agg(
+        F.sum("in_p").cast("long").alias("n_found"),
+        F.sum("in_t").cast("long").alias("n_truth"),
+        F.sum(F.col("in_p") * F.col("in_t")).cast("long").alias("tp"),
+    )
+    return m.select(
+        "n_found",
+        "n_truth",
+        "tp",
+        (F.floor(F.col("tp") * 1.0 / F.col("n_found") * 10000 + F.lit(0.5))
+         / 10000.0).alias("precision_vs_truth"),
+        (F.floor(F.col("tp") * 1.0 / F.col("n_truth") * 10000 + F.lit(0.5))
+         / 10000.0).alias("recall"),
+    )
