@@ -2880,3 +2880,73 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("tp") * 1.0 / F.col("n_truth") * 10000 + F.lit(0.5))
          / 10000.0).alias("recall"),
     )
+
+
+@query(
+    "audio_silence_segments",
+    oracle="""
+        WITH frames AS (
+          SELECT doc_id, text, length(text) AS len,
+                 unnest(generate_series(1, greatest(length(text), 1), 32))
+                   AS start
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST((start - 1) // 32 AS INTEGER) AS frame_no,
+                 CAST(GREATEST(LEAST(32, len - start + 1), 0) AS INTEGER)
+                   AS n,
+                 COALESCE(list_sum(list_transform(
+                   generate_series(start, LEAST(start + 31, len)),
+                   i -> ord(substr(text, CAST(i AS INTEGER), 1))
+                        * ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+                   AS ssq
+          FROM frames
+        ),
+        silent AS (
+          SELECT doc_id, frame_no,
+                 frame_no - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame_no) AS grp
+          FROM scored
+          WHERE n > 0 AND SQRT(ssq * 1.0 / n) < 98.0
+        ),
+        runs AS (
+          SELECT doc_id, grp, count(*) AS run_len
+          FROM silent GROUP BY doc_id, grp
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(run_len) AS BIGINT) AS n_silent_frames,
+               CAST(max(run_len) AS BIGINT) AS longest_run
+        FROM runs GROUP BY doc_id
+    """,
+    survey="LLM-ext: silence segmentation (audio curation VAD step)",
+    doc="Voice-activity-style segmentation over the frame-energy "
+    "stream: frames under the RMS threshold group into maximal "
+    "consecutive runs via gaps-and-islands (frame_no minus per-doc "
+    "row_number — a doc-partitioned window, never global), then one "
+    "run-level and one doc-level aggregate. This is the "
+    "trim-the-silence pass an audio pipeline runs after frame "
+    "energy; the whole chain composes the vectorized mapInPandas "
+    "energy operator with plain relational ops.",
+    tags=("llm",),
+)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
+    energy = multimodal.frame_energy(with_bytes, frame_len=32)
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    silent = (
+        energy.filter((F.col("n_samples") > 0) & (F.col("rms") < 98.0))
+        .withColumn("grp", F.col("frame_no") - F.row_number().over(w))
+    )
+    runs = silent.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("run_len").cast("long").alias("n_silent_frames"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
