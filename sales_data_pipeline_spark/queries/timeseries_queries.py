@@ -1055,3 +1055,58 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsorized"),
         )
     )
+
+
+@query(
+    "ohlc_bars_6h",
+    oracle="""
+        SELECT event_type,
+               CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) AS bar,
+               CAST(count(*) AS BIGINT) AS n,
+               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                 AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                 AS close
+        FROM events
+        GROUP BY 1, 2
+    """,
+    survey="timeseries-ext: fixed-interval downsampling (OHLC bars)",
+    doc="Resample the event stream to 6-hour bars per type with open/"
+    "high/low/close — the market-data-style downsampling shape. Open "
+    "and close select by min_by/max_by over a zero-padded "
+    "(ts, event_id) string key so ties are deterministic on both "
+    "engines (bare min_by(ts) with duplicate timestamps is "
+    "partition-order nondeterminism). One partial-agg shuffle: min_by/max_by/min/max "
+    "all combine map-side, so the exchange carries one bar row per "
+    "(partition, type, bar) — the downsample never moves raw events.",
+    tags=("timeseries",),
+)
+def ohlc_bars_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # zero-padded decimal string == numeric order; mirrors the oracle's
+    # key expression exactly (DuckDB arg_min has no composite-key form)
+    key = F.concat(
+        F.lpad(ts_us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.floor(ts_us / 21600000000).cast("long").alias("bar"),
+            F.col("value"),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+        )
+    )
