@@ -282,6 +282,8 @@ class TestNoPythonOnHotPath:
         arrow_ok = {"multimodal_decode_meta", "multimodal_resize_meta",
                     "multimodal_feature_extract", "multimodal_frame_sample",
                     "multimodal_audio_energy",
+                    # composes the sanctioned frame-energy codec op
+                    "audio_silence_segments",
                     # sequential per-key state (emit-then-suppress chain)
                     # is the other sanctioned Arrow surface: a sorted
                     # per-partition mapInPandas fold
