@@ -72,6 +72,15 @@ HEADLINE = [
     "embedding_dim_variance",
     "embedding_pca_project",
     "streaming_foreach_batch_upsert",
+    # round-2 late additions: LM scoring, domain shift, retrieval,
+    # downsampling, capping, VAD segmentation
+    "unigram_logprob_scores",
+    "source_kl_divergence",
+    "phrase_search_positional",
+    "knn_batch_lsh_join",
+    "ohlc_bars_6h",
+    "winsorize_event_values",
+    "audio_silence_segments",
     # window/state regression sentinels (round-2): distributed rank /
     # prefix sum, gap-fill LOCF, stateful throttle, SCD1 merge
     "revenue_pareto_curve",
