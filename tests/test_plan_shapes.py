@@ -198,16 +198,13 @@ class TestRuntimeFilters:
 class TestNoGlobalWindows:
     # Unpartitioned windows whose input is provably bounded (constant
     # w.r.t. corpus size), so the single partition carries O(1) rows:
-    BOUNDED_INPUT_OK = {
-        # calendar-day / month spines — cardinality is the date range
-        "ewma_daily_revenue",
-        "revenue_mom_growth",
-        "rolling_zscore_anomaly",
-        # ranks computed over orderBy().limit(50) (TakeOrderedAndProject
-        # feeds the window exactly 50 rows — pinned by
-        # test_hybrid_rrf_ranks_over_limits below)
-        "hybrid_search_rrf",
-    }
+    # Empty since round 2: every formerly-allowlisted bounded-input
+    # window (calendar spines, post-limit RRF rankers, ordered_scan
+    # offsets) now carries an explicit non-foldable single-bucket
+    # partition key — same one-task execution over bounded input, but
+    # the plan states it and the runtime warning is gone, so the gate
+    # holds catalog-wide with no exceptions.
+    BOUNDED_INPUT_OK: set[str] = set()
 
     def test_catalog_free_of_unbounded_global_windows(self, spark):
         """A window with no PARTITION BY plans as a single-partition
