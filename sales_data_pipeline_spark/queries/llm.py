@@ -2955,3 +2955,54 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("long").alias("n_silent_frames"),
         F.max("run_len").cast("long").alias("longest_run"),
     )
+
+
+@query(
+    "prefix_duplicate_groups",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        keyed AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   regexp_split_to_array(trim(text), '\\s+')[1:8], ' '))
+                   AS pfx,
+                 length(text) AS n_chars
+          FROM corpus
+        )
+        SELECT pfx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM keyed
+        GROUP BY pfx
+        HAVING count(*) > 1
+    """,
+    survey="LLM-ext: prefix-duplicate detection (truncation artifacts)",
+    doc="Documents sharing an identical first-8-word prefix — the "
+    "truncated-copy / continuation-page artifact exact-hash dedup "
+    "misses (the tails differ) and near-dup may miss when the shared "
+    "prefix is a small fraction of a long doc. One md5 of the word-"
+    "prefix per doc, one hash-agg shuffle, groups with >1 member kept; "
+    "min/max length spread shows whether the group is a truncation "
+    "chain. min(doc_id) is the deterministic canonical survivor.",
+    tags=("llm",),
+)
+def prefix_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    w = tx.words(F.col("text"))
+    keyed = c.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(w, 1, 8), " ")).alias("pfx"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        keyed.groupBy("pfx")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
