@@ -3006,3 +3006,79 @@ def prefix_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "chunk_dedup_exact",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        ws AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM corpus
+        ),
+        chunks AS (
+          SELECT doc_id, len(w) AS nw, w,
+                 unnest(generate_series(
+                   1,
+                   greatest(len(w) - {CHUNK_WORDS - CHUNK_STRIDE}, 1),
+                   {CHUNK_STRIDE})) AS start
+          FROM ws
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 CAST((start - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+                 md5(array_to_string(
+                   w[start:start + {CHUNK_WORDS - 1}], ' ')) AS chunk_hash
+          FROM chunks
+        )
+        SELECT chunk_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(doc_id) AS BIGINT) AS canonical_doc
+        FROM hashed
+        GROUP BY chunk_hash
+        HAVING count(DISTINCT doc_id) > 1
+    """,
+    survey="LLM-ext: chunk-level exact dedup (repeated-passage removal)",
+    doc="Exact dedup at CHUNK granularity over the dup-injected corpus: "
+    "chunks whose hash appears in more than one document are the "
+    "repeated passages (boilerplate, quoted blocks, near-whole-copies) "
+    "that document-level exact dedup misses whenever any other byte "
+    "differs. Composes the context-window chunker (pure per-row "
+    "explode+slice, no shuffle) with one hash-agg; min(doc_id) gives "
+    "the deterministic canonical occurrence a removal pass would "
+    "keep. The distinct-doc count expands to the standard two-phase "
+    "aggregate — no per-chunk state beyond the partial rows.",
+    tags=("llm",),
+)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    prepared = c.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.size(w) - (CHUNK_WORDS - CHUNK_STRIDE), F.lit(1)
+                ),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    hashed = prepared.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.col("w"), F.col("start"), CHUNK_WORDS), " ")
+        ).alias("chunk_hash"),
+    )
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
