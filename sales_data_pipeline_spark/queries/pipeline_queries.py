@@ -1331,3 +1331,42 @@ def scd2_compact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+@query(
+    "late_dim_backfill",
+    oracle="""
+        SELECT o.o_orderkey,
+               o.o_custkey,
+               c.c_nationkey,
+               CASE WHEN c.c_custkey % 5 = 0 THEN 2 ELSE 1 END AS join_epoch
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    survey="pipeline-ext: late-arriving dimension quarantine + backfill",
+    doc="The late-arriving-dimension pattern: facts whose dimension row "
+    "hasn't landed yet (here: customers with c_custkey%5=0 'arrive' in "
+    "a second dim batch) quarantine via LEFT ANTI against the first "
+    "batch instead of being dropped or null-enriched, then the backfill "
+    "pass joins ONLY the quarantined facts against the late batch — "
+    "re-enrichment cost is O(quarantine), not O(facts). join_epoch "
+    "records which pass enriched each row. Both joins broadcast the "
+    "dim batch; the fact table never shuffles. The oracle states the "
+    "end condition (every fact enriched, epoch by dim cohort), "
+    "independent of the quarantine mechanics.",
+    tags=("pipeline",),
+)
+def late_dim_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dim1 = c.filter(F.col("c_custkey") % 5 != 0)
+    dim2 = c.filter(F.col("c_custkey") % 5 == 0)
+    pass1 = o.join(
+        F.broadcast(dim1), o.o_custkey == dim1.c_custkey
+    ).select("o_orderkey", "o_custkey", "c_nationkey", F.lit(1).alias("join_epoch"))
+    quarantine = o.join(
+        F.broadcast(dim1), o.o_custkey == dim1.c_custkey, "left_anti"
+    )
+    backfill = quarantine.join(
+        F.broadcast(dim2), quarantine.o_custkey == dim2.c_custkey
+    ).select("o_orderkey", "o_custkey", "c_nationkey", F.lit(2).alias("join_epoch"))
+    return pass1.unionByName(backfill)
