@@ -113,11 +113,15 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     in BOTH dimensions, so a range-clustered write on the key gives
     every file a narrow min/max envelope on each dimension (multi-
     dimensional file skipping, where single-key clustering only prunes
-    one dimension). Pure bit arithmetic — whole-stage codegen."""
+    one dimension). Pure bit arithmetic — whole-stage codegen. The
+    interleave runs in LONG: with 16-bit inputs the top bit of ``a``
+    lands at position 31, which overflows an int into the sign bit
+    (caught by the hypothesis test in tests/test_properties.py)."""
+    al, bl = a.cast("long"), b.cast("long")
     out = None
     for i in range(bits):
-        hi = F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i + 1)
-        lo = F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i)
+        hi = F.shiftleft(F.shiftright(al, i).bitwiseAND(1), 2 * i + 1)
+        lo = F.shiftleft(F.shiftright(bl, i).bitwiseAND(1), 2 * i)
         pair = hi.bitwiseOR(lo)
         out = pair if out is None else out.bitwiseOR(pair)
     return out

@@ -29,6 +29,9 @@ QUERIES = [
     "mixture_resample_plan",
     "throttle_events_24h",
     "cross_doc_ngram_repetition",
+    "ohlc_bars_6h",            # min_by/max_by composite-key selection
+    "knn_batch_lsh_join",      # bucket join + per-query ranking
+    "winsorize_event_values",  # percentile boundaries + clipped sums
 ]
 
 

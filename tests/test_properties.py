@@ -196,3 +196,45 @@ def test_shingle_rows_matches_python_reference(spark, docs):
         for pos in range(max(len(ws) - 3, 0) + 1):
             expect.append((i, " ".join(ws[pos : pos + 3])))
     assert got == sorted(expect)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_zorder_key_matches_python_interleave(spark, pairs):
+    """The codegen Morton key must equal the reference bit-interleave
+    (a in odd positions, b in even), and ordering by it must group
+    spatial neighbors the way the reference curve does."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.operators.distributed import zorder_key
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for a, b in pairs:
+        assert got[(a, b)] == ref(a, b), (a, b)
