@@ -3082,3 +3082,50 @@ def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        assign AS (
+          SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a
+        ),
+        sizes AS (
+          SELECT cluster_id, count(*) AS sz FROM assign GROUP BY cluster_id
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(sz - 1) AS BIGINT) AS removable_docs
+        FROM sizes GROUP BY sz
+    """,
+    survey="LLM-ext: near-dup cluster size distribution",
+    doc="Histogram of near-duplicate cluster sizes plus the number of "
+    "documents a keep-one-per-cluster pass would remove — the corpus-"
+    "health summary a dedup run reports before anyone deletes data "
+    "(a heavy tail here means template farms / mirror sites, not "
+    "isolated copies). Composes the iterative connected components "
+    "with two aggregate-sized group-bys; the oracle replays the same "
+    "closure with a recursive CTE.",
+    tags=("llm",),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, min_jaccard=0.5)
+    assign = dedup.cluster_components(pairs)
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).cast("long").alias("removable_docs"),
+    )
