@@ -214,7 +214,8 @@ class TestNoGlobalWindows:
         frame of operators/distributed.ordered_scan (__ds_pid)."""
         from sales_data_pipeline_spark.queries.base import load_all
 
-        skip = {"dedup_cluster_assign", "knn_ivf_probe", "ivf_centroid_assign"}
+        skip = {"dedup_cluster_assign", "dedup_cluster_size_histogram",
+                "knn_ivf_probe", "ivf_centroid_assign"}
         offenders = {}
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags or name in skip:
@@ -275,7 +276,8 @@ class TestNoPythonOnHotPath:
         # streaming queries execute on build; the iterative CC loop and
         # IVF training run driver-coordinated jobs — plan-shape for
         # those is covered by their own tests
-        skip = {"dedup_cluster_assign", "knn_ivf_probe", "ivf_centroid_assign"}
+        skip = {"dedup_cluster_assign", "dedup_cluster_size_histogram",
+                "knn_ivf_probe", "ivf_centroid_assign"}
         arrow_ok = {"multimodal_decode_meta", "multimodal_resize_meta",
                     "multimodal_feature_extract", "multimodal_frame_sample",
                     "multimodal_audio_energy",
