@@ -3129,3 +3129,125 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_clusters"),
         F.sum(F.col("sz") - 1).cast("long").alias("removable_docs"),
     )
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS word
+          FROM documents
+        ),
+        vocab AS (
+          SELECT word FROM (
+            SELECT word, count(*) AS c,
+                   row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+            FROM w GROUP BY word
+          ) t WHERE rk <= 100
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE vocab.word IS NOT NULL) AS BIGINT)
+                 AS in_vocab,
+               FLOOR((count(*) - count(*) FILTER (
+                       WHERE vocab.word IS NOT NULL))
+                     / count(*) * 10000 + 0.5) / 10000.0 AS oov_rate
+        FROM w LEFT JOIN vocab USING (word)
+        GROUP BY doc_id
+    """,
+    survey="LLM-ext: vocabulary OOV-rate estimation (tokenizer prep)",
+    doc="Per-document out-of-vocabulary rate against the corpus's own "
+    "top-100 word vocabulary — the coverage study run before fixing a "
+    "tokenizer's vocab size. The vocabulary is a top-k over the word "
+    "counts (TakeOrderedAndProject on the aggregate, deterministic "
+    "count-then-word tiebreak) broadcast back into the token stream; "
+    "the per-doc aggregate is one partial-agg shuffle.",
+    tags=("llm",),
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tx.words(F.col("text"))).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(100)
+        .select("word", F.lit(1).alias("in_v"))
+    )
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count("in_v").cast("long").alias("in_vocab"),
+            (
+                F.floor(
+                    (F.count("*") - F.count("in_v"))
+                    / F.count("*")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "char_coverage_curve",
+    oracle="""
+        WITH chars AS (
+          SELECT unnest(string_split(text, '')) AS ch FROM documents
+        ),
+        counts AS (SELECT ch, count(*) AS c FROM chars GROUP BY ch),
+        tot AS (SELECT sum(c) AS t FROM counts),
+        ranked AS (
+          SELECT ch, c,
+                 row_number() OVER (ORDER BY c DESC, ch) AS rk,
+                 sum(c) OVER (ORDER BY c DESC, ch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM counts
+        )
+        SELECT CAST(rk AS BIGINT) AS rk, ch,
+               CAST(c AS BIGINT) AS n_occurrences,
+               FLOOR(cum * 1.0 / t * 1000000 + 0.5) / 1000000.0
+                 AS cum_coverage
+        FROM ranked CROSS JOIN tot
+    """,
+    survey="LLM-ext: character coverage curve (tokenizer prep)",
+    doc="Cumulative character-frequency coverage by rank — the curve "
+    "that sets a subword tokenizer's character_coverage knob (e.g. "
+    "keep the smallest alphabet reaching 99.95%). Char counts are one "
+    "explode + partial agg; the alphabet is a BOUNDED aggregate "
+    "(distinct characters, not corpus size), so the ranking/cumsum "
+    "runs through ordered_scan's range-partitioned rank+prefix-sum — "
+    "no empty-spec window even here, and the same code path scales "
+    "unchanged if 'characters' become a large unicode/byte-pair "
+    "alphabet.",
+    tags=("llm",),
+)
+def char_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_spark.operators.distributed import ordered_scan
+
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("ch").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    ranked = ordered_scan(
+        counts,
+        [F.desc("c"), F.asc("ch")],
+        sum_cols=[("c", "cum")],
+        rank_col="rk",
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("rk").cast("long").alias("rk"),
+        "ch",
+        F.col("c").cast("long").alias("n_occurrences"),
+        (
+            F.floor(F.col("cum") * 1.0 / F.col("t") * 1000000 + F.lit(0.5))
+            / 1000000.0
+        ).alias("cum_coverage"),
+    )
