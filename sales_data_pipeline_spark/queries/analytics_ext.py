@@ -2486,3 +2486,66 @@ def stats_price_quantity_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((sy - slope * sx) / n / 100.0 * 10000 + F.lit(0.5))
          / 10000.0).alias("intercept_price_on_qty"),
     )
+
+
+@query(
+    "join_fanout_audit",
+    oracle="""
+        WITH a AS (
+          SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1
+        ),
+        b AS (
+          SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1
+        )
+        SELECT CAST((SELECT sum(na) FROM a) AS BIGINT) AS rows_a,
+               CAST((SELECT count(*) FROM a) AS BIGINT) AS keys_a,
+               CAST((SELECT max(na) FROM a) AS BIGINT) AS max_per_key_a,
+               CAST((SELECT sum(nb) FROM b) AS BIGINT) AS rows_b,
+               CAST((SELECT count(*) FROM b) AS BIGINT) AS keys_b,
+               CAST((SELECT max(nb) FROM b) AS BIGINT) AS max_per_key_b,
+               CAST((SELECT sum(na * nb) FROM a JOIN b USING (k)) AS BIGINT)
+                 AS exact_join_rows,
+               CAST((SELECT max(na * nb) FROM a JOIN b USING (k)) AS BIGINT)
+                 AS max_key_fanout
+    """,
+    survey="analytics-ext: join cardinality / fanout pre-flight audit",
+    doc="The check an operator runs BEFORE an expensive join: per-side "
+    "key statistics (rows, distinct keys, max rows per key) and the "
+    "EXACT join output cardinality — sum over matching keys of "
+    "na*nb — computed from two aggregate-sized per-key count tables. "
+    "A max_key_fanout orders of magnitude above the median flags a "
+    "skewed key that would hot-spot one reducer (feed it to the "
+    "salted-join variant); exact_join_rows far above both inputs "
+    "flags an unintended many-to-many. Everything after the two "
+    "per-key aggregations is aggregate-joined — the fact tables are "
+    "scanned once each and never shuffled together.",
+    tags=("analytics",),
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    a = o.groupBy("k").agg(F.count("*").alias("na"))
+    b = li.groupBy("k").agg(F.count("*").alias("nb"))
+    a_stats = a.agg(
+        F.sum("na").cast("long").alias("rows_a"),
+        F.count("*").cast("long").alias("keys_a"),
+        F.max("na").cast("long").alias("max_per_key_a"),
+    )
+    b_stats = b.agg(
+        F.sum("nb").cast("long").alias("rows_b"),
+        F.count("*").cast("long").alias("keys_b"),
+        F.max("nb").cast("long").alias("max_per_key_b"),
+    )
+    j_stats = (
+        a.join(b, "k")
+        .select((F.col("na") * F.col("nb")).alias("f"))
+        .agg(
+            F.sum("f").cast("long").alias("exact_join_rows"),
+            F.max("f").cast("long").alias("max_key_fanout"),
+        )
+    )
+    return a_stats.crossJoin(b_stats).crossJoin(j_stats)
