@@ -1118,3 +1118,41 @@ def ohlc_bars_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", F.col("k")).alias("close"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS next_type
+          FROM events
+        )
+        SELECT event_type, next_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    survey="timeseries-ext: event transition matrix (Markov counts)",
+    doc="First-order behavioral transition counts: each user's event "
+    "stream ordered by (ts, event_id) — the total-order tiebreak that "
+    "keeps lead() deterministic under equal timestamps — paired with "
+    "its successor via a user-partitioned window, then one grouped "
+    "count. The input to Markov-chain journey models and anomaly "
+    "scores; one shuffle for the window (keyed by user), one "
+    "partial-agg shuffle for the matrix.",
+    tags=("timeseries",),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
