@@ -3251,3 +3251,94 @@ def char_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("cum_coverage"),
     )
+
+
+@query(
+    "token_bigram_pmi",
+    oracle="""
+        WITH ws AS (
+          SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        bg AS (
+          SELECT w[i] AS a, w[i + 1] AS b
+          FROM ws CROSS JOIN LATERAL unnest(
+            generate_series(1, greatest(len(w) - 1, 0))) t(i)
+        ),
+        bgc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+        uni AS (
+          SELECT word, count(*) AS c FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+          ) GROUP BY word
+        ),
+        tot AS (SELECT sum(c_ab) AS t FROM bgc)
+        SELECT a, b, CAST(c_ab AS BIGINT) AS n_pairs,
+               FLOOR(log2(CAST(c_ab AS DOUBLE) * t
+                          / (ua.c * CAST(ub.c AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000.0 AS pmi
+        FROM bgc JOIN uni ua ON bgc.a = ua.word
+                 JOIN uni ub ON bgc.b = ub.word
+                 CROSS JOIN tot
+        WHERE c_ab >= 5
+        ORDER BY pmi DESC, a, b LIMIT 50
+    """,
+    survey="LLM-ext: bigram PMI collocation mining",
+    doc="Pointwise mutual information of adjacent word pairs — the "
+    "collocation detector behind phrase vocabularies and tokenizer "
+    "merge candidates. Bigrams come from the 2-gram shingle pipeline "
+    "(pure projection, no shuffle before the count); unigram counts "
+    "join back broadcast (shuffle join on word for open vocab); the "
+    "bigram total rides a 1-row broadcast; count floor >= 5 prunes "
+    "the noise tail before any join. Top-50 by PMI via "
+    "TakeOrderedAndProject with a total-order tiebreak; the log "
+    "floors to a micro-grid AFTER the exact integer ratio so both "
+    "engines rank identical values.",
+    tags=("llm",),
+)
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bg_rows = dedup.shingle_rows(d, "doc_id", "text", 2)
+    bgc = (
+        bg_rows.select(
+            F.split(F.col("sh"), " ").getItem(0).alias("a"),
+            F.split(F.col("sh"), " ").getItem(1).alias("b"),
+        )
+        .filter(F.col("b").isNotNull() & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    uni = (
+        d.select(F.explode(tx.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    # total over ALL bigrams (pre-floor) must match the oracle's tot
+    all_bgc = (
+        bg_rows.select("sh")
+        .filter(F.col("sh").contains(" "))
+        .agg(F.count("*").alias("t"))
+    )
+    ua = uni.select(F.col("word").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("b"), F.col("c").alias("cb"))
+    pmi = (
+        F.floor(
+            F.log2(
+                F.col("c_ab").cast("double")
+                * F.col("t")
+                / (F.col("ca") * F.col("cb").cast("double"))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000.0
+    )
+    return (
+        bgc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(all_bgc))
+        .select("a", "b", F.col("c_ab").cast("long").alias("n_pairs"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(50)
+    )
