@@ -3342,3 +3342,94 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(50)
     )
+
+
+@query(
+    "embedding_int8_quant_error",
+    oracle="""
+        WITH x AS (
+          SELECT vec_id, j AS dim, CAST(embedding[j] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN generate_series(1, 64) t(j)
+        ),
+        params AS (
+          SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim
+        ),
+        q AS (
+          SELECT vec_id,
+                 v - (lo + LEAST(255, GREATEST(0,
+                        floor((v - lo) / (hi - lo) * 255 + 0.5)))
+                      * (hi - lo) / 255) AS err
+          FROM x JOIN params USING (dim)
+        )
+        SELECT vec_id,
+               FLOOR(sum(CAST(floor(err * err * 1000000000000 + 0.5)
+                              AS BIGINT))
+                     / 1000000000000.0 / 64 * 1e10 + 0.5) / 1e10 AS mse,
+               FLOOR(max(abs(err)) * 1000000 + 0.5) / 1000000.0
+                 AS max_abs_err
+        FROM q GROUP BY vec_id
+    """,
+    survey="LLM-ext: int8 scalar quantization + reconstruction error",
+    doc="Per-dimension min/max scalar quantization of the embedding "
+    "column to int8 (4x memory cut for the ANN index) with per-vector "
+    "reconstruction MSE and max-abs error — the accuracy/memory "
+    "trade-off report run before switching search to quantized "
+    "vectors. Quantization params are a 64-row aggregate broadcast "
+    "back into the exploded stream; squared errors floor to a "
+    "pico-grid before the per-vector sum so the MSE is partition-"
+    "order-exact. One explode + two partial-agg shuffles.",
+    tags=("llm",),
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("v"),
+    )
+    params = x.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    qcode = F.least(
+        F.lit(255),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 255
+                + F.lit(0.5)
+            ),
+        ),
+    )
+    err = F.col("v") - (
+        F.col("lo") + qcode * (F.col("hi") - F.col("lo")) / 255
+    )
+    return (
+        x.join(F.broadcast(params), "dim")
+        .select("vec_id", err.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("err") * F.col("err") * 1000000000000
+                            + F.lit(0.5)
+                        ).cast("long")
+                    )
+                    / 1000000000000.0
+                    / 64
+                    * 1e10
+                    + F.lit(0.5)
+                )
+                / 1e10
+            ).alias("mse"),
+            (
+                F.floor(F.max(F.abs(F.col("err"))) * 1000000 + F.lit(0.5))
+                / 1000000.0
+            ).alias("max_abs_err"),
+        )
+    )
