@@ -3433,3 +3433,48 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_err"),
         )
     )
+
+
+@query(
+    "text_compression_ratio",
+    oracle=None,  # no zlib in the SQL oracle engine; rows-only check
+    survey="LLM-ext: zlib compression-ratio quality proxy",
+    doc="Deflate-compressibility per document (level 6, fixed — "
+    "deterministic output): highly compressible text is repetitive "
+    "boilerplate, ratios near 1 are high-entropy noise; both tails "
+    "get dropped in corpus curation. Computed over Arrow batches "
+    "(mapInPandas) since compression is genuinely native-library "
+    "territory like the media codecs — one pass, no shuffle, no "
+    "driver involvement. No SQL oracle exists for zlib, so the "
+    "driver records a rows-only check; the unit test pins ratios "
+    "against direct zlib calls instead.",
+    tags=("llm",),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            rl = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "raw_len": pd.Series(rl, dtype="int64"),
+                    "compressed_len": pd.Series(comp, dtype="int64"),
+                    "ratio": pd.Series(
+                        [c / r if r else 1.0 for c, r in zip(comp, rl)],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id long, raw_len long, compressed_len long, ratio double",
+    )

@@ -382,3 +382,23 @@ class TestPCA:
         variances = [pdf[f"pc{i}"].var() for i in range(1, 5)]
         assert variances == sorted(variances, reverse=True)
         assert len(pdf) == pdf["vec_id"].nunique()
+
+
+def test_compression_ratio_matches_zlib(spark):
+    """The mapInPandas compression scorer must equal direct zlib calls
+    on the same documents (level 6, utf-8)."""
+    import zlib
+
+    from sales_data_pipeline_spark.queries.base import load_all, table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.raw_len, r.compressed_len, r.ratio)
+        for r in load_all()["text_compression_ratio"].fn(spark, sf).collect()
+    }
+    docs = table(spark, sf, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs) > 0
+    for r in docs:
+        raw = r.text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert got[r.doc_id] == (len(raw), comp, comp / len(raw))

@@ -283,6 +283,8 @@ class TestNoPythonOnHotPath:
                     "multimodal_audio_energy",
                     # composes the sanctioned frame-energy codec op
                     "audio_silence_segments",
+                    # zlib is native-library territory like the codecs
+                    "text_compression_ratio",
                     # sequential per-key state (emit-then-suppress chain)
                     # is the other sanctioned Arrow surface: a sorted
                     # per-partition mapInPandas fold
