@@ -1156,3 +1156,117 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count("*").cast("long").alias("n_transitions"))
     )
+
+
+@query(
+    "user_behavior_entropy",
+    oracle="""
+        WITH ut AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (SELECT user_id, sum(c) AS n FROM ut GROUP BY user_id)
+        SELECT ut.user_id,
+               CAST(max(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               FLOOR(sum(CAST(floor(
+                   -(CAST(c AS DOUBLE) / n)
+                   * log2(CAST(c AS DOUBLE) / n) * 1000000000 + 0.5)
+                   AS BIGINT)) / 1000000000.0 * 10000 + 0.5) / 10000.0
+                 AS entropy_bits
+        FROM ut JOIN tot USING (user_id)
+        GROUP BY ut.user_id
+    """,
+    survey="timeseries-ext: per-user behavioral entropy",
+    doc="Shannon entropy of each user's event-type distribution — the "
+    "behavioral-diversity feature (bots and single-purpose scripts "
+    "sit near 0, organic users spread). Two-level aggregate: "
+    "(user, type) counts, user totals derived from that aggregate and "
+    "joined back on user_id (aggregate-sized both sides); each "
+    "-p*log2(p) term floors to a nano-grid pre-sum so the "
+    "transcendental stays partition-order-exact.",
+    tags=("timeseries",),
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = ut.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.floor(-p * F.log2(p) * 1000000000 + F.lit(0.5)).cast("long")
+    return (
+        ut.join(tot, "user_id")
+        .withColumn("term", term)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            (
+                F.floor(
+                    F.sum("term") / 1000000000.0 * 10000 + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+@query(
+    "revenue_yoy_growth",
+    oracle="""
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT cur.month,
+               cur.rev_cents / 100.0 AS revenue,
+               prev.rev_cents / 100.0 AS prev_year_revenue,
+               FLOOR((cur.rev_cents - prev.rev_cents) * 1000000.0
+                     / prev.rev_cents + 0.5) / 10000.0 AS yoy_pct
+        FROM monthly cur
+        JOIN monthly prev
+          ON prev.month = strftime(
+               CAST(cur.month || '-01' AS DATE) - INTERVAL 1 YEAR, '%Y-%m')
+    """,
+    survey="timeseries-ext: year-over-year growth (window-free)",
+    doc="Monthly revenue vs the same month last year — computed as a "
+    "SELF-JOIN of the month-grain aggregate on the shifted calendar "
+    "key, not a lag-12 window: no ordering requirement at all, both "
+    "sides aggregate-sized, and the join key is exact calendar "
+    "arithmetic so missing months simply drop out (an ordinal lag "
+    "would silently compare against the wrong month across gaps). "
+    "Integer-cents ratio floors at 4dp.",
+    tags=("timeseries",),
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_cents")
+    )
+    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    prev_key = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("cur.month"), F.lit("-01"))), -12),
+        "yyyy-MM",
+    )
+    return (
+        cur.join(prev, F.col("prev.month") == prev_key)
+        .select(
+            F.col("cur.month").alias("month"),
+            (F.col("cur.rev_cents") / 100.0).alias("revenue"),
+            (F.col("prev.rev_cents") / 100.0).alias("prev_year_revenue"),
+            (
+                F.floor(
+                    (F.col("cur.rev_cents") - F.col("prev.rev_cents"))
+                    * 1000000.0
+                    / F.col("prev.rev_cents")
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("yoy_pct"),
+        )
+    )
