@@ -3478,3 +3478,65 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         "doc_id long, raw_len long, compressed_len long, ratio double",
     )
+
+
+@query(
+    "source_top_tokens",
+    oracle="""
+        WITH sw AS (
+          SELECT source, word, count(*) AS c FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+          ) GROUP BY source, word
+        ),
+        tot AS (SELECT source, sum(c) AS n FROM sw GROUP BY source),
+        ranked AS (
+          SELECT source, word, c,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY c DESC, word) AS rk
+          FROM sw
+        )
+        SELECT ranked.source, CAST(rk AS BIGINT) AS rk, word,
+               CAST(c AS BIGINT) AS n_occurrences,
+               FLOOR(c * 1.0 / n * 10000 + 0.5) / 10000.0 AS share
+        FROM ranked JOIN tot ON ranked.source = tot.source
+        WHERE rk <= 3
+    """,
+    survey="LLM-ext: per-source heavy-hitter tokens",
+    doc="Top-3 tokens per source with their share of the source's "
+    "token mass — the per-domain fingerprint that surfaces template "
+    "chrome (a navigation word owning 10% of a domain's tokens) "
+    "before it poisons the training mix. The rank window partitions "
+    "by source over the (source, word) AGGREGATE — per-partition "
+    "input is the source's vocabulary, not its token stream — with a "
+    "count-then-word total order; source totals derive from the same "
+    "aggregate and join back aggregate-sized.",
+    tags=("llm",),
+)
+def source_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(tx.words(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    w = W.partitionBy("source").orderBy(F.desc("c"), F.asc("word"))
+    return (
+        sw.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "rk",
+            "word",
+            F.col("c").cast("long").alias("n_occurrences"),
+            (
+                F.floor(F.col("c") * 1.0 / F.col("n") * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("share"),
+        )
+    )
