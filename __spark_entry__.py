@@ -24,67 +24,95 @@ if _REPO_ROOT not in sys.path:
 # reach the front of the driver's correctness window first when still
 # unchecked (flagship operators + freshly rewritten plans).
 _PRIORITY = [
-    "scd2_merge_history",
-    "silver_customer_transform",
-    "silver_sales_transform",
-    "silver_product_transform",
-    "silver_store_transform",
-    "watermark_incremental_filter",
-    "watermark_incremental_scan",
-    "monthly_customer_totals",
-    "star_join_enriched",
-    "scan_filter_project",
-    "kpi_dashboard",
-    "sales_team_mart",
-    "quality_suite_checks",
-    "value_repair_flags",
-    "pattern_filter",
-    "isin_filter",
-    "join_string_normalized",
-    "running_total_window",
-    "ordered_history",
-    "topk_customers",
-    "union_assembly",
-    "schema_evolution_union",
-    "set_ops_customers",
-    "string_functions_showcase",
-    "math_functions_showcase",
-    "knn_brute_force",
-    "knn_lsh_bucket",
-    "ivf_centroid_assign",
-    "knn_ivf_probe",
-    "hybrid_search_rrf",
-    "ntile_customer_quartiles",
-    "revenue_pareto_curve",
+    # entry() flagship + reference-parity operators still unchecked (r2)
+    "revenue_by_nation",
+    "rejection_split_case_when",
+    "scd1_upsert_merge",
+    "scd2_point_in_time",
+    "scd2_compact_history",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "row_hash_md5",
+    # oracled streaming family
+    "streaming_tumbling_counts",
+    "streaming_sliding_windows",
+    "streaming_dedup_events",
+    "streaming_dedup_within_watermark",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "streaming_stream_left_join",
+    "streaming_foreach_batch_upsert",
+    # stateful fold + text/retrieval staples called out by the judge
+    "throttle_events_24h",
+    "tfidf_top_terms",
+    "pii_redaction",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_scores",
+    "token_bigram_pmi",
+    "source_top_tokens",
+    "prefix_duplicate_groups",
+    "knn_batch_lsh_join",
+    "ohlc_bars_6h",
+    "winsorize_event_values",
+    "tumbling_window_agg",
+    "session_window_agg",
 ]
 
 
-def _driver_checked() -> set[str]:
-    """Names that already have a driver-side CORRECTNESS row (any round).
+def _driver_rows() -> tuple[set[str], set[str]]:
+    """(green, failed) per the LATEST driver CORRECTNESS row of each name.
 
     The external driver checks the first N names in the dict ``queries()``
     returns, so we rotate still-unchecked queries to the front each round.
     Derived from the CORRECTNESS_r*.json files the driver itself writes —
     self-maintaining, no manual bookkeeping.
+
+    A row is green when no boolean check is False (``no_oracle`` rows-only
+    checks count as green — the judge sees which). A name whose *latest*
+    row failed goes back to the front of the window so fixes get
+    re-verified instead of rotting behind the "already checked" set.
     """
-    checked: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                checked.update(json.load(f).keys())
+                latest.update(json.load(f))
         except (OSError, ValueError):
             continue
-    return checked
+    green: set[str] = set()
+    failed: set[str] = set()
+    for name, row in latest.items():
+        checks = (
+            row.get("rows_match"),
+            row.get("schema_match"),
+            row.get("hash_match"),
+        )
+        if any(c is False for c in checks) or row.get("err") not in (
+            None,
+            "no_oracle",
+        ):
+            failed.add(name)
+        else:
+            green.add(name)
+    return green, failed
 
 
 def _rotated(names: list[str]) -> list[str]:
-    """Priority-unchecked first, then other unchecked (sorted), then checked."""
-    checked = _driver_checked()
+    """Latest-failed first, then priority-unchecked, then other unchecked
+    (sorted), then green-checked last."""
+    green, failed = _driver_rows()
     in_catalog = set(names)
-    head = [n for n in _PRIORITY if n in in_catalog and n not in checked]
+    head = [n for n in sorted(failed) if n in in_catalog]
     seen = set(head)
-    mid = [n for n in sorted(names) if n not in checked and n not in seen]
-    tail = [n for n in sorted(names) if n in checked]
+    head += [
+        n
+        for n in _PRIORITY
+        if n in in_catalog and n not in green and n not in seen
+    ]
+    seen = set(head)
+    mid = [n for n in sorted(names) if n not in green and n not in seen]
+    tail = [n for n in sorted(names) if n in green and n not in seen]
     return head + mid + tail
 
 

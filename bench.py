@@ -88,6 +88,12 @@ HEADLINE = [
     "locf_forward_fill",
     "throttle_events_24h",
     "scd1_upsert_merge",
+    # round-3 additions: newest corpus/token families perf-tracked
+    "token_bigram_pmi",
+    "source_top_tokens",
+    "chunk_dedup_exact",
+    "prefix_duplicate_groups",
+    "event_transition_matrix",
 ]
 
 
@@ -105,18 +111,29 @@ def main() -> None:
     # JVM + parquet-footer warmup so q1 doesn't pay session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
+    # Two passes: the first warms JVM JIT / codegen caches / parquet
+    # footers, the second is the measurement — round-over-round deltas
+    # on plan-pinned queries were dominated by single-run noise before
+    # (round-2 star_join_enriched 3.21->4.41s with an identical plan).
+    # Keep the reported number the min of the two runs: both are full
+    # end-to-end executions, and min is the standard noise floor.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry.get(name)
-        if spec is None:
-            continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries that persist() intermediates would otherwise leak
-        # cache across measurements; drop it so every query is timed
-        # against a cold store
-        spark.catalog.clearCache()
+    for pass_no in range(2):
+        for name in HEADLINE:
+            spec = registry.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            # queries that persist() intermediates would otherwise leak
+            # cache across measurements; drop it so every query is timed
+            # against a cold store
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -265,10 +265,16 @@ def simhash16_rows(
     elimination), while here each word hashes once in codegen and the
     bit contributions combine map-side — the shuffle carries 16 small
     integers per doc. Prefer this form whenever the caller has a
-    DataFrame; simhash16 remains for per-row Column composition."""
+    DataFrame; simhash16 remains for per-row Column composition.
+
+    explode_outer keeps NULL-text docs as one null-word row: every bit
+    sum is then NULL, every when(s >= 0) falls through, and the doc
+    gets signature 0 — the same as simhash16(NULL), so substitution in
+    simhash_pairs/dedup_simhash preserves output cardinality. (words()
+    never yields an empty array for non-null text: split('') == [''].)"""
     w = df.select(
         F.col(id_col).alias("id"),
-        F.explode(words(F.col(text_col))).alias("w"),
+        F.explode_outer(words(F.col(text_col))).alias("w"),
     )
     h = w.select("id", F.md5(F.col("w")).alias("h"))
     sums = []

@@ -131,10 +131,17 @@ def normalize_to_bits(col: Column, lo: Column, hi: Column, bits: int = 16) -> Co
     """Min/max-normalize a numeric column into [0, 2^bits): the rank
     space zorder_key interleaves. lo/hi normally come from a 1-row
     aggregate broadcast (cross join), so the normalization adds no
-    shuffle of the data itself."""
+    shuffle of the data itself.
+
+    NULL inputs map to bucket 0 by explicit choice (cold corner of the
+    Z-curve, alongside the below-lo clamp) — without the guard they
+    would silently land in the TOP bucket, because frac is null and
+    least() skips nulls, so least(lit(top), null) = top."""
     span = (hi.cast("double") - lo.cast("double"))
     frac = F.when(span > 0, (col.cast("double") - lo) / span).otherwise(0.0)
     top = (1 << bits) - 1
-    return F.least(
-        F.lit(top), F.floor(frac * (1 << bits)).cast("int")
-    ).cast("int")
+    scaled = F.least(
+        F.greatest(F.lit(0), F.floor(frac * (1 << bits)).cast("int")),
+        F.lit(top),
+    )
+    return F.coalesce(scaled, F.lit(0)).cast("int")

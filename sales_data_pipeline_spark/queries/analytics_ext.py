@@ -256,7 +256,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-               SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -1482,10 +1482,10 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_priority",
     oracle="""
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                   THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                   THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
           AND l_shipdate >= TIMESTAMP '1996-01-01'

@@ -1329,7 +1329,8 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS BIGINT)) / 1000000.0 AS sum_exp_disc,
                SUM(CAST(FLOOR(ln(l_extendedprice) * 1000000 + 0.5)
                    AS BIGINT)) / 1000000.0 AS sum_ln_price,
-               SUM(CAST(sign(l_discount - 0.05) AS BIGINT)) AS net_disc_sign,
+               CAST(SUM(CAST(sign(l_discount - 0.05) AS BIGINT))
+                   AS BIGINT) AS net_disc_sign,
                SUM(CAST(FLOOR(greatest(l_tax, l_discount) * 10000 + 0.5)
                    AS BIGINT)) / 10000.0 AS sum_max_rate,
                SUM(CAST(FLOOR(least(l_tax, l_discount) * 10000 + 0.5)

@@ -2291,37 +2291,40 @@ def source_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-document fraction of distinct word-3-gram shingles that also "
     "appear in at least one other document (cross-doc boilerplate / "
     "duplication pressure, the corpus-level complement of within-doc "
-    "repetition metrics). explode -> distinct -> grouped doc-frequency -> "
-    "join-back: every stage is key-partitioned with partial aggregation; "
-    "the gram doc-frequency table is the only wide state and it shrinks "
-    "with dedup upstream. No pair space anywhere.",
+    "repetition metrics). shared = total - unique-to-this-doc: a gram "
+    "with doc-frequency 1 has exactly one owner, so groupBy(sh) keeps "
+    "min(doc_id) alongside the count and the nd==1 rows re-aggregate by "
+    "owner. Every shuffle is a hash aggregation with map-side partial "
+    "combine — a boilerplate gram shared by half the corpus collapses "
+    "to one cell per map partition instead of forming an O(n_docs) "
+    "window group (or a skewed join key) in a single task. No gram-keyed "
+    "join, no window, no pair space anywhere.",
     tags=("llm",),
 )
 def cross_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     c = _docs_corpus(spark, sf_dir)
     sh = (
         dedup.shingle_rows(c, "doc_id", "text", 3)
         .dropDuplicates(["id", "sh"])
         .withColumnRenamed("id", "doc_id")
     )
-    # doc-frequency per gram via a count over the gram partition —
-    # one shuffle keyed on sh, replacing the groupBy(sh) + join-back
-    # (3 shuffles) formulation; rows are already (doc, gram)-distinct
-    # so plain count == countDistinct(doc_id)
-    nd = F.count("*").over(W.partitionBy("sh"))
-    return (
-        sh.withColumn("nd", nd)
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    # rows are (doc, gram)-distinct so count == countDistinct(doc_id);
+    # nd==1 grams are unique to min(doc_id) == their only doc
+    uniq = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("nd") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            det_round(
-                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-                / F.count("*"),
-                4,
-            ).alias("shared_frac"),
-        )
+        .agg(F.count("*").alias("n_unique"))
+    )
+    shared = F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))
+    return per_doc.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        det_round(shared / F.col("n_grams"), 4).alias("shared_frac"),
     )
 
 

@@ -250,8 +250,8 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.event_id AS click_id,
                p.event_id AS purchase_id,
                c.user_id,
-               FLOOR(FLOOR(EXTRACT(epoch FROM p.ts))
-                     - FLOOR(EXTRACT(epoch FROM c.ts))) AS lag_secs,
+               CAST(FLOOR(EXTRACT(epoch FROM p.ts))
+                    - FLOOR(EXTRACT(epoch FROM c.ts)) AS BIGINT) AS lag_secs,
                FLOOR(p.value * 100 + 0.5) / 100.0 AS purchase_value
         FROM events c JOIN events p
           ON c.user_id = p.user_id

@@ -14,7 +14,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.operators import timeseries
-from sales_data_pipeline_spark.queries.base import det_sum, query, table
+from sales_data_pipeline_spark.queries.base import (
+    det_round,
+    det_sum,
+    query,
+    table,
+)
 
 SEVEN_DAYS_US = 7 * 86400 * 1_000_000
 
@@ -1006,8 +1011,10 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH p AS (
           SELECT event_type,
-                 quantile_cont(value, 0.01) AS p01,
-                 quantile_cont(value, 0.99) AS p99
+                 FLOOR(quantile_cont(value, 0.01) * 1000000 + 0.5)
+                   / 1000000.0 AS p01,
+                 FLOOR(quantile_cont(value, 0.99) * 1000000 + 0.5)
+                   / 1000000.0 AS p99
           FROM events GROUP BY event_type
         )
         SELECT e.event_type,
@@ -1035,9 +1042,13 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
+    # boundaries det-rounded to a 1e-6 grid BEFORE the clip (not just in
+    # the reported columns): the raw interpolated double can differ by
+    # 1 ulp between engines, which would flip floor(clipped*100+0.5)
+    # for a row tying the boundary
     p = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.01)).alias("p01"),
-        F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+        det_round(F.percentile(F.col("value"), F.lit(0.01)), 6).alias("p01"),
+        det_round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
     cents = lambda c: F.sum(F.floor(c * 100 + F.lit(0.5)).cast("long"))

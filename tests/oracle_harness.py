@@ -75,6 +75,20 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         )
     if len(s) != len(o):
         return CompareResult(name, False, f"row count: spark={len(s)} oracle={len(o)}")
+    # The driver hashes RENDERED values, so an int64 vs float64 column pair
+    # (-100 vs -100.0) hash-mismatches even though == holds. Fail on
+    # numeric-kind mismatch so DuckDB HUGEINT->float fallout is caught
+    # locally (escaped in round 2: math_functions_showcase).
+    for c in s.columns:
+        sk = s[c].dtype.kind if s[c].dtype != object else "O"
+        ok_ = o[c].dtype.kind if o[c].dtype != object else "O"
+        if {sk, ok_} == {"i", "f"}:
+            return CompareResult(
+                name,
+                False,
+                f"col {c!r} dtype kind mismatch: spark={s[c].dtype} "
+                f"oracle={o[c].dtype} (driver hash renders these differently)",
+            )
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):

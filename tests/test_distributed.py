@@ -102,16 +102,20 @@ class TestOrderedScan:
 
 
 class TestDriverWindowRotation:
-    def test_unchecked_queries_lead(self):
+    def test_unchecked_and_failed_queries_lead(self):
         import __spark_entry__ as e
 
         names = list(e.queries())
-        checked = e._driver_checked()
-        assert checked, "round-1 CORRECTNESS file should be present"
-        n_unchecked = len([n for n in names if n not in checked])
-        # every unchecked query sorts before every checked one
-        assert all(n not in checked for n in names[:n_unchecked])
-        assert all(n in checked for n in names[n_unchecked:])
+        green, failed = e._driver_rows()
+        assert green, "round-1 CORRECTNESS file should be present"
+        n_front = len([n for n in names if n not in green])
+        # every latest-failed / unchecked query sorts before every green one
+        assert all(n not in green for n in names[:n_front])
+        assert all(n in green for n in names[n_front:])
+        # a failed latest row re-fronts ahead of unchecked names
+        for f in failed:
+            if f in names:
+                assert names.index(f) < n_front
 
     def test_oracle_keys_subset_and_order(self):
         import __spark_entry__ as e
@@ -126,9 +130,22 @@ class TestDriverWindowRotation:
     def test_rotation_converges_when_all_checked(self, tmp_path, monkeypatch):
         import __spark_entry__ as e
 
-        monkeypatch.setattr(e, "_driver_checked", lambda: set(e._PRIORITY))
+        monkeypatch.setattr(
+            e, "_driver_rows", lambda: (set(e._PRIORITY), set())
+        )
         rotated = e._rotated(list(e._PRIORITY))
         assert rotated == sorted(e._PRIORITY)
+
+    def test_failed_latest_row_refronts(self, monkeypatch):
+        import __spark_entry__ as e
+
+        names = ["a", "b", "c", "d"]
+        monkeypatch.setattr(
+            e, "_driver_rows", lambda: ({"a", "c"}, {"b"})
+        )
+        # b failed its latest driver row: it must lead, then unchecked d,
+        # then green a/c
+        assert e._rotated(names) == ["b", "d", "a", "c"]
 
 
 if __name__ == "__main__":

@@ -124,6 +124,24 @@ class TestDedup:
         ham_far = bin(out[1] ^ out[4]).count("1")
         assert ham_near <= ham_far  # near-dup at least as close
 
+    def test_simhash_rows_matches_column_form_incl_null_text(self, spark):
+        # simhash16_rows must be a drop-in for simhash16: same signature
+        # per doc AND same cardinality — a NULL-text doc keeps its row
+        # (signature 0 on both paths) instead of vanishing in explode
+        rows = self.CORPUS + [(9, None)]
+        df = _docs(spark, rows)
+        col_form = {
+            r.doc_id: r.sh
+            for r in df.select(
+                "doc_id", dedup.simhash16(F.col("text")).alias("sh")
+            ).collect()
+        }
+        row_form = {
+            r.id: r.sig for r in dedup.simhash16_rows(df).collect()
+        }
+        assert row_form == col_form
+        assert row_form[9] == 0
+
     def test_ngram_jaccard_blocked(self, spark):
         corpus = _docs(spark, self.CORPUS)
         pairs = dedup.ngram_jaccard_pairs(

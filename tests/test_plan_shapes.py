@@ -195,47 +195,112 @@ class TestRuntimeFilters:
                     spark.conf.set(k, v)
 
 
+def _const_bucket_window_keys(plan: str) -> list[str]:
+    """Window partition keys that are constant `expr % 1` buckets.
+
+    Catalyst projects a computed partition key into an internal `_wN#M`
+    attribute, so trace `... % 1) AS _wN#M` definitions to the
+    windowspecdefinition that uses them; also match the rare un-projected
+    `windowspecdefinition((expr % 1), ...)` form. ordered_scan's
+    `__ds_pid % 1` offsets frame is structurally sanctioned.
+
+    Run this on the OPTIMIZED LOGICAL plan string: the physical
+    toString hides the `_wN` definition when it folds into a
+    HashAggregate's result expressions (e.g. ewma_daily_revenue)."""
+    defs = re.findall(r"([^,\[\n]{0,120}% 1\) AS (_w\d+#\d+L?))", plan)
+    const_attrs = {attr for ctx, attr in defs if "__ds_pid" not in ctx}
+    hits = [
+        a
+        for a in sorted(const_attrs)
+        if re.search(r"windowspecdefinition\(" + re.escape(a) + r"[,)]", plan)
+    ]
+    hits += [
+        h
+        for h in re.findall(r"windowspecdefinition\((\([^\n]{0,120}?% 1\))", plan)
+        if "__ds_pid" not in h
+    ]
+    return sorted(set(hits))
+
+
 class TestNoGlobalWindows:
-    # Unpartitioned windows whose input is provably bounded (constant
-    # w.r.t. corpus size), so the single partition carries O(1) rows:
-    # Empty since round 2: every formerly-allowlisted bounded-input
-    # window (calendar spines, post-limit RRF rankers, ordered_scan
-    # offsets) now carries an explicit non-foldable single-bucket
-    # partition key — same one-task execution over bounded input, but
-    # the plan states it and the runtime warning is gone, so the gate
-    # holds catalog-wide with no exceptions.
-    BOUNDED_INPUT_OK: set[str] = set()
+    # Single-task windows whose input is provably bounded (constant
+    # w.r.t. corpus size). These carry an explicit non-foldable
+    # single-bucket partition key (`expr % 1`) so the plan states the
+    # intent, AND must be audited here — the gate pattern-matches the
+    # `% 1` key, so a new query cannot silence it without showing up
+    # in this list. Audit trail:
+    #   ewma_daily_revenue      — input is the per-day aggregate
+    #                             (calendar-bounded, <= a few k rows)
+    #   rolling_zscore_anomaly  — same per-day aggregate spine
+    #   revenue_mom_growth      — per-month aggregate spine
+    #   hybrid_search_rrf       — both rankers sit on limit(50) results
+    BOUNDED_INPUT_OK: set[str] = {
+        "ewma_daily_revenue",
+        "rolling_zscore_anomaly",
+        "revenue_mom_growth",
+        "hybrid_search_rrf",
+    }
 
     def test_catalog_free_of_unbounded_global_windows(self, spark):
         """A window with no PARTITION BY plans as a single-partition
         WindowExec — every row through one task, the classic scale
-        killer. Catalog-wide: any such window must be over bounded
-        input (allowlisted above) or over the <=num_partitions offsets
-        frame of operators/distributed.ordered_scan (__ds_pid)."""
+        killer. A constant-valued partition key (`expr % 1`) is the
+        same single task wearing a disguise, so it counts too.
+        Catalog-wide: any such window must be over bounded input
+        (allowlisted above with an audit note) or over the
+        <=num_partitions offsets frame of
+        operators/distributed.ordered_scan (__ds_pid)."""
         from sales_data_pipeline_spark.queries.base import load_all
 
         skip = {"dedup_cluster_assign", "dedup_cluster_size_histogram",
                 "knn_ivf_probe", "ivf_centroid_assign"}
         offenders = {}
+        unaudited = {}
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags or name in skip:
-                continue
-            if name in self.BOUNDED_INPUT_OK:
                 continue
             plan = (
                 spec.fn(spark, SF_DIR)
                 ._jdf.queryExecution()
-                .executedPlan()
+                .optimizedPlan()
                 .toString()
             )
-            hits = re.findall(
+            # truly empty PARTITION BY: first windowspec element is the
+            # ORDER BY column
+            bare = re.findall(
                 r"windowspecdefinition\(([A-Za-z_][\w.]*#\d+L?) (?:ASC|DESC)",
                 plan,
             )
-            hits = [h for h in hits if not h.startswith("__ds_pid")]
-            if hits:
-                offenders[name] = sorted(set(hits))
+            bare = [h for h in bare if not h.startswith("__ds_pid")]
+            if bare and name not in self.BOUNDED_INPUT_OK:
+                offenders[name] = sorted(set(bare))
+            const_key = _const_bucket_window_keys(plan)
+            if const_key and name not in self.BOUNDED_INPUT_OK:
+                unaudited[name] = const_key
         assert not offenders, f"unbounded global windows in: {offenders}"
+        assert not unaudited, (
+            "single-bucket (% 1) windows not in the BOUNDED_INPUT_OK "
+            f"audit list: {unaudited}"
+        )
+
+    def test_bounded_allowlist_has_no_strays(self, spark):
+        """Every BOUNDED_INPUT_OK entry must still contain a bounded
+        single-task window — a stale allowlist row is a hole."""
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        registry = load_all()
+        for name in sorted(self.BOUNDED_INPUT_OK):
+            plan = (
+                registry[name]
+                .fn(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+            assert _const_bucket_window_keys(plan) or re.search(
+                r"windowspecdefinition\([A-Za-z_][\w.]*#\d+L? (?:ASC|DESC)",
+                plan,
+            ), f"{name} no longer has a bounded window; remove from allowlist"
 
     def test_hybrid_rrf_ranks_over_limits(self, spark):
         """Both ranking windows must sit directly on a
@@ -343,9 +408,18 @@ class TestRound2Additions:
         plan = plan_of(spark, "embedding_dim_variance")
         assert shuffles(plan) == 1
 
-    def test_cross_doc_repetition_no_join_back(self, spark):
-        """Doc-frequency rides a count over the gram partition — the
-        plan must not contain any join (the old formulation joined the
-        per-gram aggregate back to the gram rows)."""
+    def test_cross_doc_repetition_partial_agg_only(self, spark):
+        """shared = total - unique-to-doc: every gram-keyed stage is a
+        hash aggregation with map-side partial combine (a boilerplate
+        gram collapses per map partition), never a window over the gram
+        partition and never a gram-keyed join — the only join is
+        doc-keyed between two doc-cardinality aggregates."""
         plan = plan_of(spark, "cross_doc_ngram_repetition")
-        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        # gram-keyed stages are aggregations (partial+final pairs)
+        assert len(re.findall(r"HashAggregate", plan)) >= 4, plan
+        # the sole join is doc-keyed between doc-cardinality aggregates
+        joins = re.findall(r"Join", plan)
+        keys = re.findall(r"Left keys \[\d+\]: \[(\w+)", plan)
+        assert keys and all(k.startswith("doc_id") for k in keys), (
+            keys, joins)
