@@ -132,3 +132,65 @@ def range_join_count(
             .alias("n_in_range")
         )
     )
+
+
+def throttle_scan(
+    ev: DataFrame, gap_us: int, num_partitions: int
+) -> DataFrame:
+    """Per-key emit-then-suppress fold: the first event per user_id
+    emits, then every event within ``gap_us`` of the LAST EMITTED one
+    is suppressed, repeating down the timeline. Each decision depends
+    on the prior decision — a sequential per-key chain no window
+    function expresses (the alert-dedup / notification-rate-limit
+    operator; batch twin of streaming transformWithState).
+
+    Input: (user_id bigint, ts_us bigint). Output: one row per user
+    with event/emit counts and first/last emit timestamps.
+
+    Scale posture: hash-repartition on user_id + external
+    sortWithinPartitions, then ONE mapInPandas scan per partition that
+    carries the boundary user's state across Arrow batches. Memory is
+    bounded under ANY key skew — the fold streams batches, holds 5
+    integers of state for the open key, and flushes output every 10k
+    rows; a user owning the whole partition costs sequential
+    wall-clock on that task (inherent to order-dependent semantics),
+    never heap. See SCALE.md "Known trade-offs"."""
+    import pandas as pd
+
+    cols = [
+        "user_id", "n_events", "n_emitted", "first_emit_us", "last_emit_us"
+    ]
+
+    def scan(batches):
+        # cur = [uid, n_events, n_emitted, first_emit_us, last_accept_us]
+        cur: list | None = None
+        rows: list[list[int]] = []
+        for pdf in batches:
+            us = pdf["user_id"].tolist()
+            ts = pdf["ts_us"].tolist()
+            for uid, t in zip(us, ts):
+                if cur is None or uid != cur[0]:
+                    if cur is not None:
+                        rows.append(cur)
+                    cur = [uid, 1, 1, t, t]
+                else:
+                    cur[1] += 1
+                    if t >= cur[4] + gap_us:
+                        cur[2] += 1
+                        cur[4] = t
+            if len(rows) >= 10000:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+        if cur is not None:
+            rows.append(cur)
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = (
+        "user_id bigint, n_events bigint, n_emitted bigint, "
+        "first_emit_us bigint, last_emit_us bigint"
+    )
+    ordered = ev.repartition(num_partitions, "user_id").sortWithinPartitions(
+        "user_id", "ts_us"
+    )
+    return ordered.mapInPandas(scan, out_schema)

@@ -710,7 +710,7 @@ def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
                  AS sum_base_price,
                SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
@@ -1568,4 +1568,42 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(d, F.col("t.seg_n").eqNullSafe(F.col("d.seg_n")))
         .groupBy(F.col("t.seg_n").alias("seg_n"), "seg_size")
         .agg(F.count("*").alias("n_matched"))
+    )
+
+
+@query(
+    "pii_encrypt_roundtrip",
+    oracle="""
+        SELECT c_custkey,
+               CAST(4 * CEIL(16 * (FLOOR(length(c_name) / 16) + 1) / 3.0)
+                    AS BIGINT) AS cipher_b64_len,
+               c_name AS decrypted
+        FROM customer
+    """,
+    survey="§2.10 extension (reference utility/encrypt_decrypt.py:24-40 "
+    "— PBKDF2-HMAC-SHA1 -> AES-256-CBC -> PKCS7 -> base64 column "
+    "encryption, the last reference file with no repo analog)",
+    doc="PII column encryption round trip: c_name encrypted with the "
+    "reference's exact scheme (functions/crypto.py — KDF once on the "
+    "driver, JVM-side aes_encrypt per row, bare-ciphertext format), "
+    "then decrypted back. The oracle checks what a non-AES engine can: "
+    "the ciphertext's base64 length follows deterministically from "
+    "PKCS7 arithmetic (4*ceil(16*(floor(len/16)+1)/3)), and the "
+    "decrypted value must equal the plaintext cell-for-cell. Pure "
+    "projection, zero shuffles; the cipher runs in codegen.",
+)
+def pii_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_spark.functions import crypto
+
+    kwargs = dict(
+        passphrase="spark-graft-demo-key",
+        iv="0123456789abcdef",
+        salt="pipeline-demo-salt",
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enc = crypto.encrypt_col(F.col("c_name"), **kwargs)
+    return c.select(
+        "c_custkey",
+        F.length(enc).cast("long").alias("cipher_b64_len"),
+        crypto.decrypt_col(enc, **kwargs).alias("decrypted"),
     )

@@ -3510,11 +3510,14 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Top-3 tokens per source with their share of the source's "
     "token mass — the per-domain fingerprint that surfaces template "
     "chrome (a navigation word owning 10% of a domain's tokens) "
-    "before it poisons the training mix. The rank window partitions "
-    "by source over the (source, word) AGGREGATE — per-partition "
-    "input is the source's vocabulary, not its token stream — with a "
-    "count-then-word total order; source totals derive from the same "
-    "aggregate and join back aggregate-sized.",
+    "before it poisons the training mix. Exact two-level top-k: a "
+    "first rank window partitioned by (source, hash(word)%64) keeps "
+    "each bucket's top 3 — per-group input is vocabulary/64 — and the "
+    "merge window ranks the <=192 surviving candidates per source, so "
+    "no task ever holds a source's full vocabulary even at extreme "
+    "per-source vocabularies (the global top-3 is necessarily top-3 "
+    "of its bucket, so the merge is lossless). Source totals derive "
+    "from the same aggregate and join back aggregate-sized.",
     tags=("llm",),
 )
 def source_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3527,9 +3530,19 @@ def source_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     tot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    bucket = F.pmod(F.xxhash64("word"), F.lit(64))
+    w_part = W.partitionBy("source", "__tkb").orderBy(
+        F.desc("c"), F.asc("word")
+    )
+    cand = (
+        sw.withColumn("__tkb", bucket)
+        .withColumn("prk", F.row_number().over(w_part))
+        .filter(F.col("prk") <= 3)
+        .drop("__tkb", "prk")
+    )
     w = W.partitionBy("source").orderBy(F.desc("c"), F.asc("word"))
     return (
-        sw.withColumn("rk", F.row_number().over(w).cast("long"))
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .join(F.broadcast(tot), "source")
         .select(

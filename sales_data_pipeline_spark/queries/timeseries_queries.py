@@ -873,50 +873,12 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def throttle_events_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-
-    GAP = 86_400_000_000
-    cols = ["user_id", "n_events", "n_emitted", "first_emit_us", "last_emit_us"]
-
-    def scan(batches):
-        # cur = [uid, n_events, n_emitted, first_emit_us, last_accept_us]
-        cur: list | None = None
-        rows: list[list[int]] = []
-        for pdf in batches:
-            us = pdf["user_id"].tolist()
-            ts = pdf["ts_us"].tolist()
-            for uid, t in zip(us, ts):
-                if cur is None or uid != cur[0]:
-                    if cur is not None:
-                        rows.append(cur)
-                    cur = [uid, 1, 1, t, t]
-                else:
-                    cur[1] += 1
-                    if t >= cur[4] + GAP:
-                        cur[2] += 1
-                        cur[4] = t
-            if len(rows) >= 10000:
-                yield pd.DataFrame(rows, columns=cols)
-                rows = []
-        if cur is not None:
-            rows.append(cur)
-        if rows:
-            yield pd.DataFrame(rows, columns=cols)
-
-    out_schema = (
-        "user_id bigint, n_events bigint, n_emitted bigint, "
-        "first_emit_us bigint, last_emit_us bigint"
-    )
     n = spark.sparkContext.defaultParallelism
-    ordered = ev.repartition(n, "user_id").sortWithinPartitions(
-        "user_id", "ts_us"
-    )
-    return ordered.mapInPandas(scan, out_schema)
+    return timeseries.throttle_scan(ev, gap_us=86_400_000_000, num_partitions=n)
 
 
 @query(

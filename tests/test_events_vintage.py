@@ -67,3 +67,42 @@ def test_stream_reader_adapts(spark, tmp_path, unit):
     assert sum(r.n for r in rows) == len(TS)
     starts = sorted(r["window"].start.replace(tzinfo=None) for r in rows)
     assert starts[0] == dt.datetime(2024, 1, 1, 0, 0)
+
+
+class TestThrottleHotKey:
+    def test_hot_key_bounded_and_exact(self, spark):
+        """SCALE.md hot-key posture: one user owning ~95% of the stream
+        must neither blow memory (the fold streams Arrow batches with
+        O(1) state per open key and a 10k-row output buffer) nor drift
+        from the sequential reference replay. 60k events for the hot
+        user across several Arrow batches exercises the
+        state-carried-across-batches path; interleaved cold users
+        exercise the key-boundary flush."""
+        from sales_data_pipeline_spark.operators import timeseries
+
+        gap = 1_000  # 1ms chain gap, many emits
+        hot = [(7, 100 + i * 307) for i in range(60_000)]  # ~307us apart
+        cold = [(u, 500 + i * 211) for u in (1, 2, 3) for i in range(50)]
+        df = spark.createDataFrame(
+            hot + cold, "user_id long, ts_us long"
+        )
+        out = {
+            r.user_id: (r.n_events, r.n_emitted, r.first_emit_us,
+                        r.last_emit_us)
+            for r in timeseries.throttle_scan(
+                df, gap_us=gap, num_partitions=4
+            ).collect()
+        }
+
+        def replay(events):
+            events = sorted(events)
+            n_emit, first, last = 1, events[0], events[0]
+            for t in events[1:]:
+                if t >= last + gap:
+                    n_emit += 1
+                    last = t
+            return (len(events), n_emit, first, last)
+
+        assert out[7] == replay([t for _, t in hot])
+        for u in (1, 2, 3):
+            assert out[u] == replay([t for uu, t in cold if uu == u])

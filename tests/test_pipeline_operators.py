@@ -571,3 +571,37 @@ class TestDistinctSketchMerge:
             assert r.merge_consistent, r
             # HLL (lgConfigK=12) relative error is ~1.6%; allow 5%
             assert abs(r.n_sketch - r.n_exact) <= max(2, 0.05 * r.n_exact), r
+
+    def test_union_associative_across_groupings(self, spark):
+        """Sketch union must be grouping-invariant: batching the same
+        stream two unrelated ways (time split vs user-id parity, i.e.
+        different batch counts AND different element placement) and
+        merging must yield the identical estimate — the property that
+        lets per-partition sketches at 100 TB merge in any tree shape
+        the scheduler picks."""
+        from pyspark.sql import functions as F
+
+        from sales_data_pipeline_spark.queries.base import events_table
+
+        e = events_table(spark, "/root/testdata/sf0.001").select(
+            "event_type", "user_id", "ts"
+        )
+
+        def merged_estimate(batch_col):
+            return {
+                r.event_type: r.n
+                for r in (
+                    e.withColumn("b", batch_col)
+                    .groupBy("event_type", "b")
+                    .agg(F.hll_sketch_agg("user_id").alias("sk"))
+                    .groupBy("event_type")
+                    .agg(
+                        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+                    )
+                    .collect()
+                )
+            }
+
+        by_time = merged_estimate((F.col("ts") >= "2024-01-15").cast("int"))
+        by_user = merged_estimate(F.pmod(F.col("user_id"), F.lit(5)))
+        assert by_time == by_user

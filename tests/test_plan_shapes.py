@@ -372,6 +372,17 @@ class TestNoPythonOnHotPath:
         assert not arrow_misuse, f"unsanctioned Arrow UDFs in: {arrow_misuse}"
 
 
+class TestRound3Additions:
+    def test_source_top_tokens_two_level_topk(self, spark):
+        """The per-source rank must never see a source's full
+        vocabulary: a bucketed partial top-3 (source, hash(word)%64)
+        feeds a merge window over <=192 candidates per source — two
+        Window nodes, the first keyed on the salt bucket."""
+        plan = plan_of(spark, "source_top_tokens")
+        assert plan.count("Window") >= 2, plan
+        assert re.search(r"pmod\(xxhash64\(word", plan), plan
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
 
