@@ -2292,13 +2292,15 @@ def source_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "appear in at least one other document (cross-doc boilerplate / "
     "duplication pressure, the corpus-level complement of within-doc "
     "repetition metrics). shared = total - unique-to-this-doc: a gram "
-    "with doc-frequency 1 has exactly one owner, so groupBy(sh) keeps "
-    "min(doc_id) alongside the count and the nd==1 rows re-aggregate by "
-    "owner. Every shuffle is a hash aggregation with map-side partial "
-    "combine — a boilerplate gram shared by half the corpus collapses "
-    "to one cell per map partition instead of forming an O(n_docs) "
-    "window group (or a skewed join key) in a single task. No gram-keyed "
-    "join, no window, no pair space anywhere.",
+    "with doc-frequency 1 has exactly one owner (min doc_id == its only "
+    "doc). Both granularities come out of ONE grouping-sets aggregation "
+    "over the deduped gram stream — doc-keyed distinct-gram counts and "
+    "gram-keyed doc-frequencies share a single Expand+partial-agg "
+    "shuffle instead of recomputing the shingle pipeline per branch. "
+    "Map-side combine means a boilerplate gram shared by half the "
+    "corpus collapses to one cell per map partition instead of forming "
+    "an O(n_docs) window group (or a skewed join key) in a single task. "
+    "No gram-keyed join, no window, no pair space anywhere.",
     tags=("llm",),
 )
 def cross_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2308,16 +2310,23 @@ def cross_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id", "sh"])
         .withColumnRenamed("id", "doc_id")
     )
-    per_doc = sh.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_grams")
+    # rows are (doc, gram)-distinct so count == countDistinct; owner
+    # duplicates doc_id because a grouping column can't be aggregated
+    g = (
+        sh.withColumn("owner", F.col("doc_id"))
+        .groupingSets([["doc_id"], ["sh"]], "doc_id", "sh")
+        .agg(
+            F.count("*").alias("c"),
+            F.min("owner").alias("owner"),
+            F.grouping_id().alias("gid"),
+        )
     )
-    # rows are (doc, gram)-distinct so count == countDistinct(doc_id);
-    # nd==1 grams are unique to min(doc_id) == their only doc
+    per_doc = g.filter(F.col("gid") == 1).select(
+        "doc_id", F.col("c").cast("long").alias("n_grams")
+    )
     uniq = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("doc_id"))
-        .filter(F.col("nd") == 1)
-        .groupBy("doc_id")
+        g.filter((F.col("gid") == 2) & (F.col("c") == 1))
+        .groupBy(F.col("owner").alias("doc_id"))
         .agg(F.count("*").alias("n_unique"))
     )
     shared = F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))
@@ -3302,7 +3311,7 @@ def char_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     bg_rows = dedup.shingle_rows(d, "doc_id", "text", 2)
-    bgc = (
+    bgc_all = (
         bg_rows.select(
             F.split(F.col("sh"), " ").getItem(0).alias("a"),
             F.split(F.col("sh"), " ").getItem(1).alias("b"),
@@ -3310,18 +3319,30 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b").isNotNull() & (F.col("b") != ""))
         .groupBy("a", "b")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= 5)
     )
+    bgc = bgc_all.filter(F.col("c_ab") >= 5)
+    # persisted: both broadcast joins (a-side and b-side) consume this
+    # aggregate — without the persist each BroadcastExchange re-runs
+    # the whole unigram explode scan (vocab-sized state, same footprint
+    # the broadcasts already assume)
     uni = (
         d.select(F.explode(tx.words(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
-    # total over ALL bigrams (pre-floor) must match the oracle's tot
-    all_bgc = (
-        bg_rows.select("sh")
-        .filter(F.col("sh").contains(" "))
-        .agg(F.count("*").alias("t"))
+    # total over ALL bigrams (pre-floor) must match the oracle's tot:
+    # sum of (n_words - 1) per doc == sum of every (a,b) count — a
+    # size()-only projection scan, no explode and no second pass over
+    # the bigram aggregate (greatest skips the null-text NULL)
+    all_bgc = d.agg(
+        F.sum(
+            F.greatest(
+                F.size(tx.words(F.col("text"))) - 1, F.lit(0)
+            ).cast("long")
+        )
+        .cast("double")
+        .alias("t")
     )
     ua = uni.select(F.col("word").alias("a"), F.col("c").alias("ca"))
     ub = uni.select(F.col("word").alias("b"), F.col("c").alias("cb"))
