@@ -113,11 +113,24 @@ def run_query_check(spark, con, sf_dir: str, spec) -> CompareResult:
 
 
 def main(sf_dir: str, names: list[str] | None = None) -> int:
+    import os
+
     from sales_data_pipeline_spark.queries.base import load_all
-    from sales_data_pipeline_spark.session import build_session
 
     registry = load_all()
-    spark = build_session("oracle_harness")
+    if os.environ.get("ORACLE_VANILLA"):
+        # replicate the DRIVER's session: bare builder, none of the
+        # engine confs — queries must self-configure (nanos conf etc.)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "oracle_harness_vanilla"
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from sales_data_pipeline_spark.session import build_session
+
+        spark = build_session("oracle_harness")
     con = duckdb_connection(sf_dir)
     failures = 0
     for name, spec in sorted(registry.items()):
