@@ -373,6 +373,30 @@ class TestNoPythonOnHotPath:
 
 
 class TestRound3Additions:
+    def test_catalog_free_of_cartesian_products(self, spark):
+        """Catalog-wide: no query may plan a physical CartesianProduct.
+        The deliberate scalar join-backs (1-row aggregate cross joins)
+        plan as BroadcastNestedLoopJoin with a single-row build side —
+        constant cost; CartesianProductExec is the O(n*m) shuffle-both-
+        sides node that must never appear."""
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        skip = {"dedup_cluster_assign", "dedup_cluster_size_histogram",
+                "knn_ivf_probe", "ivf_centroid_assign"}
+        offenders = []
+        for name, spec in sorted(load_all().items()):
+            if "streaming" in spec.tags or name in skip:
+                continue
+            plan = (
+                spec.fn(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+        assert not offenders, f"CartesianProduct in: {offenders}"
+
     def test_source_top_tokens_two_level_topk(self, spark):
         """The per-source rank must never see a source's full
         vocabulary: a bucketed partial top-3 (source, hash(word)%64)

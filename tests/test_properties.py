@@ -238,3 +238,35 @@ def test_zorder_key_matches_python_interleave(spark, pairs):
 
     for a, b in pairs:
         assert got[(a, b)] == ref(a, b), (a, b)
+
+
+def test_normalize_to_bits_nulls_and_clamps(spark):
+    """NULL inputs land in bucket 0 by documented choice (they used to
+    silently take the TOP bucket because least() skips nulls), and
+    values outside [lo, hi] clamp to the edge buckets instead of going
+    negative / past the top."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.operators.distributed import (
+        normalize_to_bits,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (-10.0,), (500.0,), (None,)],
+        "v double",
+    )
+    out = [
+        r.b
+        for r in df.select(
+            normalize_to_bits(
+                F.col("v"), F.lit(0.0), F.lit(100.0), bits=8
+            ).alias("b")
+        ).collect()
+    ]
+    assert out[0] == 0
+    assert out[1] == 128
+    assert out[2] == 255  # hi clamps into the top bucket
+    assert out[3] == 0  # below-lo clamps to 0, never negative
+    assert out[4] == 255
+    assert out[5] == 0  # NULL -> bucket 0, not top
+    assert all(0 <= b <= 255 for b in out)
