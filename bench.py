@@ -94,6 +94,7 @@ HEADLINE = [
     "chunk_dedup_exact",
     "prefix_duplicate_groups",
     "event_transition_matrix",
+    "pii_encrypt_roundtrip",
 ]
 
 
