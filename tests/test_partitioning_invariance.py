@@ -32,6 +32,11 @@ QUERIES = [
     "ohlc_bars_6h",            # min_by/max_by composite-key selection
     "knn_batch_lsh_join",      # bucket join + per-query ranking
     "winsorize_event_values",  # percentile boundaries + clipped sums
+    # round-3 rewrites: bucketed two-level top-k, grouping-sets dual
+    # aggregation, persisted-aggregate broadcasts
+    "source_top_tokens",
+    "token_bigram_pmi",
+    "pii_encrypt_roundtrip",   # fixed-IV cipher must be partition-pure
 ]
 
 
