@@ -95,6 +95,8 @@ HEADLINE = [
     "prefix_duplicate_groups",
     "event_transition_matrix",
     "pii_encrypt_roundtrip",
+    "dedup_keep_best",
+    "fuzzy_prefix_linkage",
 ]
 
 

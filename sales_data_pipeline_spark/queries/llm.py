@@ -3577,3 +3577,127 @@ def source_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        x AS (
+          SELECT md5(regexp_replace(regexp_replace(lower(trim(text)),
+                       '[^a-z0-9 \\t\\n]', '', 'g'), '[ \\t\\n]+', ' ', 'g'))
+                   AS fp,
+                 doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+          FROM corpus
+        )
+        SELECT fp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(arg_max(doc_id,
+                      lpad(CAST(nt AS VARCHAR), 12, '0')
+                      || lpad(CAST(999999999999 - doc_id AS VARCHAR), 12, '0'))
+                    AS BIGINT) AS keep_id,
+               CAST(max(nt) AS BIGINT) AS kept_tokens
+        FROM x GROUP BY fp HAVING count(*) >= 2
+    """,
+    survey="LLM-ext: canonicalization dedup with keep-best policy "
+    "(normalize -> exact-group -> keep the richest copy, the standard "
+    "first fuzzy pass before MinHash)",
+    doc="Groups documents by a PUNCTUATION-INSENSITIVE canonical "
+    "fingerprint (lowercase, strip non-alphanumerics, collapse "
+    "whitespace — stronger than content_hash's case/whitespace "
+    "normalization) and keeps the highest-token-count copy per group "
+    "(tie: lowest doc_id) instead of an arbitrary min-id winner — real "
+    "curation keeps the most information-rich duplicate. One "
+    "hash-aggregate shuffle; the keeper is a struct-max (argmax) "
+    "aggregate, so no second pass and no window. The oracle replays "
+    "the argmax with a zero-padded composite sort key.",
+    tags=("llm",),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    canon = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[^a-z0-9 \\t\\n]", ""
+            ),
+            "[ \\t\\n]+",
+            " ",
+        )
+    )
+    nt = F.size(tx.words(F.col("text")))
+    best = F.max(
+        F.struct(
+            F.col("nt").alias("nt"),
+            (F.lit(999999999999) - F.col("doc_id")).alias("inv_id"),
+        )
+    )
+    return (
+        c.select(canon.alias("fp"), "doc_id", nt.alias("nt"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), best.alias("best"))
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "fp",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.lit(999999999999) - F.col("best.inv_id"))
+            .cast("long")
+            .alias("keep_id"),
+            F.col("best.nt").cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "fuzzy_prefix_linkage",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        b AS (
+          SELECT doc_id,
+                 substr(trim(text), 1, 16) AS blk,
+                 substr(trim(text), 1, 40) AS p
+          FROM corpus
+        )
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(levenshtein(a.p, c.p) AS BIGINT) AS edit_dist
+        FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.p, c.p) <= 5
+    """,
+    survey="LLM-ext: blocked edit-distance record linkage (entity-"
+    "resolution blocking: candidates from an equality block, verified "
+    "with an O(len^2) measure only inside blocks — never all-pairs)",
+    doc="Near-duplicate / same-record pairs by edit distance on the "
+    "40-char document prefix, blocked on exact 16-char-prefix "
+    "equality: the levenshtein verify (quadratic per comparison) runs "
+    "only within equality blocks, the classic entity-resolution "
+    "blocking shape that replaces the O(n^2) pair space with "
+    "per-block pair spaces sized by template prevalence. A hot block "
+    "(one template opening shared corpus-wide) is the skew knob: "
+    "composite blocking (prefix + length band / second field) splits "
+    "it without losing true pairs whose measure tolerates the block "
+    "key difference. One shuffle on the block key; both engines run "
+    "character-level Levenshtein.",
+    tags=("llm",),
+)
+def fuzzy_prefix_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    b = c.select(
+        "doc_id",
+        F.substring(F.trim(F.col("text")), 1, 16).alias("blk"),
+        F.substring(F.trim(F.col("text")), 1, 40).alias("p"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    dist = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    return (
+        a.join(
+            bb,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+    )
