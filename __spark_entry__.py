@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -20,43 +21,69 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-# Queries from SURVEY.md §2 / the LLM-data extension surface that should
-# reach the front of the driver's correctness window first when still
-# unchecked (flagship operators + freshly rewritten plans).
+# Round-4 rotation plan: 51 queries have never had a driver
+# CORRECTNESS row; the window fits 50. This list is exactly those 51
+# minus `text_compression_ratio` (rows-only zlib metric, unit-pinned
+# locally — the one query where a driver row adds the least), ordered
+# heavyweights/riskiest first per the round-3 verdict. Already-green
+# names are pruned; `_rotated` would filter them anyway.
 _PRIORITY = [
-    # entry() flagship + reference-parity operators still unchecked (r2)
-    "revenue_by_nation",
-    "rejection_split_case_when",
-    "scd1_upsert_merge",
-    "scd2_point_in_time",
-    "scd2_compact_history",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "row_hash_md5",
-    # oracled streaming family
-    "streaming_tumbling_counts",
-    "streaming_sliding_windows",
-    "streaming_dedup_events",
-    "streaming_dedup_within_watermark",
-    "streaming_static_join",
-    "streaming_stream_join",
-    "streaming_stream_left_join",
-    "streaming_foreach_batch_upsert",
-    # stateful fold + text/retrieval staples called out by the judge
-    "throttle_events_24h",
-    "tfidf_top_terms",
-    "pii_redaction",
-    "text_token_stats",
-    "text_language_id",
-    "text_quality_scores",
-    "token_bigram_pmi",
-    "source_top_tokens",
-    "prefix_duplicate_groups",
-    "knn_batch_lsh_join",
-    "ohlc_bars_6h",
-    "winsorize_event_values",
-    "tumbling_window_agg",
-    "session_window_agg",
+    # heavyweight / riskiest first (TPC-H shapes, windows, pivots,
+    # crypto roundtrip, multi-join marts)
+    "pricing_summary",
+    "waiting_orders_suppliers",
+    "window_rank_showcase",
+    "rollup_revenue",
+    "pivot_status_by_year",
+    "variant_json_agg",
+    "pii_encrypt_roundtrip",
+    "supplier_market_share",
+    "small_quantity_revenue",
+    "retention_cohorts",
+    # remaining joins / aggregates / subqueries
+    "null_safe_join",
+    "order_keys_agg",
+    "order_priority_semijoin",
+    "orders_above_avg",
+    "percentile_order_price",
+    "product_profit_by_nation",
+    "promo_revenue_share",
+    "range_join_error_clicks",
+    "referential_integrity_audit",
+    "returned_items_topk",
+    "semi_join_active_keys",
+    "shipping_priority_topk",
+    "sql_segment_revenue",
+    "supplier_part_counts",
+    "top_supplier_revenue",
+    "topk_per_group",
+    "unpivot_measures",
+    # time-series / windowed analytics
+    "revenue_mom_growth",
+    "revenue_yoy_growth",
+    "rolling_7d_distinct_users",
+    "rolling_7d_user_value",
+    "rolling_zscore_anomaly",
+    "sessionize_lag_gaps",
+    "stats_price_quantity_moments",
+    "top_event_paths",
+    "user_behavior_entropy",
+    "user_value_trend",
+    "zscore_outlier_counts",
+    # LLM-data / corpus ops
+    "pack_training_shards",
+    "phrase_search_positional",
+    "repetition_quality_metrics",
+    "sample_docs_md5",
+    "source_corpus_stats",
+    "source_kl_divergence",
+    "stratified_sample_docs",
+    "tokenizer_vocab_coverage",
+    "top_tokens",
+    "unigram_logprob_scores",
+    "weighted_sample_docs",
+    # rows-only stateful streaming (driver records rows-only; pytest-pinned)
+    "streaming_stateful_sessionize",
 ]
 
 
@@ -74,7 +101,18 @@ def _driver_rows() -> tuple[set[str], set[str]]:
     re-verified instead of rotting behind the "already checked" set.
     """
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+
+    def _round_num(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # Sort by the NUMERIC round, not the filename: lexicographic order
+    # breaks at round 100 (CORRECTNESS_r100 < CORRECTNESS_r99) and would
+    # let a stale row override the true latest.
+    for path in sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
+        key=_round_num,
+    ):
         try:
             with open(path) as f:
                 latest.update(json.load(f))

@@ -97,6 +97,12 @@ HEADLINE = [
     "pii_encrypt_roundtrip",
     "dedup_keep_best",
     "fuzzy_prefix_linkage",
+    # round-4 additions: last unbenched heavyweight families — cohort
+    # retention (two-shuffle), 7-day sliding distinct (range-frame
+    # window over events), and VARIANT/JSON aggregation
+    "retention_cohorts",
+    "rolling_7d_distinct_users",
+    "variant_json_agg",
 ]
 
 
@@ -105,7 +111,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from sales_data_pipeline_spark.queries.base import load_all
+    from sales_data_pipeline_spark.queries.base import (
+        load_all,
+        release_persisted,
+    )
     from sales_data_pipeline_spark.session import build_session
 
     registry = load_all()
@@ -135,7 +144,9 @@ def main() -> None:
                 timings[name] = elapsed
             # queries that persist() intermediates would otherwise leak
             # cache across measurements; drop it so every query is timed
-            # against a cold store
+            # against a cold store (release first = precise unpersist of
+            # scoped intermediates, clearCache = catch-all)
+            release_persisted()
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

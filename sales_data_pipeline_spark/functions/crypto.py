@@ -13,6 +13,19 @@ JVM-side `aes_encrypt`/`aes_decrypt` built-ins, so encryption of a
 100 TB column stays inside whole-stage codegen with zero Python on the
 hot path. Spark's CBC envelope is `iv || ciphertext`; the wrappers
 slice/prepend the IV to speak the reference's bare-ciphertext format.
+
+Parity envelope (non-ASCII): the reference's pad() counts Python CHARS
+but encrypts UTF-8 BYTES (`encrypt_decrypt.py:21`). Whenever the UTF-8
+byte length is congruent to the char length mod 16 — all ASCII, plus
+non-ASCII whose multibyte overage is a multiple of 16 — the appended
+pad is exactly standard byte-PKCS7 (pad value == pad count), so our
+output is byte-identical and decrypt_col reads the payload. For every
+OTHER non-ASCII input the reference's own AES call raises (data not
+block-aligned), so no such legacy payload can exist: this module is a
+strict superset — it encrypts everything the reference does (byte-
+identically) plus the inputs the reference crashes on. Pinned by
+tests/test_crypto.py::TestCharCountPaddingEnvelope against a
+char-count-faithful replica of the reference's pad().
 """
 
 from __future__ import annotations
@@ -50,7 +63,12 @@ def encrypt_col(col: Column, passphrase: str, iv: str, salt: str) -> Column:
         F.lit(ivb),
     )
     ct = F.substring(envelope, _IV_LEN + 1, 2_000_000_000)
-    return F.base64(ct)
+    # Spark's base64() MIME-chunks output at 76 chars with \r\n (the
+    # legacy chunkBase64String behavior; session-conf dependent). The
+    # reference writes unchunked b64encode, so strip line breaks — a
+    # codegen projection, deterministic under ANY session conf (the
+    # driver runs a vanilla session where the legacy conf is unset).
+    return F.regexp_replace(F.base64(ct), "[\\r\\n]", "")
 
 
 def decrypt_col(col: Column, passphrase: str, iv: str, salt: str) -> Column:

@@ -10,10 +10,11 @@ The Spark-side plumbing here (schemas, batch iteration, partition
 behavior) is real and tested; the codec itself is pluggable:
  - ``decoder="fake"`` — a deterministic arithmetic decoder (used by
    tests and the DuckDB oracle), and
- - ``decoder="real"`` — raises NotImplementedError: image/audio
-   libraries (PIL/ffmpeg) are not available in this container. Swap in
-   a real decode function on a cluster with codecs installed; nothing
-   else changes.
+ - ``decoder="real"`` — capability-probed: image decode/resize use PIL
+   when importable (raise NotImplementedError with a clear message
+   where it isn't, e.g. this container); WAV audio decode uses the
+   stdlib ``wave`` module and works everywhere. Nothing else changes
+   between modes — same schemas, same mapInPandas batch shape.
 
 Scale posture: mapInPandas streams Arrow batches (no per-row Python
 overhead); media bytes never hit the driver; batch size is governed by
@@ -50,12 +51,32 @@ def attach_binary(
     return df.withColumn(out_col, F.col(src_col).cast("binary"))
 
 
+def _have_pil() -> bool:
+    """Capability probe: PIL importable? Evaluated lazily on the
+    EXECUTOR (inside the mapInPandas batch fn), so a heterogeneous
+    cluster fails loudly per-task rather than silently on the driver."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_real(payload: bytes) -> tuple[int, int]:
-    """Real image decode — requires PIL/libvips, absent here."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use decoder='fake' or provide a decode function"
-    )
+    """Real image decode via PIL when installed (probe), else a clear
+    NotImplementedError — the deterministic fake stays the oracle path."""
+    if not _have_pil():
+        raise NotImplementedError(
+            "image codecs (PIL) are not installed in this environment; "
+            "use decoder='fake' or provide a decode function"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int]:
@@ -125,11 +146,21 @@ RESIZED_META_SCHEMA = T.StructType(
 
 
 def _resize_real(payload: bytes, w: int, h: int) -> bytes:
-    """Real image resize — requires PIL/libvips, absent here."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use resizer='fake' or provide a resize function"
-    )
+    """Real image resize via PIL when installed (probe), else a clear
+    NotImplementedError — the deterministic fake stays the oracle path."""
+    if not _have_pil():
+        raise NotImplementedError(
+            "image codecs (PIL) are not installed in this environment; "
+            "use resizer='fake' or provide a resize function"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        out = io.BytesIO()
+        im.resize((w, h)).save(out, format=im.format or "PNG")
+        return out.getvalue()
 
 
 def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
@@ -304,3 +335,74 @@ def frame_energy(
     return df.select(id_col, bytes_col).mapInPandas(
         batches, AUDIO_ENERGY_SCHEMA
     )
+
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_width", T.IntegerType()),
+    ]
+)
+
+
+def _decode_wav_real(payload: bytes) -> tuple[int, int, int, int]:
+    """Real WAV header decode via the stdlib ``wave`` module — a
+    genuinely working ``decoder="real"`` path with no third-party
+    codec dependency."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            w.getnchannels(),
+            w.getframerate(),
+            w.getnframes(),
+            w.getsampwidth(),
+        )
+
+
+def _decode_wav_fake(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in: derive plausible WAV metadata from the
+    byte length (mirrors what an oracle SQL can compute)."""
+    n = len(payload)
+    return 1 + n % 2, 8000 + (n % 5) * 2000, n // 2, 2
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Audio decode pass: binary WAV column -> (doc_id, n_channels,
+    sample_rate, n_frames, sample_width) via Arrow-batched mapInPandas.
+    ``decoder="real"`` parses actual RIFF/WAV headers (stdlib wave, no
+    capability gap); ``decoder="fake"`` is the deterministic oracle
+    path on arbitrary binary payloads."""
+    decode = {"fake": _decode_wav_fake, "real": _decode_wav_real}[decoder]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode(p) for p in pdf[bytes_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_channels": pd.Series(
+                        [m[0] for m in metas], dtype="int32"
+                    ),
+                    "sample_rate": pd.Series(
+                        [m[1] for m in metas], dtype="int32"
+                    ),
+                    "n_frames": pd.Series(
+                        [m[2] for m in metas], dtype="int64"
+                    ),
+                    "sample_width": pd.Series(
+                        [m[3] for m in metas], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, WAV_META_SCHEMA)

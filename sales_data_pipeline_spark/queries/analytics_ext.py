@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from sales_data_pipeline_spark.queries.base import (
     det_sum,
     query,
+    scoped_persist,
     sql_det_sum,
     table,
 )
@@ -1074,7 +1075,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
     )
-    srev = (
+    srev = scoped_persist(
         li.groupBy("l_suppkey")
         .agg(
             F.sum(
@@ -1085,7 +1086,6 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("rev_scaled")
         )
-        .persist()
     )
     mx = srev.agg(F.max("rev_scaled").alias("max_scaled"))
     s = table(spark, sf_dir, "supplier")
@@ -1138,7 +1138,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    nrev = (
+    nrev = scoped_persist(
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -1151,7 +1151,6 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("rev_scaled")
         )
-        .persist()
     )
     tot = nrev.agg(F.sum("rev_scaled").alias("total_scaled"))
     return (

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.functions import text as tx
 from sales_data_pipeline_spark.operators import dedup, multimodal, similarity
-from sales_data_pipeline_spark.queries.base import det_round, query, table
+from sales_data_pipeline_spark.queries.base import (
+    det_round,
+    query,
+    scoped_persist,
+    table,
+)
 
 NEAR_DUP_PAD = " extra pad tokens appended for near duplicate testing"
 
@@ -1675,12 +1680,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bm_base = dedup.minhash_block_map(base, "doc_id", "text", 3)
     bm_batch = dedup.minhash_block_map(batch, "doc_id", "text", 3)
-    cand = (
+    cand = scoped_persist(
         bm_batch.alias("q")
         .join(bm_base.alias("b"), F.col("q.block") == F.col("b.block"))
         .select(F.col("q.id").alias("qid"), F.col("b.id").alias("bid"))
         .distinct()
-        .persist()
     )
     # gram sets only for docs appearing in candidates (both sides)
     def gram_sets(df, ids):
@@ -1691,12 +1695,16 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.collect_set("sh").alias("grams"))
         )
 
-    gq = gram_sets(
-        batch, cand.select(F.col("qid").alias("doc_id")).distinct()
-    ).persist()
-    gb = gram_sets(
-        base, cand.select(F.col("bid").alias("doc_id")).distinct()
-    ).persist()
+    gq = scoped_persist(
+        gram_sets(
+            batch, cand.select(F.col("qid").alias("doc_id")).distinct()
+        )
+    )
+    gb = scoped_persist(
+        gram_sets(
+            base, cand.select(F.col("bid").alias("doc_id")).distinct()
+        )
+    )
     pairs = (
         cand.join(gq.select(F.col("id").alias("qid"), F.col("grams").alias("ga")), "qid")
         .join(gb.select(F.col("id").alias("bid"), F.col("grams").alias("gb")), "bid")
@@ -3321,15 +3329,16 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_ab"))
     )
     bgc = bgc_all.filter(F.col("c_ab") >= 5)
-    # persisted: both broadcast joins (a-side and b-side) consume this
-    # aggregate — without the persist each BroadcastExchange re-runs
-    # the whole unigram explode scan (vocab-sized state, same footprint
-    # the broadcasts already assume)
-    uni = (
+    # scoped-persisted: both broadcast joins (a-side and b-side) consume
+    # this aggregate — without the persist each BroadcastExchange
+    # re-runs the whole unigram explode scan (vocab-sized state, same
+    # footprint the broadcasts already assume). scoped_persist registers
+    # it for release right after the consuming action, so repeated
+    # catalog runs in one session never accumulate cached vocab tables.
+    uni = scoped_persist(
         d.select(F.explode(tx.words(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
-        .persist()
     )
     # total over ALL bigrams (pre-floor) must match the oracle's tot:
     # sum of (n_words - 1) per doc == sum of every (a,b) count — a
@@ -3589,16 +3598,17 @@ def source_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS fp,
                  doc_id,
                  len(regexp_split_to_array(trim(text), '\\s+')) AS nt
-          FROM corpus
+          FROM corpus WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, max(nt) AS mx
+          FROM x GROUP BY fp HAVING count(*) >= 2
         )
-        SELECT fp,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(arg_max(doc_id,
-                      lpad(CAST(nt AS VARCHAR), 12, '0')
-                      || lpad(CAST(999999999999 - doc_id AS VARCHAR), 12, '0'))
-                    AS BIGINT) AS keep_id,
-               CAST(max(nt) AS BIGINT) AS kept_tokens
-        FROM x GROUP BY fp HAVING count(*) >= 2
+        SELECT g.fp, g.n_docs,
+               CAST(min(x.doc_id) AS BIGINT) AS keep_id,
+               CAST(g.mx AS BIGINT) AS kept_tokens
+        FROM g JOIN x ON x.fp = g.fp AND x.nt = g.mx
+        GROUP BY g.fp, g.n_docs, g.mx
     """,
     survey="LLM-ext: canonicalization dedup with keep-best policy "
     "(normalize -> exact-group -> keep the richest copy, the standard "
@@ -3609,9 +3619,15 @@ def source_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalization) and keeps the highest-token-count copy per group "
     "(tie: lowest doc_id) instead of an arbitrary min-id winner — real "
     "curation keeps the most information-rich duplicate. One "
-    "hash-aggregate shuffle; the keeper is a struct-max (argmax) "
-    "aggregate, so no second pass and no window. The oracle replays "
-    "the argmax with a zero-padded composite sort key.",
+    "hash-aggregate shuffle; the keeper is a struct-max (argmax) over "
+    "(nt, -doc_id) — sign-safe for arbitrary 64-bit ids (snowflake ids "
+    "beyond 10^12 keep the exact tie order; no padded-string or "
+    "magic-constant key) — so no second pass and no window. NULL-text "
+    "docs are excluded on BOTH sides (content-canonicalization is "
+    "undefined without content; Spark's struct-max would otherwise "
+    "still rank a NULL nt while DuckDB's composite key would go NULL). "
+    "The oracle replays the argmax as a two-level aggregate: max "
+    "tokens per group, then min doc_id among the max-token copies.",
     tags=("llm",),
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3629,20 +3645,19 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = F.max(
         F.struct(
             F.col("nt").alias("nt"),
-            (F.lit(999999999999) - F.col("doc_id")).alias("inv_id"),
+            (-F.col("doc_id")).alias("neg_id"),
         )
     )
     return (
-        c.select(canon.alias("fp"), "doc_id", nt.alias("nt"))
+        c.filter(F.col("text").isNotNull())
+        .select(canon.alias("fp"), "doc_id", nt.alias("nt"))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), best.alias("best"))
         .filter(F.col("n_docs") >= 2)
         .select(
             "fp",
             F.col("n_docs").cast("long").alias("n_docs"),
-            (F.lit(999999999999) - F.col("best.inv_id"))
-            .cast("long")
-            .alias("keep_id"),
+            (-F.col("best.neg_id")).cast("long").alias("keep_id"),
             F.col("best.nt").cast("long").alias("kept_tokens"),
         )
     )
@@ -3655,28 +3670,37 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         b AS (
           SELECT doc_id,
                  substr(trim(text), 1, 16) AS blk,
-                 substr(trim(text), 1, 40) AS p
+                 substr(trim(text), 1, 40) AS p,
+                 CAST(floor(len(trim(text)) / 8) AS BIGINT) AS band
           FROM corpus
         )
         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
                CAST(levenshtein(a.p, c.p) AS BIGINT) AS edit_dist
-        FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        FROM b a JOIN b c
+          ON a.blk = c.blk AND abs(a.band - c.band) <= 1
+         AND a.doc_id < c.doc_id
         WHERE levenshtein(a.p, c.p) <= 5
     """,
     survey="LLM-ext: blocked edit-distance record linkage (entity-"
-    "resolution blocking: candidates from an equality block, verified "
-    "with an O(len^2) measure only inside blocks — never all-pairs)",
+    "resolution COMPOSITE blocking: prefix equality + length band, "
+    "verified with an O(len^2) measure only inside blocks — never "
+    "all-pairs, never a single hot reducer)",
     doc="Near-duplicate / same-record pairs by edit distance on the "
-    "40-char document prefix, blocked on exact 16-char-prefix "
-    "equality: the levenshtein verify (quadratic per comparison) runs "
-    "only within equality blocks, the classic entity-resolution "
-    "blocking shape that replaces the O(n^2) pair space with "
-    "per-block pair spaces sized by template prevalence. A hot block "
-    "(one template opening shared corpus-wide) is the skew knob: "
-    "composite blocking (prefix + length band / second field) splits "
-    "it without losing true pairs whose measure tolerates the block "
-    "key difference. One shuffle on the block key; both engines run "
-    "character-level Levenshtein.",
+    "40-char document prefix, blocked on (exact 16-char prefix, "
+    "trimmed-length band floor(len/8)): the levenshtein verify "
+    "(quadratic per comparison) runs only within composite blocks, so "
+    "a corpus-wide shared template opening — the classic hot block — "
+    "splits across length bands instead of forming one quadratic "
+    "reducer. The probe side emits bands {-1, 0, +1}, so every pair "
+    "whose trimmed lengths differ by <= 7 chars is guaranteed "
+    "compared (band diff <= 1); pairs >= 2 bands apart are outside "
+    "the blocking policy by design — linkage candidates with wildly "
+    "different record lengths are not same-record pairs. Each "
+    "qualifying pair meets on exactly one (blk, band) key (the build "
+    "side keeps its single band), so no dedup pass is needed. One "
+    "shuffle on the composite key; both engines run character-level "
+    "Levenshtein, and the oracle replays the band policy as "
+    "abs(band_a - band_c) <= 1.",
     tags=("llm",),
 )
 def fuzzy_prefix_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3685,13 +3709,27 @@ def fuzzy_prefix_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring(F.trim(F.col("text")), 1, 16).alias("blk"),
         F.substring(F.trim(F.col("text")), 1, 40).alias("p"),
+        F.floor(F.length(F.trim(F.col("text"))) / 8)
+        .cast("long")
+        .alias("band"),
     )
-    a, bb = b.alias("a"), b.alias("b")
+    probe = b.select(
+        "doc_id",
+        "blk",
+        "p",
+        F.explode(
+            F.array(
+                F.col("band") - 1, F.col("band"), F.col("band") + 1
+            )
+        ).alias("band"),
+    )
+    a, bb = probe.alias("a"), b.alias("b")
     dist = F.levenshtein(F.col("a.p"), F.col("b.p"))
     return (
         a.join(
             bb,
             (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

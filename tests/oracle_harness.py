@@ -103,8 +103,13 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 
 def run_query_check(spark, con, sf_dir: str, spec) -> CompareResult:
+    from sales_data_pipeline_spark.queries.base import release_persisted
+
     sdf = spec.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
+    # drop scoped within-query persists right after the action so a
+    # full-catalog harness run never accumulates cached intermediates
+    release_persisted()
     if spec.oracle is None:
         ok = len(spark_pdf) >= 0
         return CompareResult(spec.name, ok, f"rows-only: {len(spark_pdf)} rows")

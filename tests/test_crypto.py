@@ -52,6 +52,11 @@ class TestReferenceByteCompat:
         "exactly 16 bytes",  # boundary: PKCS7 adds a full extra block
         "Customer#000000042",
         "unicode: café ☃",
+        # > 57 bytes -> ciphertext whose base64 crosses the 76-char MIME
+        # chunk boundary: pins that encrypt_col strips Spark's \r\n
+        # chunking and stays byte-identical to the reference's unchunked
+        # b64encode on long payloads
+        "long payload " * 10,
     ]
 
     def test_encrypt_matches_reference_scheme(self, spark):
@@ -87,6 +92,69 @@ class TestReferenceByteCompat:
             ).collect()
         }
         assert out == dict(enumerate(self.SAMPLES))
+
+
+def _reference_faithful_encrypt(plaintext: str) -> str:
+    """CHAR-COUNT-faithful replica of the reference's pad()+encrypt():
+    pad length computed from len(str) (not UTF-8 bytes), exactly like
+    /root/reference/src/main/utility/encrypt_decrypt.py:21. For inputs
+    whose byte length is not char-congruent mod 16 the cipher raises —
+    the same failure the reference itself hits."""
+    key = crypto.derive_key(PASSPHRASE, SALT)
+    padlen = 16 - len(plaintext) % 16  # chars, like the reference
+    padded = (plaintext + chr(padlen) * padlen).encode("utf-8")
+    enc = Cipher(
+        algorithms.AES(key), modes.CBC(IV.encode("utf-8"))
+    ).encryptor()
+    ct = enc.update(padded) + enc.finalize()
+    return base64.b64encode(ct).decode("ascii")
+
+
+@pytest.mark.skipif(not HAVE_CRYPTOGRAPHY, reason="cryptography absent")
+class TestCharCountPaddingEnvelope:
+    """The reference pads by CHAR count but encrypts UTF-8 BYTES. The
+    parity envelope this pins: byte-aligned inputs (byte_len == char_len
+    mod 16) give byte-identical output; everything else CRASHES the
+    reference, so no incompatible legacy payload can exist."""
+
+    # 16 two-byte chars -> multibyte overage 16 == 0 (mod 16): the
+    # reference succeeds and its char-count pad is exactly byte-PKCS7
+    ALIGNED = "é" * 16 + " accents aplenty"
+    # 1 two-byte char -> overage 1: the reference's AES call rejects it
+    MISALIGNED = "café"
+
+    def test_aligned_non_ascii_byte_identical(self, spark):
+        raw = self.ALIGNED.encode("utf-8")
+        assert (len(raw) - len(self.ALIGNED)) % 16 == 0  # premise
+        expected = _reference_faithful_encrypt(self.ALIGNED)
+        df = spark.createDataFrame([(self.ALIGNED,)], "pt string")
+        (got,) = df.select(
+            crypto.encrypt_col(F.col("pt"), PASSPHRASE, IV, SALT).alias(
+                "ct"
+            )
+        ).collect()
+        assert got.ct == expected
+        # and the legacy payload decrypts through the Spark path
+        (back,) = spark.createDataFrame(
+            [(expected,)], "ct string"
+        ).select(
+            crypto.decrypt_col(F.col("ct"), PASSPHRASE, IV, SALT).alias(
+                "pt"
+            )
+        ).collect()
+        assert back.pt == self.ALIGNED
+
+    def test_misaligned_non_ascii_crashes_reference(self, spark):
+        # the reference cannot produce a payload for this input at all
+        with pytest.raises(ValueError):
+            _reference_faithful_encrypt(self.MISALIGNED)
+        # ours encrypts and round-trips it — strict superset
+        df = spark.createDataFrame([(self.MISALIGNED,)], "pt string")
+        enc = crypto.encrypt_col(F.col("pt"), PASSPHRASE, IV, SALT)
+        (row,) = df.select(
+            crypto.decrypt_col(enc, PASSPHRASE, IV, SALT).alias("back")
+        ).collect()
+        assert row.back == self.MISALIGNED
 
 
 class TestRoundTripAndPlan:

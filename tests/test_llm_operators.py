@@ -249,13 +249,52 @@ class TestMultimodal:
         assert out[2].width == 64 + 600 % 512
         assert out[1].content_hash == hashlib.md5(b"abc").hexdigest()
 
-    def test_real_decoder_stubbed(self, spark):
-        df = multimodal.attach_binary(_docs(spark, [(1, "abc")]))
-        with pytest.raises(Exception) as exc_info:
-            multimodal.decode_media_meta(df, decoder="real").collect()
-        assert "NotImplementedError" in str(
-            exc_info.value
-        ) or "not installed" in str(exc_info.value)
+    def test_real_image_decoder_probed(self, spark):
+        """decoder='real' is capability-probed: with PIL installed it
+        decodes genuine image bytes; without it, a clear
+        NotImplementedError — green either way."""
+        if multimodal._have_pil():
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("RGB", (17, 9)).save(buf, format="PNG")
+            df = spark.createDataFrame(
+                [(1, buf.getvalue())], "doc_id long, media_bytes binary"
+            )
+            (row,) = multimodal.decode_media_meta(
+                df, decoder="real"
+            ).collect()
+            assert (row.width, row.height) == (17, 9)
+        else:
+            df = multimodal.attach_binary(_docs(spark, [(1, "abc")]))
+            with pytest.raises(Exception) as exc_info:
+                multimodal.decode_media_meta(df, decoder="real").collect()
+            assert "NotImplementedError" in str(
+                exc_info.value
+            ) or "not installed" in str(exc_info.value)
+
+    def test_real_wav_decoder_works_everywhere(self, spark):
+        """Audio decoder='real' parses actual RIFF/WAV headers via the
+        stdlib wave module — a real-codec path with no capability gap."""
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(b"\x00\x01" * 2 * 123)  # 123 stereo frames
+        df = spark.createDataFrame(
+            [(7, buf.getvalue())], "doc_id long, media_bytes binary"
+        )
+        (row,) = multimodal.decode_audio_meta(df, decoder="real").collect()
+        assert row.n_channels == 2
+        assert row.sample_rate == 16000
+        assert row.n_frames == 123
+        assert row.sample_width == 2
 
     def test_frame_sampling(self, spark):
         df = multimodal.attach_binary(_docs(spark, [(1, "x" * 200)]))
