@@ -1045,12 +1045,12 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT) AS bar,
                CAST(count(*) AS BIGINT) AS n,
                arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
                  AS open,
                max(value) AS high,
                min(value) AS low,
                arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
                  AS close
         FROM events
         GROUP BY 1, 2
@@ -1070,10 +1070,13 @@ def ohlc_bars_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     # zero-padded decimal string == numeric order; mirrors the oracle's
-    # key expression exactly (DuckDB arg_min has no composite-key form)
+    # key expression exactly (DuckDB arg_min has no composite-key form).
+    # 20-wide pads cover any 64-bit value — a 12-wide id pad would
+    # silently truncate (still deterministic, but non-numeric order)
+    # for snowflake-scale ids beyond 10^12
     key = F.concat(
         F.lpad(ts_us.cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     return (
         ev.select(

@@ -37,6 +37,10 @@ QUERIES = [
     "source_top_tokens",
     "token_bigram_pmi",
     "pii_encrypt_roundtrip",   # fixed-IV cipher must be partition-pure
+    # round-4 rewrites: sign-safe struct-max argmax, banded composite
+    # block join with probe-side explode
+    "dedup_keep_best",
+    "fuzzy_prefix_linkage",
 ]
 
 
