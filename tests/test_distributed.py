@@ -147,6 +147,32 @@ class TestDriverWindowRotation:
         # then green a/c
         assert e._rotated(names) == ["b", "d", "a", "c"]
 
+    def test_latest_row_resolved_by_numeric_round(self, tmp_path, monkeypatch):
+        import json
+
+        import __spark_entry__ as e
+
+        # r99 says q failed; r100 says q is green. Lexicographic filename
+        # order visits r100 BEFORE r99 ("r100" < "r99") and lets the
+        # stale failure win; numeric-round order must let r100 (the true
+        # latest) decide.
+        ok = {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+        bad = dict(ok, hash_match=False)
+        (tmp_path / "CORRECTNESS_r99.json").write_text(
+            json.dumps({"q": bad})
+        )
+        (tmp_path / "CORRECTNESS_r100.json").write_text(
+            json.dumps({"q": ok})
+        )
+        monkeypatch.setattr(e, "_REPO_ROOT", str(tmp_path))
+        green, failed = e._driver_rows()
+        assert green == {"q"} and failed == set()
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -270,3 +270,78 @@ def test_normalize_to_bits_nulls_and_clamps(spark):
     assert out[4] == 255
     assert out[5] == 0  # NULL -> bucket 0, not top
     assert all(0 <= b <= 255 for b in out)
+
+
+SAFE_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # no surrogates
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(SAFE_TEXT, min_size=1, max_size=16))
+def test_crypto_roundtrip_arbitrary_unicode(spark, texts):
+    """encrypt_col -> decrypt_col is the identity for ANY unicode
+    payload — including inputs the reference's char-count pad would
+    crash on (our path is a strict superset) and payloads long enough
+    to cross the 76-char base64 MIME-chunk boundary."""
+    from sales_data_pipeline_spark.functions import crypto
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, pt string"
+    )
+    enc = crypto.encrypt_col(
+        F.col("pt"), "prop-key", "0123456789abcdef", "prop-salt"
+    )
+    out = df.select(
+        "i",
+        "pt",
+        crypto.decrypt_col(
+            enc, "prop-key", "0123456789abcdef", "prop-salt"
+        ).alias("back"),
+        enc.alias("ct"),
+    ).collect()
+    for r in out:
+        assert r.back == r.pt
+        assert "\r" not in r.ct and "\n" not in r.ct  # unchunked format
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=5),
+        min_size=4,
+        max_size=10,
+    ),
+    extra=st.lists(
+        st.text(alphabet="hijklmn", min_size=1, max_size=5),
+        min_size=4,
+        max_size=10,
+    ),
+)
+def test_minhash_lsh_finds_exact_duplicates(spark, words, extra):
+    """LSH recall floor: EXACT duplicates have identical signatures,
+    hence identical band keys in every band — minhash_lsh_pairs must
+    always emit the pair with jaccard 1.0, for any document content.
+    (A deterministic guarantee, unlike near-dup recall which is
+    probabilistic by design.)"""
+    from sales_data_pipeline_spark.operators import dedup
+
+    t1, t2 = " ".join(words), " ".join(extra)
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(df).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
