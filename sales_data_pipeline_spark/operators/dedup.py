@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_spark.caching import scoped_persist
 from sales_data_pipeline_spark.functions.text import content_hash, words
 
 
@@ -179,12 +180,12 @@ def minhash_lsh_pairs(
     ]
     banded = sigs.select("id", F.explode(F.array(*band_exprs)).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
-    # persist: consumed 3x (both cand_ids branches + the pair join)
-    cand = (
+    # scoped-persisted: consumed 3x (both cand_ids branches + the pair
+    # join); released by the caller loop right after the action
+    cand = scoped_persist(
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .persist()
     )
     # Jaccard verify on candidates only: shingle sets are recomputed
     # just for docs that appear in some candidate pair.
@@ -198,11 +199,10 @@ def minhash_lsh_pairs(
     # interpreted-HOF shingle_set Column was ~2.5x slower end-to-end
     # even though this path shuffles the candidates' shingle rows.
     cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
-    shset = (
+    shset = scoped_persist(
         shingle_rows(cand_docs, id_col, text_col, 3)
         .groupBy("id")
         .agg(F.collect_set("sh").alias("ws"))
-        .persist()
     )
     pairs = (
         cand.join(
@@ -352,7 +352,7 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id"),
             (block if block is not None else F.lit(1)).alias("block"),
         )
-    block_map = block_map.persist()
+    block_map = scoped_persist(block_map)
     a, b = block_map.alias("a"), block_map.alias("b")
     cand = (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
@@ -368,11 +368,10 @@ def ngram_jaccard_pairs(
     # persist: both pair-join branches consume the gram sets (built
     # codegen-side via shingle_rows + collect_set, not interpreted HOF)
     cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
-    grams = (
+    grams = scoped_persist(
         shingle_rows(cand_docs, id_col, text_col, n)
         .groupBy("id")
         .agg(F.collect_set("sh").alias("grams"))
-        .persist()
     )
     pairs = cand.join(
         grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")),

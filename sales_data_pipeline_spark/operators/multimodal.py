@@ -24,6 +24,7 @@ hash prefix for even codec load.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -51,10 +52,13 @@ def attach_binary(
     return df.withColumn(out_col, F.col(src_col).cast("binary"))
 
 
+@functools.lru_cache(maxsize=1)
 def _have_pil() -> bool:
     """Capability probe: PIL importable? Evaluated lazily on the
     EXECUTOR (inside the mapInPandas batch fn), so a heterogeneous
-    cluster fails loudly per-task rather than silently on the driver."""
+    cluster fails loudly per-task rather than silently on the driver.
+    Memoized — the probe (try/except import) must not run per ROW in
+    the decode loop; after the first call it is a dict hit."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -381,7 +385,11 @@ def decode_audio_meta(
     sample_rate, n_frames, sample_width) via Arrow-batched mapInPandas.
     ``decoder="real"`` parses actual RIFF/WAV headers (stdlib wave, no
     capability gap); ``decoder="fake"`` is the deterministic oracle
-    path on arbitrary binary payloads."""
+    path on arbitrary binary payloads.
+
+    Library-surface operator (pytest-pinned): the round-4 catalog
+    freeze defers its `queries()` entry; registering an oracled
+    `multimodal_wav_meta` query is queued for the next round."""
     decode = {"fake": _decode_wav_fake, "real": _decode_wav_real}[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

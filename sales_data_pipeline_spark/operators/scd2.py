@@ -39,6 +39,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_spark.caching import scoped_persist
 from sales_data_pipeline_spark.schemas import SCD2_TRACKED_COLUMNS
 
 SCD_COLS = ["valid_from", "valid_to", "is_current", "row_hash"]
@@ -89,8 +90,11 @@ def apply_scd_type2(
     else:
         existing_with_scd = existing_df
     if cache_inputs:
-        new_with_scd = new_with_scd.persist()
-        existing_with_scd = existing_with_scd.persist()
+        # scoped: both inputs feed multiple merge branches; released by
+        # the caller loop (bench/harness) right after the action, or by
+        # the next catalog query's entry
+        new_with_scd = scoped_persist(new_with_scd)
+        existing_with_scd = scoped_persist(existing_with_scd)
 
     # ---- changed keys: hash differs vs the CURRENT existing version ----
     current_records = existing_with_scd.filter(F.col("is_current"))

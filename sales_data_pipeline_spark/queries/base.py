@@ -36,34 +36,14 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Within-query persists registered here so they can be dropped precisely
-# after the consuming action, instead of lingering until the next query's
-# clearCache. Weak-value semantics are unnecessary: the list is tiny
-# (one or two intermediates per query) and release_persisted() empties it.
-_SCOPED_PERSISTS: list[DataFrame] = []
-
-
-def scoped_persist(df: DataFrame) -> DataFrame:
-    """persist() a within-query intermediate and register it for
-    release_persisted(). Use for aggregates consumed by multiple joins
-    (e.g. a unigram vocabulary broadcast twice) where recomputation would
-    re-run a full corpus scan per consumer."""
-    _SCOPED_PERSISTS.append(df.persist())
-    return df
-
-
-def release_persisted() -> None:
-    """Unpersist every scoped_persist() intermediate. Called on query
-    entry (belt to clearCache's braces) and by long-lived loops (bench,
-    oracle harness, tests) right after they materialize a result, so a
-    session that runs the catalog repeatedly never accumulates cached
-    vocab/signature tables."""
-    while _SCOPED_PERSISTS:
-        df = _SCOPED_PERSISTS.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+# Within-query persists register in sales_data_pipeline_spark.caching so
+# they can be dropped precisely after the consuming action, instead of
+# lingering until the next query's clearCache; re-exported here for the
+# query layer and external callers (bench, oracle harness, tests).
+from sales_data_pipeline_spark.caching import (  # noqa: E402,F401
+    release_persisted,
+    scoped_persist,
+)
 
 
 def query(

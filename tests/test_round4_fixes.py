@@ -100,14 +100,34 @@ class TestFuzzyLinkageCompositeBlocking:
         assert [(r["id_a"], r["id_b"]) for r in out] == [(ids[0], ids[1])]
 
     def test_distant_lengths_outside_blocking_policy(self, spark, tmp_path):
-        # same 16-char prefix but trimmed lengths 2+ bands apart -> the
-        # composite block key separates them by design
+        # IDENTICAL first 40 chars (edit distance 0 — the verify filter
+        # alone would keep the pair) but trimmed lengths 2+ bands apart:
+        # only the composite block key can exclude it. This is the pin
+        # that fails if banding is dropped from the equi-join.
         ids = _pick_ids(2000, 2)
-        t1 = self.PREFIX + " a"
-        t2 = self.PREFIX + " a" + "b" * 40
+        base40 = (self.PREFIX + " " + "x" * 23)  # exactly 40 chars
+        assert len(base40) == 40
+        t1 = base40  # len 40 -> band 5
+        t2 = base40 + "x" * 40  # len 80 -> band 10, same 40-char prefix
         sf_dir = _write_docs(spark, tmp_path, [(ids[0], t1), (ids[1], t2)])
         fn = load_all()["fuzzy_prefix_linkage"].fn
         assert fn(spark, sf_dir).count() == 0
+
+    def test_adjacent_band_pair_found_via_probe(self, spark, tmp_path):
+        # identical 40-char prefix, lengths ONE band apart (40 -> band 5,
+        # 48 -> band 6): found only because the probe side emits
+        # bands -1/0/+1 — this pin fails if the neighbor-band explode is
+        # removed (equal-band-only join would miss it).
+        ids = _pick_ids(4000, 2)
+        base40 = (self.PREFIX + " " + "x" * 23)
+        t1 = base40  # len 40, band 5
+        t2 = base40 + "x" * 8  # len 48, band 6
+        sf_dir = _write_docs(spark, tmp_path, [(ids[0], t1), (ids[1], t2)])
+        fn = load_all()["fuzzy_prefix_linkage"].fn
+        out = fn(spark, sf_dir).collect()
+        assert [(r["id_a"], r["id_b"], r["edit_dist"]) for r in out] == [
+            (ids[0], ids[1], 0)
+        ]
 
     def test_hot_template_splits_across_bands(self, spark, tmp_path):
         # a corpus-wide shared opening with spread lengths: the composite
@@ -122,8 +142,15 @@ class TestFuzzyLinkageCompositeBlocking:
         fn = load_all()["fuzzy_prefix_linkage"].fn
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # equi-join keys include BOTH blk and band
-        assert "blk" in plan and "band" in plan
+        # band must be an equi-join KEY (inside the join's key list),
+        # not merely a post-join filter: the physical join line renders
+        # as `...Join [blk#N, band#M], [blk#P, band#Q], Inner, ...`
+        import re
+
+        join_keys = re.search(r"Join \[([^\]]*)\], \[([^\]]*)\]", plan)
+        assert join_keys, plan[:400]
+        assert "band" in join_keys.group(1) and "band" in join_keys.group(2)
+        assert "blk" in join_keys.group(1) and "blk" in join_keys.group(2)
         # per-(blk, band) build-side occupancy is bounded: 24 docs spread
         # over >= 20 bands -> worst block holds a handful, not all 24
         occ = (
