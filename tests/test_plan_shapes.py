@@ -378,12 +378,18 @@ class TestRound3Additions:
         The deliberate scalar join-backs (1-row aggregate cross joins)
         plan as BroadcastNestedLoopJoin with a single-row build side —
         constant cost; CartesianProductExec is the O(n*m) shuffle-both-
-        sides node that must never appear."""
+        sides node that must never appear. Same pass also verifies the
+        BNLJ-scalar claim PLAN_CENSUS.md publishes: every
+        BroadcastNestedLoopJoin build is an IdentityBroadcastMode
+        exchange (whole-relation broadcast, as 1-row scalars use) and
+        the plan carries a global (keys=[]) aggregate feeding it — a
+        keyed BNLJ or one broadcasting a real table would break both."""
         from sales_data_pipeline_spark.queries.base import load_all
 
         skip = {"dedup_cluster_assign", "dedup_cluster_size_histogram",
                 "knn_ivf_probe", "ivf_centroid_assign"}
         offenders = []
+        bnlj_offenders = []
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags or name in skip:
                 continue
@@ -395,7 +401,16 @@ class TestRound3Additions:
             )
             if "CartesianProduct" in plan:
                 offenders.append(name)
+            n_bnlj = plan.count("BroadcastNestedLoopJoin")
+            if n_bnlj and (
+                plan.count("IdentityBroadcastMode") < n_bnlj
+                or "keys=[]" not in plan
+            ):
+                bnlj_offenders.append(name)
         assert not offenders, f"CartesianProduct in: {offenders}"
+        assert not bnlj_offenders, (
+            f"non-scalar BroadcastNestedLoopJoin in: {bnlj_offenders}"
+        )
 
     def test_source_top_tokens_two_level_topk(self, spark):
         """The per-source rank must never see a source's full
