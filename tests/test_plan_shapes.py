@@ -386,12 +386,13 @@ class TestRound3Additions:
         keyed BNLJ or one broadcasting a real table would break both."""
         from sales_data_pipeline_spark.queries.base import load_all
 
-        skip = {"dedup_cluster_assign", "dedup_cluster_size_histogram",
-                "knn_ivf_probe", "ivf_centroid_assign"}
+        # (the one-time skip list for the CC/IVF iterative queries is
+        # gone: their current plans carry zero CartesianProduct/BNLJ at
+        # this SF_DIR, so they face the same gate as everything else)
         offenders = []
         bnlj_offenders = []
         for name, spec in sorted(load_all().items()):
-            if "streaming" in spec.tags or name in skip:
+            if "streaming" in spec.tags:
                 continue
             plan = (
                 spec.fn(spark, SF_DIR)
