@@ -155,6 +155,11 @@ class TestDecisionSupportShapes:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan
+        # the r4 two-level-aggregate form: the fact table is scanned
+        # ONCE (textbook Q21 scans it three times) and no distinct
+        # aggregate forces an Expand replication
+        assert plan.count("lineitem.parquet") == 1, plan
+        assert "Expand" not in plan
 
 
 class TestRuntimeFilters:
