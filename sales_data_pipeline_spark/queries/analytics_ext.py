@@ -272,9 +272,16 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A1 + HAVING + semi join (TPC-H Q18 shape: large-volume "
     "customers)",
     doc="Orders whose line quantities sum past a threshold (HAVING as a "
-    "post-aggregate filter), semi-joined back to the fact. The HAVING "
-    "aggregate and the final aggregate share the l_orderkey shuffle key, "
-    "so AQE can reuse the exchange.",
+    "post-aggregate filter). r4 rewrite: the HAVING sum IS the final "
+    "per-order total, so the textbook semi-join-back-to-the-fact and "
+    "second aggregation are redundant — one per-order aggregate "
+    "computes both the double threshold sum and the BIGINT output sum "
+    "in a single lineitem pass; AQE promotes the rare >300 survivors "
+    "to a broadcast into the orders/customer joins from runtime stats "
+    "(no static hint — survivor cardinality is data-dependent, and "
+    "customer is NOT broadcastable at 100 TB). One fact scan, one "
+    "fact-sized shuffle; everything after is filtered-order "
+    "cardinality.",
 )
 def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
@@ -282,16 +289,15 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
         .filter(F.col("qty") > 300)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(big_orders, li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        big_orders.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -903,14 +909,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q17 shape: small-quantity-order revenue)",
     doc="Average yearly revenue lost if small-quantity orders for one "
     "brand's small parts went unfilled. The correlated subquery "
-    "(per-part average quantity) is decorrelated into a grouped "
-    "aggregate joined back on the part key — the restriction to the "
-    "brand's parts is key-only, so averaging after the broadcast part "
-    "join touches exactly the correlated rows and the fact is scanned "
-    "ONCE. Quantities are integer-valued doubles, so the AVG is exact "
-    "cross-engine; revenue uses the det_sum integer-scaling contract. "
-    "Reference parity: extends orders_above_avg (global scalar "
-    "subquery) to the correlated case, SURVEY §2 'no subqueries'.",
+    "(per-part average quantity) is decorrelated into a PARTITIONED "
+    "WINDOW over the broadcast-prefiltered candidate rows: avg("
+    "l_quantity) over (partition by l_partkey) puts the per-part "
+    "threshold on every row in the same pass, so the fact is scanned "
+    "ONCE physically (the earlier aggregate-and-join-back form read "
+    "lineitem twice) and the only shuffle carries the ~1-brand "
+    "candidate slice, state bounded per part (~30 rows). Quantities "
+    "are integer-valued doubles, so the AVG is exact cross-engine; "
+    "revenue uses the det_sum integer-scaling contract. Reference "
+    "parity: extends orders_above_avg (global scalar subquery) to the "
+    "correlated case, SURVEY §2 'no subqueries'.",
 )
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(
@@ -922,11 +931,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    thresh = cand.groupBy("l_partkey").agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("max_qty")
+    max_qty = F.lit(0.5) * F.avg("l_quantity").over(
+        W.partitionBy("l_partkey")
     )
     return (
-        cand.join(F.broadcast(thresh), "l_partkey")
+        cand.withColumn("max_qty", max_qty)
         .filter(F.col("l_quantity") < F.col("max_qty"))
         .agg((det_sum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias(
             "avg_yearly"

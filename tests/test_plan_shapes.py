@@ -161,6 +161,14 @@ class TestDecisionSupportShapes:
         assert plan.count("lineitem.parquet") == 1, plan
         assert "Expand" not in plan
 
+    def test_q17_q18_single_fact_scan(self, spark):
+        # r4 rewrites: Q17's per-part threshold rides a partitioned
+        # window (not an aggregate-and-join-back), Q18's HAVING sum IS
+        # the output sum — both must scan lineitem exactly once
+        for name in ("small_quantity_revenue", "large_volume_orders"):
+            plan = plan_of(spark, name)
+            assert plan.count("lineitem.parquet") == 1, (name, plan[:400])
+
 
 class TestRuntimeFilters:
     def test_bloom_filter_injected_into_shuffle_join(self, spark):
