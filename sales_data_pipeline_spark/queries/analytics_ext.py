@@ -1856,13 +1856,15 @@ def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "excess volume)",
     doc="Suppliers shipping more than 2x their fair share of a widget "
     "part's volume. Q20's nested IN-subqueries decorrelate to a "
-    "two-level aggregate: per-(part,supplier) sums, then per-part "
-    "totals over THAT aggregate — the second groupBy and the "
-    "join-back both consume aggregate-sized data keyed on l_partkey. "
-    "The fair-share threshold (share > 2/n_supp) is scale-invariant, "
-    "unlike an absolute cutoff. All quantities are integral-valued "
-    "doubles, so sums and the cross-multiplied comparison are exact "
-    "in any summation order — no epsilon, no det_round.",
+    "per-(part,supplier) aggregate whose per-part totals ride a "
+    "PARTITIONED WINDOW over that aggregate (r4: was a second groupBy "
+    "joined back, which recomputed the aggregate and re-scanned "
+    "lineitem) — ONE fact scan (plan-tested), window state bounded by "
+    "suppliers-per-part. The fair-share threshold (share > 2/n_supp) "
+    "is scale-invariant, unlike an absolute cutoff. All quantities "
+    "are integral-valued doubles, so sums and the cross-multiplied "
+    "comparison are exact in any summation order — no epsilon, no "
+    "det_round.",
 )
 def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     widget = table(spark, sf_dir, "part").filter(
@@ -1877,12 +1879,10 @@ def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
-    tq = sq.groupBy("l_partkey").agg(
-        F.sum("supp_qty").alias("total_qty"),
-        F.count("*").alias("n_supp"),
-    )
+    w = W.partitionBy("l_partkey")
     return (
-        sq.join(tq, "l_partkey")
+        sq.withColumn("total_qty", F.sum("supp_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
         .filter(
             F.col("supp_qty") * F.col("n_supp") > 2 * F.col("total_qty")
         )

@@ -165,7 +165,11 @@ class TestDecisionSupportShapes:
         # r4 rewrites: Q17's per-part threshold rides a partitioned
         # window (not an aggregate-and-join-back), Q18's HAVING sum IS
         # the output sum — both must scan lineitem exactly once
-        for name in ("small_quantity_revenue", "large_volume_orders"):
+        for name in (
+            "small_quantity_revenue",
+            "large_volume_orders",
+            "dominant_volume_suppliers",
+        ):
             plan = plan_of(spark, name)
             assert plan.count("lineitem.parquet") == 1, (name, plan[:400])
 
