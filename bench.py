@@ -103,6 +103,11 @@ HEADLINE = [
     "retention_cohorts",
     "rolling_7d_distinct_users",
     "variant_json_agg",
+    # round-4 single-fact-scan rewrites (Q17/Q18/Q20 shapes) — benched
+    # so any regression of the one-scan plans is visible
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "dominant_volume_suppliers",
 ]
 
 
