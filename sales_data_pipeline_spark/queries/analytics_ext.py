@@ -2289,9 +2289,14 @@ def median_imputation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orphan checks across the star schema — the FK constraint a "
     "data lake never enforces and a quality gate must)",
     doc="Counts fact rows whose parent key is missing and parents "
-    "with no children, for three relationships, via left-anti joins "
-    "(each one shuffle on the key; the orders->customer check "
-    "broadcasts the dim). Parquet has no FK enforcement — this audit "
+    "with no children, for three relationships. r4: both directions "
+    "of the orders<->lineitem relationship come from ONE fact pass — "
+    "lineitem rolls up to per-key row counts, FULL OUTER joins the "
+    "order keys, and a single aggregate reads orphan fact rows "
+    "(parent side null: sum of child counts) and childless parents "
+    "(child side null) together — instead of two anti-joins that "
+    "each re-shuffled the fact. The orders->customer check stays a "
+    "broadcast anti-join. Parquet has no FK enforcement — this audit "
     "is how a medallion pipeline catches partial loads and botched "
     "backfills before gold builds on them.",
 )
@@ -2300,23 +2305,46 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey")
 
-    def count_row(name: str, df) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count("*").alias("n_violations"),
-        )
-
-    li_orphans = li.join(
-        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    li_keys = li.groupBy("l_orderkey").agg(F.count("*").alias("n_rows"))
+    both = li_keys.join(
+        o.select("o_orderkey"),
+        li_keys.l_orderkey == F.col("o_orderkey"),
+        "full_outer",
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), F.col("n_rows"))
+            ),
+            F.lit(0),
+        ).alias("orphans"),
+        F.count(
+            F.when(F.col("l_orderkey").isNull(), F.lit(1))
+        ).alias("childless"),
     )
-    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
     cust_orphans = o.join(
         F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
     )
-    return (
-        count_row("lineitem_orphans", li_orphans)
-        .unionByName(count_row("childless_orders", childless))
-        .unionByName(count_row("customer_fk_orphans", cust_orphans))
+    # one consumption of the 1-row aggregate -> two output rows (a
+    # second select of `both` would re-run the whole fact pass)
+    two_rows = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_orphans").alias("check_name"),
+                    F.col("orphans").cast("long").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("childless_orders").alias("check_name"),
+                    F.col("childless").cast("long").alias("n_violations"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    return two_rows.unionByName(
+        cust_orphans.agg(
+            F.lit("customer_fk_orphans").alias("check_name"),
+            F.count("*").alias("n_violations"),
+        )
     )
 
 
