@@ -41,6 +41,14 @@ QUERIES = [
     # block join with probe-side explode
     "dedup_keep_best",
     "fuzzy_prefix_linkage",
+    # round-4 single-scan rewrites: partitioned-window thresholds,
+    # two-level aggregates, full-outer audit folds
+    "waiting_orders_suppliers",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "dominant_volume_suppliers",
+    "referential_integrity_audit",
+    "join_fanout_audit",
 ]
 
 
