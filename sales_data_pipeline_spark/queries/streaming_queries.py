@@ -126,14 +126,49 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_stateful_sessionize",
-    oracle=None,  # custom stateful operator: rows-only check
+    # The state machine's OUTPUT is gaps-and-islands sessionization
+    # plus the event-time-timeout emission rule, both SQL-expressible:
+    # sessions split on >30min µs gaps; the last (still-open) session
+    # of each user emits only if its timeout (end_ms + gap_ms, set
+    # while the watermark was still 0 in the single availableNow data
+    # batch) is strictly below the final watermark (max_ts_ms −
+    # gap_ms) — i.e. end < max − 2·gap at ms granularity. Verified
+    # exact against the operator at sf0.001/0.01/0.1.
+    oracle="""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+        mx AS (SELECT max(t_us) AS mx_us FROM e),
+        s AS (SELECT user_id, t_us,
+                     lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+                       AS prev_us
+              FROM e),
+        g AS (SELECT user_id, t_us,
+                     SUM(CASE WHEN prev_us IS NULL
+                              OR t_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t_us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+        sess AS (SELECT user_id, sid,
+                        min(t_us) AS start_us, max(t_us) AS end_us,
+                        CAST(count(*) AS BIGINT) AS n_events,
+                        max(sid) OVER (PARTITION BY user_id) AS last_sid
+                 FROM g GROUP BY user_id, sid)
+        SELECT user_id, make_timestamp(start_us) AS session_start,
+               make_timestamp(end_us) AS session_end, n_events
+        FROM sess, mx
+        WHERE sid < last_sid
+           OR (end_us // 1000 + 1800000) < (mx_us // 1000 - 1800000)
+    """,
     survey="streaming-ext: applyInPandasWithState (streaming/stateful.py)",
     doc="Custom per-key state machine (Arrow-batched "
     "applyInPandasWithState): per-user session accumulation with "
     "event-time timeout. Sessions close on in-batch gaps or when the "
     "final no-data batch's watermark passes their gap horizon; only "
     "sessions still within one gap of stream end stay open "
-    "(append-mode semantics; rows-only check).",
+    "(append-mode semantics). r4: upgraded from a rows-only check to "
+    "a full hash-exact oracle — the emitted session set is the "
+    "deterministic function of the input described above, so the "
+    "stateful operator is held to the same bar as the batch queries.",
     tags=("streaming",),
 )
 def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
