@@ -73,3 +73,33 @@ def test_result_invariant_to_shuffle_partitions(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+# AQE rewrites physical plans at runtime (coalescing, broadcast
+# promotion, skew splits); none of that may change RESULTS. Spot-check
+# the shapes most exposed to physical replanning: shuffle joins, salted
+# two-phase aggs, windows over aggregates, and the round-4 single-scan
+# rewrites whose AQE-promoted broadcasts are load-bearing.
+AQE_QUERIES = [
+    "salted_skew_join",
+    "scd2_merge_history",
+    "dedup_minhash_lsh",
+    "waiting_orders_suppliers",
+    "large_volume_orders",
+    "dominant_volume_suppliers",
+    "token_bigram_pmi",
+    "ohlc_bars_6h",
+]
+
+
+@pytest.mark.parametrize("name", AQE_QUERIES)
+def test_result_invariant_to_aqe(spark, name):
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        a = run_sorted(spark, name)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        b = run_sorted(spark, name)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
