@@ -7,13 +7,33 @@ result, and every catalog query entry releases before running, so a
 session that runs the catalog repeatedly never accumulates cached
 vocab/signature tables. Lives outside the query layer so operators can
 use it without importing queries.base (layering).
+
+Contract (load-bearing for the persists, not for correctness): build a
+query's DataFrame, run its action, THEN build the next query — all on
+one thread. Entering query B before collecting query A unpersists A's
+scoped intermediates early; results stay correct (Spark recomputes) but
+the persist's purpose (e.g. not re-running the unigram corpus scan per
+broadcast consumer) is defeated. The registry is keyed per THREAD
+(``threading.local``) so concurrent query threads cannot race on, or
+release, each other's persists — the build-then-collect rule is only
+per-thread.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_SCOPED_PERSISTS: list[DataFrame] = []
+_LOCAL = threading.local()
+
+
+def _registry() -> list[DataFrame]:
+    reg = getattr(_LOCAL, "persists", None)
+    if reg is None:
+        reg = []
+        _LOCAL.persists = reg
+    return reg
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
@@ -21,14 +41,16 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     Use for aggregates consumed by multiple joins (a unigram vocabulary
     broadcast twice, LSH candidate/signature tables) where recomputation
     would re-run a full corpus scan per consumer."""
-    _SCOPED_PERSISTS.append(df.persist())
+    _registry().append(df.persist())
     return df
 
 
 def release_persisted() -> None:
-    """Unpersist every scoped_persist() intermediate."""
-    while _SCOPED_PERSISTS:
-        df = _SCOPED_PERSISTS.pop()
+    """Unpersist every scoped_persist() intermediate registered by THIS
+    thread (other threads' persists are untouched)."""
+    reg = _registry()
+    while reg:
+        df = reg.pop()
         try:
             df.unpersist()
         except Exception:

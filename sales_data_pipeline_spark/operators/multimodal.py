@@ -234,7 +234,10 @@ def extract_features(
     import numpy as np
 
     def features(payload: bytes) -> list[float]:
-        arr = np.frombuffer(payload, dtype=np.uint8)
+        # NULL binary arrives as None through Arrow; treat it as an
+        # empty payload (zero vector) instead of np.frombuffer(None)
+        # raising TypeError mid-batch.
+        arr = np.frombuffer(payload or b"", dtype=np.uint8)
         if arr.size == 0:
             return [0.0] * n_features
         chunks = np.array_split(arr, n_features)

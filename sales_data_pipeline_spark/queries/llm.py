@@ -839,7 +839,9 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # NULL-text docs are excluded on BOTH engines (the oracle filters
+    # text IS NOT NULL): a NULL payload has no bytes to featurize.
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     with_bytes = multimodal.attach_binary(d, "text", "media_bytes")
     feats = multimodal.extract_features(with_bytes)
     nrm = F.sqrt(

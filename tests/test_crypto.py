@@ -120,6 +120,11 @@ class TestCharCountPaddingEnvelope:
     # 16 two-byte chars -> multibyte overage 16 == 0 (mod 16): the
     # reference succeeds and its char-count pad is exactly byte-PKCS7
     ALIGNED = "é" * 16 + " accents aplenty"
+    # same overage-multiple-of-16 premise but char_len % 16 != 0
+    # (19 chars / 35 bytes): the surviving-payload shape where the pad
+    # count is NON-trivial (13, = '\r' repeated) on both schemes — pins
+    # that parity doesn't depend on the pad being a full 16-byte block
+    ALIGNED_ODD_PAD = "é" * 16 + "abc"
     # 1 two-byte char -> overage 1: the reference's AES call rejects it
     MISALIGNED = "café"
 
@@ -143,6 +148,27 @@ class TestCharCountPaddingEnvelope:
             )
         ).collect()
         assert back.pt == self.ALIGNED
+
+    def test_aligned_odd_pad_byte_identical(self, spark):
+        raw = self.ALIGNED_ODD_PAD.encode("utf-8")
+        assert (len(raw) - len(self.ALIGNED_ODD_PAD)) % 16 == 0  # premise
+        assert len(self.ALIGNED_ODD_PAD) % 16 != 0  # pad count != 16
+        expected = _reference_faithful_encrypt(self.ALIGNED_ODD_PAD)
+        df = spark.createDataFrame([(self.ALIGNED_ODD_PAD,)], "pt string")
+        (got,) = df.select(
+            crypto.encrypt_col(F.col("pt"), PASSPHRASE, IV, SALT).alias(
+                "ct"
+            )
+        ).collect()
+        assert got.ct == expected
+        (back,) = spark.createDataFrame(
+            [(expected,)], "ct string"
+        ).select(
+            crypto.decrypt_col(F.col("ct"), PASSPHRASE, IV, SALT).alias(
+                "pt"
+            )
+        ).collect()
+        assert back.pt == self.ALIGNED_ODD_PAD
 
     def test_misaligned_non_ascii_crashes_reference(self, spark):
         # the reference cannot produce a payload for this input at all

@@ -399,9 +399,56 @@ class TestRound3Additions:
         BNLJ-scalar claim PLAN_CENSUS.md publishes: every
         BroadcastNestedLoopJoin build is an IdentityBroadcastMode
         exchange (whole-relation broadcast, as 1-row scalars use) and
-        the plan carries a global (keys=[]) aggregate feeding it — a
-        keyed BNLJ or one broadcasting a real table would break both."""
+        whose topmost aggregate is global (no grouping keys) — a keyed
+        BNLJ or one broadcasting a real table would break it. Checked
+        PER JOIN by walking each BNLJ's build subtree (a plan-wide token
+        count would pass one scalar BNLJ masking a keyed one)."""
         from sales_data_pipeline_spark.queries.base import load_all
+
+        def walk(node):
+            yield node
+            if node.nodeName().startswith("AdaptiveSparkPlan"):
+                yield from walk(node.initialPlan())
+                return
+            ch = node.children()
+            for i in range(ch.size()):
+                yield from walk(ch.apply(i))
+
+        # Nodes a 1-row relation may legally pass through between the
+        # BNLJ and its defining global aggregate.
+        _PASSTHROUGH = (
+            "BroadcastExchange", "BroadcastQueryStage", "Filter",
+            "Project", "ColumnarToRow", "InputAdapter",
+            "WholeStageCodegen", "Sort", "Exchange", "ShuffleQueryStage",
+            "AQEShuffleRead",
+        )
+        _AGGS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+        def scalar_build_violation(bnlj) -> str | None:
+            """None when the build side is a whole-relation broadcast of
+            a global aggregate; else a short reason."""
+            idx = 1 if "Right" in str(bnlj.buildSide()) else 0
+            cur = bnlj.children().apply(idx)
+            saw_identity = False
+            while True:
+                nm = cur.nodeName()
+                if nm.startswith("BroadcastExchange"):
+                    if "IdentityBroadcastMode" not in str(cur.mode()):
+                        return f"non-identity broadcast mode: {cur.mode()}"
+                    saw_identity = True
+                elif nm.startswith(_AGGS):
+                    if cur.groupingExpressions().isEmpty():
+                        return (
+                            None if saw_identity
+                            else "global agg but no IdentityBroadcastMode"
+                        )
+                    return f"keyed aggregate on build side: {nm}"
+                elif not nm.startswith(_PASSTHROUGH):
+                    return f"non-aggregate build relation: {nm}"
+                ch = cur.children()
+                if ch.size() != 1:
+                    return f"build chain ends at {nm} ({ch.size()} kids)"
+                cur = ch.apply(0)
 
         # (the one-time skip list for the CC/IVF iterative queries is
         # gone: their current plans carry zero CartesianProduct/BNLJ at
@@ -411,20 +458,17 @@ class TestRound3Additions:
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags:
                 continue
-            plan = (
-                spec.fn(spark, SF_DIR)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
+            root = (
+                spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan()
             )
-            if "CartesianProduct" in plan:
-                offenders.append(name)
-            n_bnlj = plan.count("BroadcastNestedLoopJoin")
-            if n_bnlj and (
-                plan.count("IdentityBroadcastMode") < n_bnlj
-                or "keys=[]" not in plan
-            ):
-                bnlj_offenders.append(name)
+            for node in walk(root):
+                nm = node.nodeName()
+                if nm.startswith("CartesianProduct"):
+                    offenders.append(name)
+                elif nm.startswith("BroadcastNestedLoopJoin"):
+                    why = scalar_build_violation(node)
+                    if why is not None:
+                        bnlj_offenders.append(f"{name}: {why}")
         assert not offenders, f"CartesianProduct in: {offenders}"
         assert not bnlj_offenders, (
             f"non-scalar BroadcastNestedLoopJoin in: {bnlj_offenders}"

@@ -10,6 +10,8 @@ doc_ids indivisible by 10 and 7 so the corpus-injection unions in
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -19,6 +21,10 @@ from sales_data_pipeline_spark.queries.base import (
 )
 
 TRILLION = 10**12
+
+# Same resolution as tests/test_oracle_parity.py — overridable, not a
+# machine-specific literal.
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 
 def _write_docs(spark, tmp_path, rows):
@@ -178,7 +184,7 @@ def test_scoped_persists_released_after_action(spark):
     release_persisted()
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     fn = load_all()["token_bigram_pmi"].fn
-    out = fn(spark, "/root/testdata/sf0.001")
+    out = fn(spark, SF_DIR)
     assert out.count() >= 0  # materialize (populates the persisted vocab)
     release_persisted()
     spark.catalog.clearCache()
