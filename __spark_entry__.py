@@ -21,69 +21,36 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-# Round-4 rotation plan: 51 queries have never had a driver
-# CORRECTNESS row; the window fits 50. This list is exactly those 51
-# minus `text_compression_ratio` (rows-only zlib metric, unit-pinned
-# locally — the one query where a driver row adds the least), ordered
-# heavyweights/riskiest first per the round-3 verdict. Already-green
-# names are pruned; `_rotated` would filter them anyway.
+# Round-5 rotation plan (FORCE-RECHECK semantics: these names are
+# fronted even when their latest driver row is green — the round-4
+# verdict flagged exactly this set as "rewritten after the row landed",
+# so the green certifies stale code). Ordered: the one never-checked
+# query first, then the six post-row rewrites riskiest-first, then the
+# lower-risk touched-operator family (scoped-persist refactor touched
+# the dedup/SCD2 operators, whose query-fn fingerprints can't see it).
+# Going forward the fingerprint mechanism (CHECKED_FINGERPRINTS.json +
+# tools/fingerprints.py) re-fronts query-fn/oracle rewrites
+# automatically; _PRIORITY remains the manual lever for operator-level
+# changes like this round's.
 _PRIORITY = [
-    # heavyweight / riskiest first (TPC-H shapes, windows, pivots,
-    # crypto roundtrip, multi-join marts)
-    "pricing_summary",
-    "waiting_orders_suppliers",
-    "window_rank_showcase",
-    "rollup_revenue",
-    "pivot_status_by_year",
-    "variant_json_agg",
-    "pii_encrypt_roundtrip",
-    "supplier_market_share",
-    "small_quantity_revenue",
-    "retention_cohorts",
-    # remaining joins / aggregates / subqueries
-    "null_safe_join",
-    "order_keys_agg",
-    "order_priority_semijoin",
-    "orders_above_avg",
-    "percentile_order_price",
-    "product_profit_by_nation",
-    "promo_revenue_share",
-    "range_join_error_clicks",
-    "referential_integrity_audit",
-    "returned_items_topk",
-    "semi_join_active_keys",
-    "shipping_priority_topk",
-    "sql_segment_revenue",
-    "supplier_part_counts",
-    "top_supplier_revenue",
-    "topk_per_group",
-    "unpivot_measures",
-    # time-series / windowed analytics
-    "revenue_mom_growth",
-    "revenue_yoy_growth",
-    "rolling_7d_distinct_users",
-    "rolling_7d_user_value",
-    "rolling_zscore_anomaly",
-    "sessionize_lag_gaps",
-    "stats_price_quantity_moments",
-    "top_event_paths",
-    "user_behavior_entropy",
-    "user_value_trend",
-    "zscore_outlier_counts",
-    # LLM-data / corpus ops
-    "pack_training_shards",
-    "phrase_search_positional",
-    "repetition_quality_metrics",
-    "sample_docs_md5",
-    "source_corpus_stats",
-    "source_kl_divergence",
-    "stratified_sample_docs",
-    "tokenizer_vocab_coverage",
-    "top_tokens",
-    "unigram_logprob_scores",
-    "weighted_sample_docs",
-    # rows-only stateful streaming (driver records rows-only; pytest-pinned)
-    "streaming_stateful_sessionize",
+    "text_compression_ratio",  # only never-checked name: closes 200/200
+    # post-row rewrites (r4) — fresh rows certify the CURRENT code
+    "multimodal_feature_extract",  # rows-only row predates hash oracle
+    "dedup_keep_best",  # sign-safe argmax + NULL-text exclusion
+    "fuzzy_prefix_linkage",  # composite (prefix, len-band) blocking
+    "large_volume_orders",  # Q18 single-scan rewrite
+    "dominant_volume_suppliers",  # Q20 single-scan rewrite
+    "join_fanout_audit",  # full-outer one-pass rewrite
+    # touched-operator family (scoped-persist refactor, r4+r5 threading)
+    "scd2_merge_history",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_batch",
+    # r5 code touch: NULL-text filter landed in the query fn itself
+    # (fingerprint also fronts it; listed for deterministic order)
+    "token_bigram_pmi",  # scoped-persist consumer, r5 thread-local move
 ]
 
 
@@ -136,18 +103,31 @@ def _driver_rows() -> tuple[set[str], set[str]]:
     return green, failed
 
 
-def _rotated(names: list[str]) -> list[str]:
-    """Latest-failed first, then priority-unchecked, then other unchecked
-    (sorted), then green-checked last."""
+def _rotated(registry: dict, checked_fps: dict[str, str] | None = None):
+    """Driver-window ordering: latest-failed first, then _PRIORITY
+    (force-recheck — even green rows, see the list's comment), then
+    FINGERPRINT-STALE green names (code or oracle changed since the
+    row that certified them), then unchecked (sorted), then fresh
+    green last.
+
+    ``registry`` maps name -> QuerySpec (fingerprints need the fn +
+    oracle, not just the name). ``checked_fps`` overrides the committed
+    CHECKED_FINGERPRINTS.json (tests / tools/fingerprints.py's window
+    simulation)."""
+    from sales_data_pipeline_spark import fingerprints as fp
+
     green, failed = _driver_rows()
+    if checked_fps is None:
+        checked_fps = fp.load_checked(_REPO_ROOT)
+    stale = fp.stale_names(registry, checked_fps)
+    names = list(registry)
     in_catalog = set(names)
     head = [n for n in sorted(failed) if n in in_catalog]
     seen = set(head)
-    head += [
-        n
-        for n in _PRIORITY
-        if n in in_catalog and n not in green and n not in seen
-    ]
+    head += [n for n in _PRIORITY if n in in_catalog and n not in seen]
+    seen = set(head)
+    head += [n for n in sorted(names) if n in green and n in stale
+             and n not in seen]
     seen = set(head)
     mid = [n for n in sorted(names) if n not in green and n not in seen]
     tail = [n for n in sorted(names) if n in green and n not in seen]
@@ -170,7 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sales_data_pipeline_spark.queries.base import load_all
 
     registry = load_all()
-    return {name: registry[name].fn for name in _rotated(list(registry))}
+    return {name: registry[name].fn for name in _rotated(registry)}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -181,6 +161,6 @@ def oracle_sql() -> dict[str, str]:
     registry = load_all()
     return {
         name: registry[name].oracle
-        for name in _rotated(list(registry))
+        for name in _rotated(registry)
         if registry[name].oracle is not None
     }

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Record per-query implementation fingerprints at end-of-round.
+
+Run AFTER the round's final query-code commit, BEFORE the external
+driver executes (the driver then checks exactly the committed code):
+
+    python tools/fingerprints.py record [--window 50] [--also-stamp-green]
+
+Stamping rule (see sales_data_pipeline_spark/fingerprints.py for the
+mechanism's rationale):
+  * every name inside the upcoming driver window (first --window names
+    of the rotation) gets its CURRENT fingerprint — the driver is about
+    to (re)check this exact code;
+  * a name outside the window keeps its existing stamp only if its
+    fingerprint is unchanged — a rewrite that missed the window stays
+    unstamped and therefore fronts next round;
+  * --also-stamp-green (bootstrap only) additionally stamps every
+    driver-green name with its current fingerprint, asserting the code
+    is unchanged since its row. Use once, with every known-stale name
+    already fronted into the window via _PRIORITY.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def record(
+    window: int,
+    also_stamp_green: bool,
+    out_path: str | None = None,
+    registry: dict | None = None,
+) -> dict[str, str]:
+    import __spark_entry__ as entry_mod
+    from sales_data_pipeline_spark import fingerprints as fp
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    if registry is None:
+        registry = load_all()
+    current = {n: fp.query_fingerprint(s) for n, s in registry.items()}
+    existing = fp.load_checked(_REPO_ROOT)
+    green, _failed = entry_mod._driver_rows()
+
+    # Keep only still-accurate stamps, then simulate the window the
+    # committed code will produce WITH those stamps in effect.
+    kept = {
+        n: f
+        for n, f in existing.items()
+        if n in current and current[n] == f
+    }
+    window_names = entry_mod._rotated(registry, checked_fps=kept)[:window]
+
+    stamps = dict(kept)
+    for n in window_names:
+        stamps[n] = current[n]
+    if also_stamp_green:
+        for n in green:
+            if n in current:
+                stamps[n] = current[n]
+
+    out = out_path or os.path.join(_REPO_ROOT, fp.CHECKED_FILE)
+    with open(out, "w") as f:
+        json.dump(dict(sorted(stamps.items())), f, indent=1)
+        f.write("\n")
+    return stamps
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("cmd", choices=["record"])
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--also-stamp-green", action="store_true")
+    args = ap.parse_args()
+    stamps = record(args.window, args.also_stamp_green)
+    print(f"recorded {len(stamps)} fingerprints")
+
+
+if __name__ == "__main__":
+    main()
