@@ -122,11 +122,6 @@ HEADLINE = [
     "small_quantity_revenue",
     "large_volume_orders",
     "dominant_volume_suppliers",
-    # round-5: the reference's actual SLA workload as one composite row
-    # (bronze -> silver -> SCD2 -> gold via plans/runner on the driver
-    # tables), so the end-to-end pipeline — not just its stages — has a
-    # tracked number
-    "pipeline_end_to_end",
 ]
 
 
@@ -190,6 +185,24 @@ def main() -> None:
 
     names = sorted(registry) if args.full else HEADLINE
     timings = run_names(spark, registry, names, sf_dir)
+
+    # round-5: the reference's actual SLA workload as one composite row
+    # (CSV ingest -> bronze rejection split -> silver -> SCD2 -> gold,
+    # via plans/runner), so the end-to-end pipeline — not just its
+    # stages — has a tracked number. Fixture derivation is cached and
+    # untimed; each timed run is a full fresh-output execution.
+    from sales_data_pipeline_spark.plans import bench_pipeline
+
+    inputs = bench_pipeline.prepare_fixtures(spark, sf_dir)
+    for _pass in range(2):
+        t0 = time.perf_counter()
+        bench_pipeline.run_composite(spark, inputs)
+        elapsed = round(time.perf_counter() - t0, 3)
+        prev = timings.get("pipeline_end_to_end")
+        if prev is None or elapsed < prev:
+            timings["pipeline_end_to_end"] = elapsed
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     metric = "full_catalog_total" if args.full else "headline_queries_total"
 

@@ -1,0 +1,58 @@
+"""Pins for the pipeline_end_to_end bench composite: the driver-table ->
+reference-CSV derivation must feed plans/runner cleanly, rejection
+reasons must actually fire (the dirt injection is the point), and the
+gold layer must materialize with a healthy join rate."""
+
+from __future__ import annotations
+
+import os
+
+from sales_data_pipeline_spark.plans import bench_pipeline
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+
+def test_composite_end_to_end(spark, tmp_path):
+    inputs = bench_pipeline.prepare_fixtures(
+        spark, SF_DIR, root=str(tmp_path / "fixtures")
+    )
+    assert set(inputs) == {"sales", "customer", "product", "store"}
+
+    m = bench_pipeline.run_composite(spark, inputs)
+
+    # bronze: dirt injection must produce every FIXTURES.md §1 reason
+    sales_summary = m.bronze_counts["sales"]
+    assert sales_summary.get("VALID", 0) > 0
+    for reason in (
+        "NULL_CUSTOMER_ID",
+        "NULL_STORE_ID",
+        "NULL_SALES_DATE",
+        "INVALID_PRICE",
+        "INVALID_QUANTITY",
+    ):
+        assert sales_summary.get(reason, 0) > 0, (reason, sales_summary)
+    # ~7% dirt: rejection stays under the 10% warn threshold
+    total = sum(sales_summary.values())
+    rejected = total - sales_summary["VALID"]
+    assert rejected / total < 0.10
+    assert "bronze_sales_rejection_pct" not in m.quality
+
+    # silver + SCD2 + gold all materialized
+    assert m.silver_counts["sales"] > 0
+    assert m.silver_counts["customer_scd"] > 0
+    assert m.gold_counts["sales_enriched"] > 0
+    assert m.gold_counts["customer_metrics"] > 0
+    # gold star-join rate clears the 70% gate (only the ~10% of
+    # customers gated on invalid_email drop fact rows)
+    assert "gold_join_pct" not in m.quality
+
+
+def test_fixture_cache_marker(spark, tmp_path):
+    root = str(tmp_path / "fx")
+    p1 = bench_pipeline.prepare_fixtures(spark, SF_DIR, root=root)
+    marker = os.path.join(root, "_READY")
+    assert os.path.exists(marker)
+    stamp = os.path.getmtime(os.path.join(root, "_READY"))
+    p2 = bench_pipeline.prepare_fixtures(spark, SF_DIR, root=root)
+    assert p1 == p2
+    assert os.path.getmtime(marker) == stamp  # no regeneration
