@@ -21,37 +21,51 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-# Round-5 rotation plan (FORCE-RECHECK semantics: these names are
-# fronted even when their latest driver row is green — the round-4
-# verdict flagged exactly this set as "rewritten after the row landed",
-# so the green certifies stale code). Ordered: the one never-checked
-# query first, then the six post-row rewrites riskiest-first, then the
-# lower-risk touched-operator family (scoped-persist refactor touched
-# the dedup/SCD2 operators, whose query-fn fingerprints can't see it).
-# Going forward the fingerprint mechanism (CHECKED_FINGERPRINTS.json +
-# tools/fingerprints.py) re-fronts query-fn/oracle rewrites
-# automatically; _PRIORITY remains the manual lever for operator-level
-# changes like this round's.
-_PRIORITY = [
-    "text_compression_ratio",  # only never-checked name: closes 200/200
-    # post-row rewrites (r4) — fresh rows certify the CURRENT code
-    "multimodal_feature_extract",  # rows-only row predates hash oracle
-    "dedup_keep_best",  # sign-safe argmax + NULL-text exclusion
-    "fuzzy_prefix_linkage",  # composite (prefix, len-band) blocking
-    "large_volume_orders",  # Q18 single-scan rewrite
-    "dominant_volume_suppliers",  # Q20 single-scan rewrite
-    "join_fanout_audit",  # full-outer one-pass rewrite
-    # touched-operator family (scoped-persist refactor, r4+r5 threading)
-    "scd2_merge_history",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_batch",
-    # r5 code touch: NULL-text filter landed in the query fn itself
-    # (fingerprint also fronts it; listed for deterministic order)
-    "token_bigram_pmi",  # scoped-persist consumer, r5 thread-local move
-]
+# Manual FORCE-RECHECK list (fronted even when green). EMPTY for round
+# 6: every round-5 entry got a fresh green row, and the two levers that
+# used to need manual entries are now automatic — (a) fingerprints
+# include per-module hashes of referenced operator/functions/streaming
+# modules, so operator-level rewrites self-front; (b) the green tail
+# ages oldest-driver-row-first, so stale-but-unchanged rows re-certify
+# organically. Keep this list as the escape hatch for changes neither
+# mechanism can see (e.g. testdata regeneration, driver-side compare
+# changes).
+_PRIORITY: list[str] = []
+
+
+def _latest_rows() -> dict[str, tuple[dict, int]]:
+    """name -> (latest CORRECTNESS row, round number it landed in).
+
+    Sorted by the NUMERIC round, not the filename: lexicographic order
+    breaks at round 100 (CORRECTNESS_r100 < CORRECTNESS_r99) and would
+    let a stale row override the true latest.
+    """
+
+    def _round_num(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    latest: dict[str, tuple[dict, int]] = {}
+    for path in sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
+        key=_round_num,
+    ):
+        rnd = _round_num(path)
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            latest[name] = (row, rnd)
+    return latest
+
+
+def _row_rounds() -> dict[str, int]:
+    """name -> round of its latest driver row (green-tail aging: the
+    rotation re-fronts the OLDEST-certified greens first so every row
+    is eventually re-freshened against current code)."""
+    return {name: rnd for name, (_row, rnd) in _latest_rows().items()}
 
 
 def _driver_rows() -> tuple[set[str], set[str]]:
@@ -67,27 +81,9 @@ def _driver_rows() -> tuple[set[str], set[str]]:
     row failed goes back to the front of the window so fixes get
     re-verified instead of rotting behind the "already checked" set.
     """
-    latest: dict[str, dict] = {}
-
-    def _round_num(path: str) -> int:
-        m = re.search(r"_r(\d+)", os.path.basename(path))
-        return int(m.group(1)) if m else -1
-
-    # Sort by the NUMERIC round, not the filename: lexicographic order
-    # breaks at round 100 (CORRECTNESS_r100 < CORRECTNESS_r99) and would
-    # let a stale row override the true latest.
-    for path in sorted(
-        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
-        key=_round_num,
-    ):
-        try:
-            with open(path) as f:
-                latest.update(json.load(f))
-        except (OSError, ValueError):
-            continue
     green: set[str] = set()
     failed: set[str] = set()
-    for name, row in latest.items():
+    for name, (row, _rnd) in _latest_rows().items():
         checks = (
             row.get("rows_match"),
             row.get("schema_match"),
@@ -103,26 +99,46 @@ def _driver_rows() -> tuple[set[str], set[str]]:
     return green, failed
 
 
-def _rotated(registry: dict, checked_fps: dict[str, str] | None = None):
-    """Driver-window ordering: latest-failed first, then _PRIORITY
-    (force-recheck — even green rows, see the list's comment), then
-    FINGERPRINT-STALE green names (code or oracle changed since the
-    row that certified them), then unchecked (sorted), then fresh
-    green last.
+def _rotated(
+    registry: dict,
+    checked_fps: dict[str, str] | None = None,
+    committed_window: list[str] | None = None,
+):
+    """Driver-window ordering: latest-failed first, then the COMMITTED
+    WINDOW from CHECKED_FINGERPRINTS.json verbatim (the exact head
+    ``tools/fingerprints.py record`` computed and stamped — fronting it
+    keeps the driver's actual window equal to the stamped set), then
+    _PRIORITY (force-recheck — even green rows, see the list's
+    comment), then FINGERPRINT-STALE green names (code, oracle, or a
+    referenced operator module changed since the row that certified
+    them), then unchecked (sorted), then fresh green last —
+    OLDEST-driver-row first, so each round organically re-certifies the
+    stalest greens.
 
     ``registry`` maps name -> QuerySpec (fingerprints need the fn +
-    oracle, not just the name). ``checked_fps`` overrides the committed
-    CHECKED_FINGERPRINTS.json (tests / tools/fingerprints.py's window
-    simulation)."""
+    oracle, not just the name). ``checked_fps`` / ``committed_window``
+    override the committed CHECKED_FINGERPRINTS.json (tests /
+    tools/fingerprints.py's window simulation — record() passes
+    ``committed_window=[]`` to compute a fresh window)."""
     from sales_data_pipeline_spark import fingerprints as fp
 
     green, failed = _driver_rows()
+    if committed_window is None:
+        # An explicit checked_fps override (tests, record()'s window
+        # simulation) implies the repo file's window is irrelevant too.
+        committed_window = (
+            fp.load_window(_REPO_ROOT) if checked_fps is None else []
+        )
     if checked_fps is None:
         checked_fps = fp.load_checked(_REPO_ROOT)
     stale = fp.stale_names(registry, checked_fps)
+    rounds = _row_rounds()
     names = list(registry)
     in_catalog = set(names)
     head = [n for n in sorted(failed) if n in in_catalog]
+    seen = set(head)
+    head += [n for n in committed_window if n in in_catalog
+             and n not in seen]
     seen = set(head)
     head += [n for n in _PRIORITY if n in in_catalog and n not in seen]
     seen = set(head)
@@ -130,7 +146,10 @@ def _rotated(registry: dict, checked_fps: dict[str, str] | None = None):
              and n not in seen]
     seen = set(head)
     mid = [n for n in sorted(names) if n not in green and n not in seen]
-    tail = [n for n in sorted(names) if n in green and n not in seen]
+    tail = sorted(
+        (n for n in names if n in green and n not in seen),
+        key=lambda n: (rounds.get(n, -1), n),
+    )
     return head + mid + tail
 
 

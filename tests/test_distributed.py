@@ -127,25 +127,42 @@ class TestDriverWindowRotation:
         opos = [pos[n] for n in osql]
         assert opos == sorted(opos)
 
+    @staticmethod
+    def _fake_registry(names):
+        from sales_data_pipeline_spark.queries.base import QuerySpec
+
+        def _fn(spark, sf_dir):  # shared body: fingerprints hash source
+            return None
+
+        return {
+            n: QuerySpec(name=n, fn=_fn, oracle="SELECT 1 AS one")
+            for n in names
+        }
+
     def test_rotation_converges_when_all_checked(self, tmp_path, monkeypatch):
         import __spark_entry__ as e
+        from sales_data_pipeline_spark import fingerprints as fp
 
-        monkeypatch.setattr(
-            e, "_driver_rows", lambda: (set(e._PRIORITY), set())
-        )
-        rotated = e._rotated(list(e._PRIORITY))
-        assert rotated == sorted(e._PRIORITY)
+        reg = self._fake_registry(["qx", "qy", "qz"])
+        monkeypatch.setattr(e, "_driver_rows", lambda: (set(reg), set()))
+        monkeypatch.setattr(e, "_PRIORITY", [])
+        stamps = {n: fp.query_fingerprint(s) for n, s in reg.items()}
+        # all green + all fingerprints current -> plain sorted tail
+        assert e._rotated(reg, checked_fps=stamps) == sorted(reg)
 
     def test_failed_latest_row_refronts(self, monkeypatch):
         import __spark_entry__ as e
+        from sales_data_pipeline_spark import fingerprints as fp
 
-        names = ["a", "b", "c", "d"]
+        reg = self._fake_registry(["a", "b", "c", "d"])
         monkeypatch.setattr(
             e, "_driver_rows", lambda: ({"a", "c"}, {"b"})
         )
+        monkeypatch.setattr(e, "_PRIORITY", [])
+        stamps = {n: fp.query_fingerprint(s) for n, s in reg.items()}
         # b failed its latest driver row: it must lead, then unchecked d,
-        # then green a/c
-        assert e._rotated(names) == ["b", "d", "a", "c"]
+        # then fresh green a/c
+        assert e._rotated(reg, checked_fps=stamps) == ["b", "d", "a", "c"]
 
     def test_latest_row_resolved_by_numeric_round(self, tmp_path, monkeypatch):
         import json

@@ -172,7 +172,48 @@ class TestRecordTool:
         assert stamps["qa"] == fp.query_fingerprint(reg["qa"])  # re-stamped
         assert stamps["qc"] == fp.query_fingerprint(reg["qc"])  # new
         assert stamps["qb"] == existing["qb"]  # kept
-        assert json.loads(out.read_text()) == dict(sorted(stamps.items()))
+        data = json.loads(out.read_text())
+        assert data["stamps"] == dict(sorted(stamps.items()))
+        # v2: the artifact carries the exact ordered window that was
+        # stamped, so _rotated can front it verbatim at driver time
+        assert data["window"] == ["qa", "qc"]
+
+    def test_driver_window_equals_stamped_window(
+        self, rows, tmp_path, monkeypatch
+    ):
+        """The round-5 advisor's gap: a stale-green fronted in record()'s
+        simulation must ALSO lead the driver's post-write rotation, even
+        though its new stamp makes it look fresh. The committed window
+        list closes the loop."""
+        from tools import fingerprints as tool
+
+        reg = {
+            "qa": _spec("qa", _fn_a),  # green, stamp stale (rewritten)
+            "qb": _spec("qb", _fn_b),  # green, stamp fresh
+            "qc": _spec("qc", _fn_c),  # green, stamp fresh
+        }
+        rows(green=["qa", "qb", "qc"])
+        existing = {
+            "qa": fp.query_fingerprint(_spec("qa", _fn_a2)),
+            "qb": fp.query_fingerprint(reg["qb"]),
+            "qc": fp.query_fingerprint(reg["qc"]),
+        }
+        monkeypatch.setattr(fp, "load_checked", lambda root: dict(existing))
+        out = tmp_path / "CHECKED_FINGERPRINTS.json"
+        tool.record(
+            window=1, also_stamp_green=False, out_path=str(out),
+            registry=reg,
+        )
+        data = json.loads(out.read_text())
+        assert data["window"] == ["qa"]
+        # simulate the driver: rotation computed from the file just
+        # written — its first `window` names must equal the stamped set
+        driver_order = entry_mod._rotated(
+            reg,
+            checked_fps=data["stamps"],
+            committed_window=data["window"],
+        )
+        assert driver_order[:1] == ["qa"]
 
     def test_window_zero_drops_stale_stamp(
         self, rows, tmp_path, monkeypatch
@@ -194,3 +235,103 @@ class TestRecordTool:
         # rewritten, missed the window: must stay unstamped -> fronts
         # next round instead of faking freshness
         assert "qa" not in stamps
+
+
+def _fn_uses_dedup(spark, sf_dir):
+    from sales_data_pipeline_spark.operators import dedup
+
+    return dedup
+
+
+def _fn_uses_ordered_scan(spark, sf_dir):
+    from sales_data_pipeline_spark.operators.distributed import ordered_scan
+
+    return ordered_scan
+
+
+class TestDepModuleFingerprints:
+    """Round-5 blind spot (fingerprints.py:16-21 of that round): an
+    operator-module edit didn't change the query fn's source hash, so
+    operator-level rewrites needed a manual _PRIORITY front. The
+    fingerprint now folds in per-module source hashes of every tracked
+    module the fn references."""
+
+    def test_inline_from_pkg_import_module_resolves_submodule(self):
+        mods = fp.dep_modules(_fn_uses_dedup)
+        assert "sales_data_pipeline_spark.operators.dedup" in mods
+
+    def test_inline_deep_from_import(self):
+        mods = fp.dep_modules(_fn_uses_ordered_scan)
+        assert "sales_data_pipeline_spark.operators.distributed" in mods
+
+    def test_toplevel_alias_import_resolved_via_globals(self):
+        # real catalog fns import operators at module top (queries/llm.py
+        # style `from ...operators import dedup`); pick one and verify
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        reg = load_all()
+        spec = reg["dedup_minhash_lsh"]
+        fn = getattr(spec.fn, "__wrapped__", spec.fn)
+        assert "sales_data_pipeline_spark.operators.dedup" in fp.dep_modules(
+            fn
+        )
+
+    def test_query_module_itself_not_tracked(self):
+        # hashing the defining queries/*.py module would front all
+        # co-located queries on any single-fn edit
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        reg = load_all()
+        fn = getattr(
+            reg["dedup_minhash_lsh"].fn, "__wrapped__",
+            reg["dedup_minhash_lsh"].fn,
+        )
+        assert not any(
+            m.startswith("sales_data_pipeline_spark.queries")
+            for m in fp.dep_modules(fn)
+        )
+
+    def test_operator_edit_changes_fingerprint_and_fronts(
+        self, rows, monkeypatch
+    ):
+        """The verdict's done-condition: an operator-file edit fronts its
+        dependent queries with no _PRIORITY entry."""
+        spec = _spec("qd", _fn_uses_dedup)
+        reg = {"qd": spec, "qb": _spec("qb", _fn_b)}
+        rows(green=["qd", "qb"])
+        stamps = {n: fp.query_fingerprint(s) for n, s in reg.items()}
+        # fresh stamps: plain green tail
+        assert entry_mod._rotated(reg, checked_fps=stamps) == ["qb", "qd"]
+        # simulate an edit to operators/dedup.py: its source hash moves
+        real_hash = fp._module_hash
+        monkeypatch.setattr(
+            fp,
+            "_module_hash",
+            lambda m: "0" * 64
+            if m == "sales_data_pipeline_spark.operators.dedup"
+            else real_hash(m),
+        )
+        assert fp.query_fingerprint(spec) != stamps["qd"]
+        # qd now fronts as fingerprint-stale; qb untouched stays tail
+        assert entry_mod._rotated(reg, checked_fps=stamps) == ["qd", "qb"]
+
+
+class TestGreenTailAging:
+    def test_oldest_driver_row_fronts_first(self, rows, monkeypatch):
+        reg = {n: _spec(n, _fn_a) for n in ("q_new", "q_mid", "q_old")}
+        rows(green=list(reg))
+        monkeypatch.setattr(
+            entry_mod,
+            "_row_rounds",
+            lambda: {"q_new": 5, "q_mid": 3, "q_old": 1},
+        )
+        stamps = {n: fp.query_fingerprint(s) for n, s in reg.items()}
+        order = entry_mod._rotated(reg, checked_fps=stamps)
+        assert order == ["q_old", "q_mid", "q_new"]
+
+    def test_row_rounds_parses_latest_round(self):
+        rounds = entry_mod._row_rounds()
+        assert rounds, "committed CORRECTNESS files should parse"
+        # text_compression_ratio got its first-ever row in round 5
+        assert rounds.get("text_compression_ratio") == 5
+        assert min(rounds.values()) >= 1

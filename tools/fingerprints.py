@@ -49,13 +49,22 @@ def record(
     green, _failed = entry_mod._driver_rows()
 
     # Keep only still-accurate stamps, then simulate the window the
-    # committed code will produce WITH those stamps in effect.
+    # committed code will produce WITH those stamps in effect
+    # (committed_window=[] — we're computing the NEW window, the old
+    # one must not front). The window list is then written into the
+    # artifact and _rotated fronts it verbatim, so the driver's actual
+    # window equals the stamped set — the round-5 advisor showed that
+    # letting the driver re-derive the window from the post-write
+    # stamps silently drops fronted-in-simulation names to the tail
+    # (stamped as checked, never actually re-checked).
     kept = {
         n: f
         for n, f in existing.items()
         if n in current and current[n] == f
     }
-    window_names = entry_mod._rotated(registry, checked_fps=kept)[:window]
+    window_names = entry_mod._rotated(
+        registry, checked_fps=kept, committed_window=[]
+    )[:window]
 
     stamps = dict(kept)
     for n in window_names:
@@ -67,7 +76,14 @@ def record(
 
     out = out_path or os.path.join(_REPO_ROOT, fp.CHECKED_FILE)
     with open(out, "w") as f:
-        json.dump(dict(sorted(stamps.items())), f, indent=1)
+        json.dump(
+            {
+                "stamps": dict(sorted(stamps.items())),
+                "window": window_names,
+            },
+            f,
+            indent=1,
+        )
         f.write("\n")
     return stamps
 
