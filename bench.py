@@ -186,22 +186,30 @@ def main() -> None:
     names = sorted(registry) if args.full else HEADLINE
     timings = run_names(spark, registry, names, sf_dir)
 
-    # round-5: the reference's actual SLA workload as one composite row
+    # round-5/6: the reference's actual SLA workloads as composite rows
     # (CSV ingest -> bronze rejection split -> silver -> SCD2 -> gold,
-    # via plans/runner), so the end-to-end pipeline — not just its
-    # stages — has a tracked number. Fixture derivation is cached and
-    # untimed; each timed run is a full fresh-output execution.
+    # via plans/runner) — full_refresh AND the daily incremental mode
+    # (watermark-seeded delta batch). Reported SEPARATELY from the
+    # headline sum so `headline_queries_total` stays definitionally
+    # stable round-over-round (round-5 advisor: folding the composite
+    # into `timings` inflated the total and n_queries). Fixture
+    # derivation is cached and untimed; each timed run is a full
+    # fresh-output execution.
     from sales_data_pipeline_spark.plans import bench_pipeline
 
     inputs = bench_pipeline.prepare_fixtures(spark, sf_dir)
-    for _pass in range(2):
-        t0 = time.perf_counter()
-        bench_pipeline.run_composite(spark, inputs)
-        elapsed = round(time.perf_counter() - t0, 3)
-        prev = timings.get("pipeline_end_to_end")
-        if prev is None or elapsed < prev:
-            timings["pipeline_end_to_end"] = elapsed
-        spark.catalog.clearCache()
+    composites: dict[str, float] = {}
+    for cname, runner in (
+        ("pipeline_end_to_end", bench_pipeline.run_composite),
+        ("pipeline_incremental", bench_pipeline.run_incremental),
+    ):
+        for _pass in range(2):
+            t0 = time.perf_counter()
+            runner(spark, inputs)
+            elapsed = round(time.perf_counter() - t0, 3)
+            if cname not in composites or elapsed < composites[cname]:
+                composites[cname] = elapsed
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     metric = "full_catalog_total" if args.full else "headline_queries_total"
@@ -210,7 +218,7 @@ def main() -> None:
         with open(args.out, "w") as f:
             json.dump(
                 {"metric": metric, "value": total, "unit": "sec",
-                 "sf": sf, "queries": timings},
+                 "sf": sf, "queries": timings, "composites": composites},
                 f, indent=1, sort_keys=True,
             )
             f.write("\n")
@@ -226,6 +234,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "composites": composites,
             }
         )
     )

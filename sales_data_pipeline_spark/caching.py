@@ -17,6 +17,15 @@ broadcast consumer) is defeated. The registry is keyed per THREAD
 (``threading.local``) so concurrent query threads cannot race on, or
 release, each other's persists — the build-then-collect rule is only
 per-thread.
+
+Cross-thread reclamation (round-5 advisor): a driver that BUILDS on
+thread A but RELEASES on thread B would leave A's persists registered
+forever under pure thread-locals. Every registered persist is therefore
+also tracked in a lock-guarded process-wide set; ``sweep_persisted()``
+(called by the catalog's ``entered`` wrapper alongside clearCache)
+unpersists every outstanding registration regardless of origin thread,
+so stragglers are reclaimed deterministically instead of relying on the
+catch-all clearCache.
 """
 
 from __future__ import annotations
@@ -26,6 +35,11 @@ import threading
 from pyspark.sql import DataFrame
 
 _LOCAL = threading.local()
+
+# Process-wide mirror of every live registration (id -> DataFrame):
+# the cross-thread fallback swept by sweep_persisted().
+_GLOBAL_LOCK = threading.Lock()
+_GLOBAL: dict[int, DataFrame] = {}
 
 
 def _registry() -> list[DataFrame]:
@@ -42,7 +56,16 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     broadcast twice, LSH candidate/signature tables) where recomputation
     would re-run a full corpus scan per consumer."""
     _registry().append(df.persist())
+    with _GLOBAL_LOCK:
+        _GLOBAL[id(df)] = df
     return df
+
+
+def _unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def release_persisted() -> None:
@@ -51,7 +74,19 @@ def release_persisted() -> None:
     reg = _registry()
     while reg:
         df = reg.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+        with _GLOBAL_LOCK:
+            _GLOBAL.pop(id(df), None)
+        _unpersist(df)
+
+
+def sweep_persisted() -> None:
+    """Unpersist ALL outstanding registrations, whatever thread made
+    them — the deterministic cross-thread fallback for drivers that
+    build and release on different threads. Thread-local lists keep
+    their (now unpersisted) entries; a later release_persisted() on the
+    origin thread is a harmless no-op unpersist."""
+    with _GLOBAL_LOCK:
+        pending = list(_GLOBAL.values())
+        _GLOBAL.clear()
+    for df in pending:
+        _unpersist(df)

@@ -43,6 +43,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 from sales_data_pipeline_spark.caching import (  # noqa: E402,F401
     release_persisted,
     scoped_persist,
+    sweep_persisted,
 )
 
 
@@ -69,6 +70,9 @@ def query(
             # drops every block the previous ones left behind; recompute
             # correctness is unaffected (persists are within-query).
             release_persisted()
+            # cross-thread stragglers (driver built on another thread):
+            # deterministic reclaim, not just the clearCache catch-all
+            sweep_persisted()
             try:
                 spark.catalog.clearCache()
             except Exception:

@@ -56,3 +56,38 @@ def test_fixture_cache_marker(spark, tmp_path):
     p2 = bench_pipeline.prepare_fixtures(spark, SF_DIR, root=root)
     assert p1 == p2
     assert os.path.getmtime(marker) == stamp  # no regeneration
+
+
+def test_incremental_composite_processes_delta_only(spark, tmp_path):
+    """pipeline_incremental: watermark-seeded run admits only the
+    post-watermark sales slice (a daily-batch analog), still produces a
+    valid bronze/silver/gold chain, and processes strictly fewer fact
+    rows than full refresh."""
+    inputs = bench_pipeline.prepare_fixtures(
+        spark, SF_DIR, root=str(tmp_path / "fixtures")
+    )
+    full = bench_pipeline.run_composite(spark, inputs)
+    incr = bench_pipeline.run_incremental(spark, inputs)
+
+    full_total = sum(full.bronze_counts["sales"].values())
+    incr_total = sum(incr.bronze_counts["sales"].values())
+    assert 0 < incr_total < full_total
+    # dims are NOT delta-filtered (only the sales fact has a watermark)
+    assert (
+        sum(incr.bronze_counts["customer"].values())
+        == sum(full.bronze_counts["customer"].values())
+    )
+    assert incr.gold_counts["sales_enriched"] > 0
+
+
+def test_derivation_code_change_invalidates_cache_tag(monkeypatch):
+    """Round-5 advisor: a path-only cache key served stale fixtures
+    after derivation-code edits. The tag must move with this module's
+    source."""
+    tag1 = bench_pipeline._derivation_fingerprint()
+    monkeypatch.setattr(
+        bench_pipeline.inspect,
+        "getsource",
+        lambda m: "def _sales_source(): pass  # edited",
+    )
+    assert bench_pipeline._derivation_fingerprint() != tag1

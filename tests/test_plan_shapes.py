@@ -417,11 +417,16 @@ class TestRound3Additions:
         # Nodes a 1-row relation may legally pass through between the
         # BNLJ and its defining global aggregate.
         _PASSTHROUGH = (
-            "BroadcastExchange", "BroadcastQueryStage", "Filter",
+            "BroadcastExchange", "Filter",
             "Project", "ColumnarToRow", "InputAdapter",
-            "WholeStageCodegen", "Sort", "Exchange", "ShuffleQueryStage",
+            "WholeStageCodegen", "Sort", "Exchange",
             "AQEShuffleRead",
         )
+        # AQE query-stage wrappers are LEAVES (children().size()==0);
+        # the chain must continue via .plan() into the stage, not stop
+        # with a spurious "ends at ... (0 kids)" (round-5 advisor).
+        _STAGES = ("BroadcastQueryStage", "ShuffleQueryStage",
+                   "TableCacheQueryStage")
         _AGGS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
         def scalar_build_violation(bnlj) -> str | None:
@@ -432,6 +437,9 @@ class TestRound3Additions:
             saw_identity = False
             while True:
                 nm = cur.nodeName()
+                if nm.startswith(_STAGES):
+                    cur = cur.plan()
+                    continue
                 if nm.startswith("BroadcastExchange"):
                     if "IdentityBroadcastMode" not in str(cur.mode()):
                         return f"non-identity broadcast mode: {cur.mode()}"

@@ -192,3 +192,35 @@ def test_scoped_persists_released_after_action(spark):
     assert n_cached <= baseline, (
         f"{n_cached - baseline} cached RDDs linger after release"
     )
+
+
+def test_sweep_reclaims_cross_thread_persists(spark):
+    """Round-5 advisor: a persist registered on thread A could never be
+    released by release_persisted() on thread B (thread-local registry).
+    sweep_persisted() is the process-wide fallback."""
+    import threading
+
+    from sales_data_pipeline_spark.caching import (
+        release_persisted as rel,
+        sweep_persisted,
+    )
+
+    spark.catalog.clearCache()
+    rel()
+    sweep_persisted()
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def build_on_other_thread():
+        from sales_data_pipeline_spark.caching import scoped_persist
+
+        df = scoped_persist(spark.range(1000))
+        df.count()  # materialize the cache
+
+    t = threading.Thread(target=build_on_other_thread)
+    t.start()
+    t.join()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+    rel()  # this thread's registry is empty: must NOT reclaim it...
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+    sweep_persisted()  # ...the global sweep must
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Two-point scale spot-check: time the most expensive catalog queries
+at two SF dirs (default sf0.1 and the tools/scale_data.py-materialized
+/tmp/sf1) and print a markdown ratio table for SCALE.md.
+
+    PYTHONPATH=. python tools/scale_check.py \
+        [--small /root/testdata/sf0.1] [--big /tmp/sf1] [--ratio 10] \
+        [--queries q1,q2,...]
+
+A 10× data point is the cheapest way to catch a super-linear cliff the
+plan-shape arguments can't see (candidate-pair growth in LSH, explode
+volume in PMI). Queries whose big/small ratio exceeds --flag (default
+15, i.e. 1.5× the data ratio) are marked INVESTIGATE.
+
+The composite pipeline rows (pipeline_end_to_end / pipeline_incremental)
+are included via plans/bench_pipeline when 'pipeline_end_to_end' /
+'pipeline_incremental' appear in --queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+DEFAULT_QUERIES = [
+    "dedup_minhash_lsh",
+    "token_bigram_pmi",
+    "cross_doc_ngram_repetition",
+    "pipeline_end_to_end",
+    "streaming_foreach_batch_upsert",
+    "knn_batch_lsh_join",
+    "scd2_merge_history",
+    "benchmark_contamination",
+    "tfidf_top_terms",
+    "gold_customer_metrics",
+]
+
+
+def time_composite(spark, name: str, sf_dir: str) -> float:
+    from sales_data_pipeline_spark.plans import bench_pipeline
+
+    inputs = bench_pipeline.prepare_fixtures(spark, sf_dir)
+    runner = (
+        bench_pipeline.run_incremental
+        if name == "pipeline_incremental"
+        else bench_pipeline.run_composite
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        runner(spark, inputs)
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+        spark.catalog.clearCache()
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="/tmp/sf1")
+    ap.add_argument("--ratio", type=float, default=10.0,
+                    help="data-volume ratio big/small (for the table)")
+    ap.add_argument("--flag", type=float, default=15.0,
+                    help="time-ratio above which a query is flagged")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--out", default=os.path.join(_REPO_ROOT,
+                                                  "SCALE_CHECK.json"))
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q]
+
+    from bench import run_names
+    from sales_data_pipeline_spark.queries.base import load_all
+    from sales_data_pipeline_spark.session import build_session
+
+    registry = load_all()
+    spark = build_session("scale-check")
+
+    results: dict[str, dict[str, float]] = {}
+    for sf_dir in (args.small, args.big):
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+        catalog_names = [n for n in names if n in registry]
+        timings = run_names(spark, registry, catalog_names, sf_dir)
+        for comp in ("pipeline_end_to_end", "pipeline_incremental"):
+            if comp in names:
+                timings[comp] = time_composite(spark, comp, sf_dir)
+        results[sf_dir] = timings
+        print(f"# timed {len(timings)} queries at {sf_dir}", flush=True)
+
+    small_t, big_t = results[args.small], results[args.big]
+    lines = [
+        f"| query | {os.path.basename(args.small)} s | "
+        f"{os.path.basename(args.big)} s | ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    for n in names:
+        if n not in small_t or n not in big_t:
+            continue
+        r = big_t[n] / small_t[n] if small_t[n] else float("inf")
+        verdict = "ok" if r <= args.flag else "INVESTIGATE"
+        lines.append(
+            f"| {n} | {small_t[n]:.2f} | {big_t[n]:.2f} | "
+            f"{r:.1f}x | {verdict} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    with open(args.out, "w") as f:
+        json.dump({"small": args.small, "big": args.big,
+                   "data_ratio": args.ratio, "results": results,
+                   "table": table}, f, indent=1)
+        f.write("\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
