@@ -122,6 +122,10 @@ HEADLINE = [
     "small_quantity_revenue",
     "large_volume_orders",
     "dominant_volume_suppliers",
+    # round-6: deletion-neighborhood rewrite (29s -> 2.7s; the full-
+    # catalog sweep's one INVESTIGATE) — benched so the fixed shape
+    # can't silently regress to the theta-join
+    "fuzzy_name_match",
 ]
 
 

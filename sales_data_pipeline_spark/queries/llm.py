@@ -1225,41 +1225,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
-    survey="LLM-ext: fuzzy entity matching (blocked edit-distance "
-    "self-join — the record-linkage primitive exact and hash dedup "
-    "can't express)",
-    doc="Customer pairs within edit distance 1, blocked on nation so "
-    "the quadratic comparison runs per block instead of over the "
-    "whole table — the standard blocking-key design: candidate "
-    "generation is an equi-join (one shuffle), levenshtein runs "
-    "codegen-side on the join output, and the c_custkey < ordering "
-    "de-duplicates unordered pairs. At 100 TB the blocking key "
-    "(nation here; sorted-neighborhood or phonetic keys in a real "
-    "linkage) is what keeps the pair space linear-ish; distance is "
-    "exact Levenshtein in both engines, integer-deterministic.",
+    survey="LLM-ext: fuzzy entity matching (deletion-neighborhood "
+    "edit-distance self-join — the record-linkage primitive exact "
+    "and hash dedup can't express)",
+    doc="Customer pairs within edit distance 1. Candidate generation "
+    "is FastSS-style deletion-neighborhood indexing: every name "
+    "emits itself plus its length single-character deletions as "
+    "index keys, and two strings within edit distance 1 provably "
+    "share a key (equal -> identity key; substitution -> deleting "
+    "the substituted position from both; indel -> the shorter "
+    "string IS a deletion of the longer). The self-join is then a "
+    "pure equi-join on (nation, key) whose buckets hold only "
+    "near-duplicate cliques — candidate volume is O(rows x "
+    "name_len), never O(block^2) — followed by pair-distinct and "
+    "one exact levenshtein verify per candidate (false candidates "
+    "from coincidental deletion collisions are filtered; the index "
+    "is lossless, so results equal the naive quadratic join). "
+    "Round-6 rewrite: the previous nation-blocked theta-join "
+    "planned levenshtein INSIDE a BroadcastHashJoin condition — "
+    "9 M pair evaluations in one task at sf0.1 (29 s, the slowest "
+    "query in the catalog) and O((n/25)^2) growth; this shape "
+    "measures 1.2 s and scales with corpus size, not block size "
+    "squared. At 100 TB the deletion index is the standard design "
+    "(each doc emits len+1 keys; buckets stay near-singleton on "
+    "organic text).",
     tags=("llm",),
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a = c.alias("a")
-    b = c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
+    name = F.col("c_name")
+    del_keys = F.array_union(
+        F.array(name),
+        F.transform(
+            F.sequence(F.lit(1), F.length(name)),
+            lambda i: F.concat(
+                F.substring(name, F.lit(1), i - 1),
+                F.substring(name, i + 1, F.length(name)),
+            ),
+        ),
+    )
+    indexed = c.withColumn("del_key", F.explode(del_keys))
+    a, b = indexed.alias("a"), indexed.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.del_key") == F.col("b.del_key"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .filter(dist <= 1)
         .select(
             F.col("a.c_custkey").alias("key_a"),
             F.col("b.c_custkey").alias("key_b"),
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
-            dist.cast("int").alias("edit_dist"),
         )
+        .distinct()  # a pair can share several deletion keys
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.filter(dist <= 1).withColumn(
+        "edit_dist", dist.cast("int")
     )
 
 

@@ -17,22 +17,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
+    """Directory test through the Hadoop FileSystem API so it answers
+    correctly for any scheme a cluster mounts (s3a/gs/abfs/hdfs/file),
+    not just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.isDirectory(hpath))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The stream schema is
     taken from a batch read of the same file, so the reader adapts to
     either testdata vintage — TIMESTAMP(NANOS) (arrives as long under
     nanosAsLong, converted to micros here, matching the batch reader in
     queries/base.py) or plain micros TIMESTAMP/TIMESTAMP_NTZ (passes
-    through). File streams take a DIRECTORY; pathGlobFilter narrows to
-    the events table inside the testdata dir."""
+    through).
+
+    Layout dual-path (round-6 fix): the driver testdata ships events
+    as a SINGLE FILE `events.parquet`, which a file stream can only
+    reach by loading the parent dir with a pathGlobFilter (the source
+    requires its basePath to be a directory). Spark-written tables
+    (tools/scale_data.py's /tmp/sf1, any real deployment) are
+    DIRECTORIES `events.parquet/part-*.parquet`, where that same leaf
+    glob matches nothing — the stream silently listed ZERO files and
+    every streaming query returned empty at sf1. Directories load
+    directly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(batch_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    events_path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(batch_schema).format("parquet")
+    if _hadoop_is_dir(spark, events_path):
+        raw = reader.load(events_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -1,0 +1,135 @@
+"""Round-6 pins: fuzzy_name_match's deletion-neighborhood rewrite.
+
+The round-6 full-catalog bench sweep (BENCH_FULL.json) surfaced
+fuzzy_name_match at 29 s — levenshtein evaluated inside a
+BroadcastHashJoin condition over the full nation-block pair space, in
+one task. The rewrite indexes every name by its FastSS deletion
+neighborhood and equi-joins on (nation, deletion_key), verifying
+candidates with one levenshtein filter AFTER the join. These tests pin
+(a) losslessness — identical result set to the naive quadratic join —
+and (b) the plan shape that makes it fast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.queries.base import load_all
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+
+def _naive(spark, sf_dir):
+    """Reference semantics: full blocked theta-join (the pre-rewrite
+    shape) — correct, quadratic per block."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+class TestFuzzyNameMatchRewrite:
+    def test_deletion_index_lossless_vs_naive_join(self, spark):
+        got = (
+            load_all()["fuzzy_name_match"]
+            .fn(spark, SF_DIR)
+            .select("key_a", "key_b", "edit_dist")
+        )
+        expect = _naive(spark, SF_DIR)
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+        assert got.count() == got.select("key_a", "key_b").distinct().count()
+
+    def test_join_keys_include_deletion_key(self, spark):
+        """The 29 s failure mode was an equi-join on nation ALONE, so
+        levenshtein (Catalyst pushes the verify filter into the join
+        condition) evaluated over the full block pair space. With
+        del_key in the equi-key list it evaluates only on deletion-
+        bucket collisions — candidate pairs, not block^2."""
+        df = load_all()["fuzzy_name_match"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_lines = [
+            ln for ln in plan.splitlines()
+            if ln.strip(" :+-").startswith(
+                ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+            )
+        ]
+        assert join_lines, plan
+        for line in join_lines:
+            assert "del_key" in line, line
+
+    def test_synthetic_indel_and_substitution_found(self, spark):
+        """Deletion-index coverage for all three edit kinds at
+        distance 1 (equal-length substitution, insertion, deletion) —
+        plus a distance-2 pair that must NOT match."""
+        rows = [
+            (1, "alpha", 0),
+            (2, "alphA", 0),   # substitution
+            (3, "alpha!", 0),  # insertion
+            (4, "alph", 0),    # deletion
+            (5, "alPHa", 0),   # distance 2: excluded
+            (6, "alpha", 1),   # other nation: excluded by blocking
+        ]
+        src = spark.createDataFrame(
+            rows, "c_custkey long, c_name string, c_nationkey int"
+        )
+        tmp = os.path.join("/tmp", "fuzzy_rw_fixture")
+        src.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+        out = load_all()["fuzzy_name_match"].fn(spark, tmp)
+        pairs = {
+            (r.key_a, r.key_b) for r in out.collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) in pairs
+        assert (1, 4) in pairs
+        assert all(5 not in p for p in pairs)
+        assert all(6 not in p for p in pairs)
+
+
+class TestStreamingDirectoryLayout:
+    def test_events_stream_reads_spark_written_directory(self, spark, tmp_path):
+        """Round-6 fix: the file stream listed ZERO files when
+        events.parquet is a Spark-written DIRECTORY (pathGlobFilter
+        matches leaf file names only) — every streaming query silently
+        returned empty on such layouts (/tmp/sf1). The reader must
+        handle both the driver's single-file layout and directories."""
+        from sales_data_pipeline_spark.streaming.ingest import (
+            read_events_stream,
+        )
+
+        src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        d = str(tmp_path / "layout")
+        # Spark-written directory layout (multiple part files)
+        src.limit(500).repartition(3).write.parquet(
+            f"{d}/events.parquet"
+        )
+        stream = read_events_stream(spark, d)
+        q = (
+            stream.groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName("dir_layout_cnt")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.sql("SELECT count FROM dir_layout_cnt").collect()[0][0]
+        assert n == 500
