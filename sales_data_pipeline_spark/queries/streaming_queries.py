@@ -175,14 +175,15 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     events = ingest.read_events_stream(spark, sf_dir)
     sessions = stateful.sessionize_stream(events, gap_minutes=30)
     name = ingest.unique_sink_name("stateful_sessions")
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ingest.bounded_state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -331,14 +332,15 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value"
         ),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(ingest.unique_sink_name("stream_join"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ingest.bounded_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(ingest.unique_sink_name("stream_join"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(q.name)
 
 
@@ -457,14 +459,15 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value"
         ),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(ingest.unique_sink_name("stream_left_join"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ingest.bounded_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(ingest.unique_sink_name("stream_left_join"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(q.name)
 
 
@@ -532,13 +535,14 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         versions["i"] = cur + 1
         part.write.parquet(f"{work}/gold_v{cur + 1}")
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ingest.bounded_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = spark.read.parquet(f"{work}/gold_v{versions['i']}")
     return final.select(
         "user_id",

@@ -13,6 +13,8 @@ checkpoint (exactly-once); windowed aggregations shuffle once on
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,20 +105,57 @@ def sliding_agg(
     )
 
 
+DEFAULT_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def bounded_state_partitions(
+    spark: SparkSession, n: int = DEFAULT_STATE_PARTITIONS
+):
+    """Scope ``spark.sql.shuffle.partitions`` to a streaming run.
+
+    Every stateful streaming operator materializes one state-store
+    instance PER shuffle partition PER micro-batch; under a vanilla
+    session (Spark default: 200) that fixed setup cost dominates
+    bounded batches — measured 26.4 s for streaming_stream_join at
+    sf0.01 with 200 partitions vs 3.1 s with 8, identical results.
+    The external driver runs the catalog on exactly such a vanilla
+    session, so streaming queries pin a bounded state partitioning
+    themselves. A stream executes ENTIRELY inside its query fn
+    (Trigger.AvailableNow + awaitTermination), so the conf can be
+    scoped and restored without leaking into later catalog queries.
+    On a real cluster the right value scales with executor count —
+    this is the knob, not a constant to inline."""
+    key = "spark.sql.shuffle.partitions"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
     """Execute a streaming aggregation over all currently-available
     input (Trigger.AvailableNow) into a memory sink; returns the final
     result as a batch DataFrame. Complete output mode: every window is
     emitted regardless of watermark position at end-of-input."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

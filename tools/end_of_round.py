@@ -83,6 +83,7 @@ def main() -> int:
                                  "tests/", "-q"]))
     steps += [
         ("plan census", [sys.executable, "tools/plan_census.py"]),
+        ("coverage doc", [sys.executable, "gen_coverage.py"]),
         ("fingerprints", [sys.executable, "tools/fingerprints.py",
                           "record", "--window", str(args.window)]),
     ]
