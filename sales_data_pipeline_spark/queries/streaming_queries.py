@@ -175,7 +175,13 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     events = ingest.read_events_stream(spark, sf_dir)
     sessions = stateful.sessionize_stream(events, gap_minutes=30)
     name = ingest.unique_sink_name("stateful_sessions")
-    with ingest.bounded_state_partitions(spark):
+    # Unlike the setup-bound joins/aggs (8 partitions), the Pandas
+    # state fn does real per-row Python work — it wants full core
+    # parallelism: 8 partitions measured 20.0 s at sf1 vs 9.5 s with
+    # core-count partitions (state setup is amortized by compute).
+    with ingest.bounded_state_partitions(
+        spark, n=spark.sparkContext.defaultParallelism
+    ):
         q = (
             sessions.writeStream.format("memory")
             .queryName(name)
