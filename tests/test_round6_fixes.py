@@ -133,3 +133,62 @@ class TestStreamingDirectoryLayout:
         q.awaitTermination()
         n = spark.sql("SELECT count FROM dir_layout_cnt").collect()[0][0]
         assert n == 500
+
+
+class TestBoundedStatePartitions:
+    def test_restores_previous_value(self, spark):
+        from sales_data_pipeline_spark.streaming.ingest import (
+            bounded_state_partitions,
+        )
+
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        with bounded_state_partitions(spark, n=7):
+            assert spark.conf.get(key) == "7"
+        assert spark.conf.get(key) == prev
+
+    def test_restores_on_exception(self, spark):
+        from sales_data_pipeline_spark.streaming.ingest import (
+            bounded_state_partitions,
+        )
+
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        try:
+            with bounded_state_partitions(spark, n=7):
+                raise RuntimeError("stream failed")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(key) == prev
+
+
+class TestDeletionIndexProperty:
+    def test_random_corpus_lossless(self, spark):
+        """Property pin: on a randomized small-alphabet corpus (dense
+        in near-miss pairs — far denser than customer names), the
+        deletion-neighborhood path must equal the naive quadratic
+        join exactly."""
+        import random
+
+        rng = random.Random(6)
+        alphabet = "ab"
+        rows = []
+        for i in range(300):
+            n = rng.randint(0, 6)
+            rows.append(
+                (i, "".join(rng.choice(alphabet) for _ in range(n)),
+                 i % 3)
+            )
+        src = spark.createDataFrame(
+            rows, "c_custkey long, c_name string, c_nationkey int"
+        )
+        d = "/tmp/fuzzy_prop_fixture"
+        src.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        got = (
+            load_all()["fuzzy_name_match"]
+            .fn(spark, d)
+            .select("key_a", "key_b", "edit_dist")
+        )
+        expect = _naive(spark, d)
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
