@@ -117,17 +117,22 @@ def range_join_count(
         rsec.alias("_rsec"),
         (rsec / width).cast("long").alias("_band"),
     )
-    joined = lt.join(rt, ["_k", "_band"], "left").filter(
-        F.col("_rsec").isNull()
-        | (
-            (F.col("_rsec") > F.col("_lsec") - width)
-            & (F.col("_rsec") <= F.col("_lsec"))
-        )
+    # The interval test lives in the AGGREGATE, not a post-join filter:
+    # LEFT JOIN + WHERE would drop a left row entirely when its two
+    # candidate buckets contain right rows but NONE inside the exact
+    # interval (all its joined rows fail the filter and no NULL row
+    # exists to preserve the group) — SQL's LEFT JOIN ... ON keeps such
+    # rows with count 0. Surfaced by the sf0.1 full-catalog parity
+    # sweep as a one-row undercount; a conditional count over the
+    # unfiltered join is both correct and one operator cheaper.
+    joined = lt.join(rt, ["_k", "_band"], "left")
+    in_range = (F.col("_rsec") > F.col("_lsec") - width) & (
+        F.col("_rsec") <= F.col("_lsec")
     )
     return (
         joined.groupBy(F.col("_k").alias(on), F.col("_lts").alias(left_ts))
         .agg(
-            F.sum(F.when(F.col("_rsec").isNotNull(), 1).otherwise(0))
+            F.sum(F.when(in_range, 1).otherwise(0))
             .cast("long")
             .alias("n_in_range")
         )

@@ -192,3 +192,35 @@ class TestDeletionIndexProperty:
         expect = _naive(spark, d)
         assert got.exceptAll(expect).count() == 0
         assert expect.exceptAll(got).count() == 0
+
+
+class TestRangeJoinZeroCountPreserved:
+    def test_left_row_with_only_out_of_range_candidates_kept(self, spark):
+        """sf0.1 parity sweep find: a left row whose candidate buckets
+        hold ONLY out-of-interval right rows lost its n_in_range=0
+        group under the old post-join filter (no NULL row survived to
+        carry the group). SQL LEFT JOIN ... ON semantics keep it."""
+        from sales_data_pipeline_spark.operators.timeseries import (
+            range_join_count,
+        )
+
+        base = 1_700_000_000  # seconds
+        err = spark.createDataFrame(
+            [(1, base * 1_000_000)], "user_id int, us long"
+        ).select("user_id", F.timestamp_micros("us").alias("ts"))
+        clicks = spark.createDataFrame(
+            [
+                # same band as the error, but AFTER it (out of range)
+                (1, (base + 600) * 1_000_000),
+                # previous band, more than 1h before (out of range)
+                (1, (base - 3700) * 1_000_000),
+                # a second user entirely in range (sanity)
+                (2, 0),
+            ],
+            "user_id int, us long",
+        ).select("user_id", F.timestamp_micros("us").alias("ts"))
+        out = range_join_count(
+            err, clicks, on="user_id", lookback_seconds=3600
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["n_in_range"] == 0
