@@ -540,7 +540,16 @@ def sample_docs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_self_dot(vec: str, dim: int) -> str:
-    terms = " + ".join(f"{vec}[{j + 1}] * {vec}[{j + 1}]" for j in range(dim))
+    # CAST each element to DOUBLE BEFORE multiplying: DuckDB evaluates
+    # FLOAT * FLOAT in single precision (rounding each product to 24
+    # bits) while Spark's similarity.dot widens to double first —
+    # caught at sf1 where the perturbed replicas' full-mantissa floats
+    # made 4% of scaled norms differ by +/-1 (queries/llm.py's
+    # _sql_dot always cast; this local builder predated it).
+    terms = " + ".join(
+        f"CAST({vec}[{j + 1}] AS DOUBLE) * CAST({vec}[{j + 1}] AS DOUBLE)"
+        for j in range(dim)
+    )
     return f"(0.0 + {terms})"
 
 
