@@ -67,12 +67,22 @@ def build_customer_metrics(
     gold_sales_df: DataFrame, customer_df: DataFrame
 ) -> DataFrame:
     """Per-customer behavioral metrics + dim join
-    (customer_metrics_gold.py:12-66)."""
+    (customer_metrics_gold.py:12-66).
+
+    Money aggregates accumulate CENTS-INTEGERS (floor(x*100+0.5) per
+    row, exact int64 sum, divide once) instead of the reference's
+    float SUM/AVG: a float sum's low bits depend on partial-aggregation
+    order, which on a cluster changes run to run (and diverged from the
+    oracle by one cent at the 10x scale point). Integer accumulation
+    makes the metric deterministic at any scale/partitioning; values
+    differ from the reference's by at most the float error it already
+    carried (< a cent)."""
+    cents = F.floor(F.col("total_cost") * 100 + F.lit(0.5)).cast("long")
     agg = gold_sales_df.groupBy("customer_id").agg(
         F.count("*").alias("total_orders"),
         F.sum("quantity").alias("total_quantity"),
-        F.sum("total_cost").alias("total_spent"),
-        F.avg("total_cost").alias("avg_order_value"),
+        (F.sum(cents) / 100.0).alias("total_spent"),
+        (F.sum(cents) / 100.0 / F.count("*")).alias("avg_order_value"),
         F.min("sales_date").alias("first_purchase_date"),
         F.max("sales_date").alias("last_purchase_date"),
     )

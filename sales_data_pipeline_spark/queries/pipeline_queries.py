@@ -615,9 +615,12 @@ def scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT customer_id,
                  CAST(count(*) AS BIGINT) AS total_orders,
                  CAST(SUM(quantity) AS BIGINT) AS total_quantity,
-                 FLOOR(SUM(total_cost) * 100 + 0.5) / 100.0 AS total_spent,
-                 FLOOR(SUM(total_cost) / count(*) * 100 + 0.5) / 100.0
-                   AS avg_order_value,
+                 FLOOR((CAST(SUM(CAST(FLOOR(total_cost * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 100.0) * 100 + 0.5) / 100.0
+                   AS total_spent,
+                 FLOOR((CAST(SUM(CAST(FLOOR(total_cost * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 100.0 / count(*)) * 100 + 0.5)
+                     / 100.0 AS avg_order_value,
                  CAST(MIN(sales_date) AS TIMESTAMP) AS first_purchase_date,
                  CAST(MAX(sales_date) AS TIMESTAMP) AS last_purchase_date
           FROM silver_sales

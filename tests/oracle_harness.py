@@ -21,6 +21,14 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Bound the oracle engine: DuckDB defaults to 80% of RAM and one
+    # thread per core, which fights the co-resident Spark JVM for the
+    # same memory + thread budget — the first sf1 sweep died of
+    # cascading OOMs and a thread-spawn failure once both engines
+    # peaked together. 16 GB / 8 threads is ample for every oracle at
+    # any tested scale.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads=8")
     for t in TESTDATA_TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables (tools/scale_data.py's sf1) are
@@ -149,8 +157,17 @@ def main(sf_dir: str, names: list[str] | None = None) -> int:
             res = run_query_check(spark, con, sf_dir, spec)
         except Exception as exc:  # noqa: BLE001
             res = CompareResult(name, False, f"EXCEPTION: {exc}")
+            # A heavyweight oracle (e.g. the recursive-CTE transitive
+            # closure at 10x) can exhaust the shared connection's
+            # allocator and poison every later query with cascading
+            # OOMs; isolate the damage with a fresh connection.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duckdb_connection(sf_dir)
         status = "OK  " if res.ok else "FAIL"
-        print(f"{status} {name}  {res.detail[:400]}")
+        print(f"{status} {name}  {res.detail[:400]}", flush=True)
         failures += 0 if res.ok else 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return failures
