@@ -123,7 +123,11 @@ def build_customer_mart(gold_sales_df: DataFrame, customer_df: DataFrame) -> Dat
             "phone_number",
             "sales_date_month",
         )
-        .agg(F.sum("total_cost").alias("total_sales"))
+        .agg(
+            (F.sum(
+                F.floor(F.col("total_cost") * 100 + F.lit(0.5)).cast("long")
+            ) / 100.0).alias("total_sales")
+        )
     )
 
 
@@ -143,7 +147,14 @@ def build_sales_team_mart(
             "sales_month", F.substring(F.col("sales_date").cast("string"), 1, 7)
         )
         .groupBy("sales_person_id", "sales_month")
-        .agg(F.sum("total_cost").alias("total_sales"))
+        # cents-integer accumulation (see build_customer_metrics): the
+        # float sum's partial-agg order drifted the 4th incentive
+        # decimal vs the oracle at the 10x scale point
+        .agg(
+            (F.sum(
+                F.floor(F.col("total_cost") * 100 + F.lit(0.5)).cast("long")
+            ) / 100.0).alias("total_sales")
+        )
         .withColumn("incentive", F.col("total_sales") * F.lit(incentive_rate))
     )
     team = F.broadcast(

@@ -677,7 +677,8 @@ def gold_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly AS (
           SELECT sales_person_id,
                  substring(CAST(sales_date AS VARCHAR), 1, 7) AS sales_month,
-                 SUM(total_cost) AS raw_total
+                 CAST(SUM(CAST(FLOOR(total_cost * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) / 100.0 AS raw_total
           FROM silver_sales
           GROUP BY 1, 2
         )
