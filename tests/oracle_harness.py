@@ -29,6 +29,9 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # any tested scale.
     con.execute("SET memory_limit='16GB'")
     con.execute("SET threads=8")
+    # In-memory DuckDB cannot spill without a temp dir; with one, an
+    # oracle that exceeds the cap spills instead of raising OOM.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TESTDATA_TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables (tools/scale_data.py's sf1) are
@@ -148,24 +151,26 @@ def main(sf_dir: str, names: list[str] | None = None) -> int:
         from sales_data_pipeline_spark.session import build_session
 
         spark = build_session("oracle_harness")
-    con = duckdb_connection(sf_dir)
     failures = 0
     for name, spec in sorted(registry.items()):
         if names and name not in names:
             continue
+        # FRESH connection per query (setup is milliseconds): a shared
+        # connection accumulates buffer-pool state across a 200-query
+        # sweep until heavyweight oracles (recursive-CTE closure,
+        # full-outer audits) hit the memory cap and every later query
+        # OOM-cascades — observed twice at the sf1 scale point even
+        # though each oracle runs standalone in <1 GB.
+        con = duckdb_connection(sf_dir)
         try:
             res = run_query_check(spark, con, sf_dir, spec)
         except Exception as exc:  # noqa: BLE001
             res = CompareResult(name, False, f"EXCEPTION: {exc}")
-            # A heavyweight oracle (e.g. the recursive-CTE transitive
-            # closure at 10x) can exhaust the shared connection's
-            # allocator and poison every later query with cascading
-            # OOMs; isolate the damage with a fresh connection.
+        finally:
             try:
                 con.close()
             except Exception:
                 pass
-            con = duckdb_connection(sf_dir)
         status = "OK  " if res.ok else "FAIL"
         print(f"{status} {name}  {res.detail[:400]}", flush=True)
         failures += 0 if res.ok else 1
