@@ -152,25 +152,39 @@ def main(sf_dir: str, names: list[str] | None = None) -> int:
 
         spark = build_session("oracle_harness")
     failures = 0
+    con = duckdb_connection(sf_dir)
+    since_recycle = 0
     for name, spec in sorted(registry.items()):
         if names and name not in names:
             continue
-        # FRESH connection per query (setup is milliseconds): a shared
-        # connection accumulates buffer-pool state across a 200-query
-        # sweep until heavyweight oracles (recursive-CTE closure,
-        # full-outer audits) hit the memory cap and every later query
-        # OOM-cascades — observed twice at the sf1 scale point even
-        # though each oracle runs standalone in <1 GB.
-        con = duckdb_connection(sf_dir)
-        try:
-            res = run_query_check(spark, con, sf_dir, spec)
-        except Exception as exc:  # noqa: BLE001
-            res = CompareResult(name, False, f"EXCEPTION: {exc}")
-        finally:
+        # RECYCLE the connection every 25 queries and after any
+        # failure: a single shared connection accumulates buffer-pool
+        # state across a 200-query sweep until heavyweight oracles
+        # (recursive-CTE closure, full-outer audits) hit the memory
+        # cap and everything after OOM-cascades (each failing oracle
+        # runs standalone in < 1 GB) — but one FRESH connection PER
+        # query trips vm.max_map_count instead (glibc retains freed
+        # arenas, ~200 allocator pools exhaust the 65530 mmap budget
+        # alongside the Spark JVM). Eight connections per sweep
+        # avoids both failure modes.
+        if since_recycle >= 25:
             try:
                 con.close()
             except Exception:
                 pass
+            con = duckdb_connection(sf_dir)
+            since_recycle = 0
+        since_recycle += 1
+        try:
+            res = run_query_check(spark, con, sf_dir, spec)
+        except Exception as exc:  # noqa: BLE001
+            res = CompareResult(name, False, f"EXCEPTION: {exc}")
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duckdb_connection(sf_dir)
+            since_recycle = 0
         status = "OK  " if res.ok else "FAIL"
         print(f"{status} {name}  {res.detail[:400]}", flush=True)
         failures += 0 if res.ok else 1
