@@ -48,7 +48,13 @@ def _dirt(col_expr, seed: str):
 def _sales_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    # fact ⋈ fact: force sort-merge. The engine session's 100 MB
+    # autoBroadcast threshold sizes the PRUNED orders scan (3 of 9
+    # columns), which stays under 100 MB compressed well past sf10
+    # while the decoded 15 M-row hash table is multi-GB — at sf10 the
+    # auto-chosen broadcast OOMs the build side. Orders grows with the
+    # fact volume, so no broadcast is correct at every scale.
+    j = li.join(o.hint("shuffle_merge"), li.l_orderkey == o.o_orderkey)
     d = _dirt(F.concat_ws("-", "l_orderkey", "l_linenumber"), "sales")
     price = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
     return j.select(
