@@ -204,13 +204,25 @@ def minhash_lsh_pairs(
         .groupBy("id")
         .agg(F.collect_set("sh").alias("ws"))
     )
+    # sort-merge, never broadcast or hash-build: the shingle-set map
+    # scales WITH the corpus (one row per candidate doc, payload = the
+    # doc's whole shingle set), and its pre-materialization stats are a
+    # cached collect_set aggregate — wildly underestimated, so an
+    # unhinted plan broadcasts a multi-GB HashedRelation behind a
+    # <100 MB estimate and OOMs (seen at the sf10 spot-check). A
+    # shuffle_hash build fails the same way one scale later (per-task
+    # build must fit execution memory — cannotAcquireMemory at sf10
+    # for the wider-blocked ngram variant); SMJ sorts on the bigint id
+    # and SPILLS, so memory is bounded at any corpus size.
     pairs = (
         cand.join(
-            shset.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a")),
+            shset.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+            .hint("merge"),
             "id_a",
         )
         .join(
-            shset.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b")),
+            shset.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+            .hint("merge"),
             "id_b",
         )
     )
@@ -373,11 +385,17 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.collect_set("sh").alias("grams"))
     )
+    # sort-merge for the same reason as minhash_lsh_pairs: the gram-set
+    # map scales with the corpus and its cached-aggregate stats undershoot,
+    # so an unhinted plan broadcasts a corpus-sized array payload (and a
+    # hash build hits per-task memory at scale); SMJ spills.
     pairs = cand.join(
-        grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")),
+        grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+        .hint("merge"),
         "id_a",
     ).join(
-        grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")),
+        grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+        .hint("merge"),
         "id_b",
     )
     return (

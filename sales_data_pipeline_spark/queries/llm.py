@@ -1789,9 +1789,22 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, cand.select(F.col("bid").alias("doc_id")).distinct()
         )
     )
+    # sort-merge: the gram-set maps scale with the corpus (payload =
+    # whole shingle sets) and cached-aggregate stats undershoot, so an
+    # unhinted plan may broadcast them — the sf10 OOM class fixed in
+    # operators/dedup.py (minhash_lsh_pairs); SMJ spills where a hash
+    # build would exhaust per-task memory.
     pairs = (
-        cand.join(gq.select(F.col("id").alias("qid"), F.col("grams").alias("ga")), "qid")
-        .join(gb.select(F.col("id").alias("bid"), F.col("grams").alias("gb")), "bid")
+        cand.join(
+            gq.select(F.col("id").alias("qid"), F.col("grams").alias("ga"))
+            .hint("merge"),
+            "qid",
+        )
+        .join(
+            gb.select(F.col("id").alias("bid"), F.col("grams").alias("gb"))
+            .hint("merge"),
+            "bid",
+        )
         .withColumn("j", dedup.jaccard(F.col("ga"), F.col("gb")))
         .filter(F.col("j") >= 0.3)
     )
