@@ -533,6 +533,7 @@ def contamination_ratios(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check: for each training document, the
     fraction of its distinct word n-grams that also occur anywhere in
@@ -540,13 +541,20 @@ def contamination_ratios(
     pipeline runs before every model build (n-gram collision against
     held-out eval sets).
 
-    Plan shape at 100 TB: the benchmark side is tiny relative to the
-    corpus (eval suites are MBs), so its distinct-gram set broadcasts;
-    the training side is one explode -> (id, gram) dedup -> broadcast
-    left join -> per-doc count aggregate. Both shuffles carry at most
-    one row per (doc, distinct gram) and partial-aggregate map-side.
-    Counts are exact integers, so the ratio is a deterministic double
-    division in any engine.
+    Plan shape at 100 TB: when the benchmark side is tiny relative to
+    the corpus (real eval suites are MBs) its distinct-gram set
+    broadcasts — the default; the training side is one explode ->
+    (id, gram) dedup -> broadcast left join -> per-doc count aggregate.
+    Both shuffles carry at most one row per (doc, distinct gram) and
+    partial-aggregate map-side. Counts are exact integers, so the
+    ratio is a deterministic double division in any engine.
+
+    ``broadcast_bench=False`` is the scale path for a bench side that
+    GROWS with the corpus (e.g. decontaminating against another
+    corpus slice): a sort-merge join on the gram key, which spills —
+    the broadcast variant OOMs once the distinct-gram set outgrows
+    driver memory (seen at the sf10 spot-check, where the fixture's
+    bench side is a fixed fraction of the corpus).
     """
     bgrams = (
         shingle_rows(bench, id_col, text_col, n)
@@ -557,7 +565,8 @@ def contamination_ratios(
     tgrams = shingle_rows(train, id_col, text_col, n).dropDuplicates(
         ["id", "sh"]
     )
-    marked = tgrams.join(F.broadcast(bgrams), "sh", "left")
+    bside = F.broadcast(bgrams) if broadcast_bench else bgrams.hint("merge")
+    marked = tgrams.join(bside, "sh", "left")
     return marked.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.count("_hit").alias("n_hit"),

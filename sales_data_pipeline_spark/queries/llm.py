@@ -1129,7 +1129,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leaked)
         .repartition(n, "doc_id")
     )
-    ratios = dedup.contamination_ratios(train, bench, "doc_id", "text", n=3)
+    # broadcast_bench=False: THIS bench side is a fixed fraction of the
+    # corpus (doc_id % 13), so it scales with the data — the broadcast
+    # default is for real fixed-size eval suites.
+    ratios = dedup.contamination_ratios(
+        train, bench, "doc_id", "text", n=3, broadcast_bench=False
+    )
     r = det_round(F.col("ratio"), 4)
     return ratios.select(
         F.col("id").alias("doc_id"),

@@ -281,8 +281,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value_cents") / 100.0).alias("total_value"),
         )
     )
+    # large_state: dedup state = one entry per distinct event_id —
+    # grows with the corpus (heap store OOMed at the sf10 spot-check)
     return ingest.run_available_now(
-        agg, ingest.unique_sink_name("dedup_events")
+        agg, ingest.unique_sink_name("dedup_events"), large_state=True
     )
 
 
@@ -400,8 +402,10 @@ def streaming_dedup_within_watermark(
             (F.col("value_cents") / 100.0).alias("total_value"),
         )
     )
+    # large_state: within-watermark dedup state is horizon-bounded in
+    # TIME but grows with in-horizon volume — corpus-scaling here
     return ingest.run_available_now(
-        agg, ingest.unique_sink_name("dedup_within_wm")
+        agg, ingest.unique_sink_name("dedup_within_wm"), large_state=True
     )
 
 

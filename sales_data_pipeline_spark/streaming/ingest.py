@@ -110,7 +110,9 @@ DEFAULT_STATE_PARTITIONS = 8
 
 @contextmanager
 def bounded_state_partitions(
-    spark: SparkSession, n: int = DEFAULT_STATE_PARTITIONS
+    spark: SparkSession,
+    n: int = DEFAULT_STATE_PARTITIONS,
+    large_state: bool = True,
 ):
     """Scope ``spark.sql.shuffle.partitions`` to a streaming run.
 
@@ -125,29 +127,61 @@ def bounded_state_partitions(
     (Trigger.AvailableNow + awaitTermination), so the conf can be
     scoped and restored without leaking into later catalog queries.
     On a real cluster the right value scales with executor count —
-    this is the knob, not a constant to inline."""
-    key = "spark.sql.shuffle.partitions"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    spark.conf.set(key, str(n))
+    this is the knob, not a constant to inline.
+
+    ``large_state=True`` (default) additionally pins the RocksDB
+    state-store provider: the default HDFSBackedStateStoreProvider
+    holds each partition's state in a heap hashmap, so any operator
+    whose state grows with the data — dropDuplicates keyed on event id
+    (state = every distinct key), a stream-stream join's
+    watermark-horizon buffer, per-user session state — eventually OOMs
+    the executor (seen at the 100x spot-check: Java-heap OOM loading
+    the dedup state store, which then poisons the whole JVM). RocksDB
+    keeps state off-heap with disk spill — bounded memory at ANY state
+    size, and the provider every production large-state deployment
+    runs. It costs ~1-3 s of per-run store setup, so operators whose
+    state is BOUNDED regardless of data volume (windowed aggregates:
+    state = windows x groups; small-key aggregations) pass
+    ``large_state=False`` and keep the cheaper heap store. Scoped +
+    restored like the partition conf so batch catalog queries are
+    untouched."""
+    keys = {"spark.sql.shuffle.partitions": str(n)}
+    if large_state:
+        keys[
+            "spark.sql.streaming.stateStore.providerClass"
+        ] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    prev: dict[str, str | None] = {}
+    for key, val in keys.items():
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:
+            prev[key] = None
+        spark.conf.set(key, val)
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        for key, old in prev.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
-def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, name: str, large_state: bool = False
+) -> DataFrame:
     """Execute a streaming aggregation over all currently-available
     input (Trigger.AvailableNow) into a memory sink; returns the final
     result as a batch DataFrame. Complete output mode: every window is
-    emitted regardless of watermark position at end-of-input."""
+    emitted regardless of watermark position at end-of-input.
+    ``large_state``: see bounded_state_partitions — pass True when the
+    plan holds data-scaling state (dedup keys), leave False for
+    window/group-bounded aggregation state."""
     spark = stream_df.sparkSession
-    with bounded_state_partitions(spark):
+    with bounded_state_partitions(spark, large_state=large_state):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)

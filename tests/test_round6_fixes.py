@@ -224,3 +224,54 @@ class TestRangeJoinZeroCountPreserved:
         ).collect()
         assert len(out) == 1
         assert out[0]["n_in_range"] == 0
+
+
+class TestGramSetJoinsSpill:
+    """sf10 spot-check find: the shingle/gram-set maps joined onto
+    candidate pairs scale WITH the corpus, but their cached
+    collect_set-aggregate stats undershoot, so Catalyst broadcast them —
+    a multi-GB HashedRelation OOM at 100x bench scale (and a shuffle_hash
+    build hits per-task execution memory one scale later). The operators
+    hint sort-merge, which spills; these tests pin that the pair-side
+    joins can never silently regress to a memory-bound build."""
+
+    def _join_lines(self, df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            line
+            for line in plan.splitlines()
+            if "Join" in line or "BroadcastExchange" in line
+        ]
+
+    def test_minhash_pair_joins_sort_merge(self, spark):
+        from sales_data_pipeline_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pairs = dedup.minhash_lsh_pairs(docs, min_jaccard=0.5)
+        lines = self._join_lines(pairs)
+        # only the joins that carry the gram-set payload (id_a/id_b
+        # keys) must be SMJ; the tiny banded-signature self-join may
+        # legitimately broadcast at small scale (its estimates grow
+        # with the scan, so it becomes SMJ on its own at size)
+        pair_joins = [
+            l for l in lines if "id_a#" in l or "id_b#" in l
+        ]
+        assert pair_joins, "expected pair-side joins in the plan"
+        for line in pair_joins:
+            assert "SortMergeJoin" in line, line
+
+    def test_ngram_pair_joins_sort_merge(self, spark):
+        from sales_data_pipeline_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        block = dedup.minhash_block_map(docs, "doc_id", "text", 3)
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, min_jaccard=0.5, block=block
+        )
+        lines = self._join_lines(pairs)
+        pair_joins = [
+            l for l in lines if "id_a#" in l or "id_b#" in l
+        ]
+        assert pair_joins, "expected pair-side joins in the plan"
+        for line in pair_joins:
+            assert "SortMergeJoin" in line, line
