@@ -21,12 +21,78 @@ orders of magnitude less data than the corpus itself.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.caching import scoped_persist
 from sales_data_pipeline_spark.functions.text import content_hash, words
+
+# Size gate for broadcasting corpus-scaling gram/shingle-set maps
+# (gram_map_build below). Calibrated from the round-6 scale ladder:
+# documents parquet footprint 0.6 MB (sf0.1) and 6 MB (sf1) ran the
+# broadcast plan healthily; ~60 MB (sf10) produced a multi-GB
+# HashedRelation OOM — parquet->relation expansion is ~50x (compressed
+# prose -> uncompressed arrays of shingle hashes). 8 MB bounds the
+# relation near ~400 MB, comfortably inside a per-executor broadcast
+# budget, with sf10 an order of magnitude past the gate.
+GRAM_MAP_BROADCAST_CAP = 8 << 20
+
+
+def _source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the local file-source inputs behind df,
+    or None when that is unknowable (non-file source, remote URI,
+    unreadable path) — callers must treat None as 'assume huge'."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(parsed.path)
+        except OSError:
+            return None
+    return total
+
+
+def source_is_small(df: DataFrame, cap: int | None = None) -> bool:
+    """True only when df's file-source footprint is PROVABLY at or
+    under the cap (default GRAM_MAP_BROADCAST_CAP) — unknowable sizes
+    count as huge, so callers can gate broadcast decisions on it."""
+    size = _source_bytes(df)
+    limit = GRAM_MAP_BROADCAST_CAP if cap is None else cap
+    return size is not None and size <= limit
+
+
+def gram_map_build(map_df: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Pick the build strategy for a gram/shingle-set map that scales
+    WITH the corpus (one row per candidate doc, payload = the doc's
+    whole shingle set).
+
+    Catalyst cannot be trusted to choose here: the map is a cached
+    collect_set aggregate whose stats undershoot wildly, so the
+    unhinted plan broadcasts a multi-GB HashedRelation behind a
+    <100 MB estimate and OOMs (seen at the sf10 spot-check); a
+    shuffle_hash build fails one scale later (per-task build exceeds
+    execution memory); a blanket merge hint is memory-safe but blocks
+    AQE's runtime broadcast conversion too, taxing every small corpus.
+    So the engine gates on evidence Catalyst ignores: the actual
+    on-disk footprint of the corpus scan. Provably small -> broadcast
+    (the fast plan, restoring ~35-70% on the sf0.1 dedup family);
+    large or UNKNOWN -> sort-merge, which sorts on the bigint doc id
+    and spills, bounding memory at any corpus size."""
+    if source_is_small(corpus):
+        return F.broadcast(map_df)
+    return map_df.hint("merge")
 
 
 def word_set(text: Column) -> Column:
@@ -204,25 +270,27 @@ def minhash_lsh_pairs(
         .groupBy("id")
         .agg(F.collect_set("sh").alias("ws"))
     )
-    # sort-merge, never broadcast or hash-build: the shingle-set map
-    # scales WITH the corpus (one row per candidate doc, payload = the
-    # doc's whole shingle set), and its pre-materialization stats are a
-    # cached collect_set aggregate — wildly underestimated, so an
-    # unhinted plan broadcasts a multi-GB HashedRelation behind a
-    # <100 MB estimate and OOMs (seen at the sf10 spot-check). A
-    # shuffle_hash build fails the same way one scale later (per-task
-    # build must fit execution memory — cannotAcquireMemory at sf10
-    # for the wider-blocked ngram variant); SMJ sorts on the bigint id
-    # and SPILLS, so memory is bounded at any corpus size.
+    # size-gated build (gram_map_build): broadcast only when the corpus
+    # scan's on-disk footprint proves the shingle-set map small; else
+    # sort-merge, which spills — see gram_map_build for why Catalyst's
+    # own estimate (a cached collect_set aggregate) cannot be trusted.
     pairs = (
         cand.join(
-            shset.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
-            .hint("merge"),
+            gram_map_build(
+                shset.select(
+                    F.col("id").alias("id_a"), F.col("ws").alias("ws_a")
+                ),
+                df,
+            ),
             "id_a",
         )
         .join(
-            shset.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
-            .hint("merge"),
+            gram_map_build(
+                shset.select(
+                    F.col("id").alias("id_b"), F.col("ws").alias("ws_b")
+                ),
+                df,
+            ),
             "id_b",
         )
     )
@@ -385,17 +453,24 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.collect_set("sh").alias("grams"))
     )
-    # sort-merge for the same reason as minhash_lsh_pairs: the gram-set
-    # map scales with the corpus and its cached-aggregate stats undershoot,
-    # so an unhinted plan broadcasts a corpus-sized array payload (and a
-    # hash build hits per-task memory at scale); SMJ spills.
+    # size-gated build for the same reason as minhash_lsh_pairs: the
+    # gram-set map scales with the corpus and its cached-aggregate
+    # stats undershoot — broadcast only on on-disk proof, else SMJ.
     pairs = cand.join(
-        grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-        .hint("merge"),
+        gram_map_build(
+            grams.select(
+                F.col("id").alias("id_a"), F.col("grams").alias("ga")
+            ),
+            df,
+        ),
         "id_a",
     ).join(
-        grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
-        .hint("merge"),
+        gram_map_build(
+            grams.select(
+                F.col("id").alias("id_b"), F.col("grams").alias("gb")
+            ),
+            df,
+        ),
         "id_b",
     )
     return (

@@ -1129,11 +1129,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leaked)
         .repartition(n, "doc_id")
     )
-    # broadcast_bench=False: THIS bench side is a fixed fraction of the
-    # corpus (doc_id % 13), so it scales with the data — the broadcast
-    # default is for real fixed-size eval suites.
+    # THIS bench side is a fixed fraction of the corpus (doc_id % 13),
+    # so it scales with the data and the blanket-broadcast default (for
+    # real fixed-size eval suites) OOMs at scale. Gate on the measured
+    # corpus footprint instead: broadcast while provably small (the
+    # fast plan at bench SFs), sort-merge once it isn't.
     ratios = dedup.contamination_ratios(
-        train, bench, "doc_id", "text", n=3, broadcast_bench=False
+        train, bench, "doc_id", "text", n=3,
+        broadcast_bench=dedup.source_is_small(d),
     )
     r = det_round(F.col("ratio"), 4)
     return ratios.select(
@@ -1794,20 +1797,31 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, cand.select(F.col("bid").alias("doc_id")).distinct()
         )
     )
-    # sort-merge: the gram-set maps scale with the corpus (payload =
-    # whole shingle sets) and cached-aggregate stats undershoot, so an
-    # unhinted plan may broadcast them — the sf10 OOM class fixed in
-    # operators/dedup.py (minhash_lsh_pairs); SMJ spills where a hash
-    # build would exhaust per-task memory.
+    # size-gated build (dedup.gram_map_build): the gram-set maps scale
+    # with the corpus (payload = whole shingle sets) and
+    # cached-aggregate stats undershoot, so Catalyst's own choice can't
+    # be trusted — broadcast only when the documents scan's on-disk
+    # footprint proves them small, else sort-merge (spills where a
+    # hash build would exhaust per-task memory; the sf10 OOM class).
+    # Both maps derive from the same documents read, so one gate on
+    # `base` covers gq and gb.
     pairs = (
         cand.join(
-            gq.select(F.col("id").alias("qid"), F.col("grams").alias("ga"))
-            .hint("merge"),
+            dedup.gram_map_build(
+                gq.select(
+                    F.col("id").alias("qid"), F.col("grams").alias("ga")
+                ),
+                base,
+            ),
             "qid",
         )
         .join(
-            gb.select(F.col("id").alias("bid"), F.col("grams").alias("gb"))
-            .hint("merge"),
+            dedup.gram_map_build(
+                gb.select(
+                    F.col("id").alias("bid"), F.col("grams").alias("gb")
+                ),
+                base,
+            ),
             "bid",
         )
         .withColumn("j", dedup.jaccard(F.col("ga"), F.col("gb")))

@@ -232,8 +232,11 @@ class TestGramSetJoinsSpill:
     collect_set-aggregate stats undershoot, so Catalyst broadcast them —
     a multi-GB HashedRelation OOM at 100x bench scale (and a shuffle_hash
     build hits per-task execution memory one scale later). The operators
-    hint sort-merge, which spills; these tests pin that the pair-side
-    joins can never silently regress to a memory-bound build."""
+    now SIZE-GATE the build (dedup.gram_map_build): broadcast only when
+    the corpus scan's on-disk footprint proves the map small, sort-merge
+    (spilling) when it's large or unknowable. These tests pin BOTH sides
+    of the gate so neither the fast small-corpus plan nor the
+    memory-bounded scale plan can silently regress."""
 
     def _join_lines(self, df):
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -243,35 +246,71 @@ class TestGramSetJoinsSpill:
             if "Join" in line or "BroadcastExchange" in line
         ]
 
-    def test_minhash_pair_joins_sort_merge(self, spark):
+    def _pair_joins(self, df):
+        # only the joins that carry the gram-set payload (id_a/id_b
+        # keys) are gated; the tiny banded-signature self-join may
+        # legitimately broadcast at small scale (its estimates grow
+        # with the scan, so it becomes SMJ on its own at size)
+        lines = self._join_lines(df)
+        joins = [l for l in lines if "id_a#" in l or "id_b#" in l]
+        assert joins, "expected pair-side joins in the plan"
+        return joins
+
+    def test_minhash_pair_joins_broadcast_when_small(self, spark):
         from sales_data_pipeline_spark.operators import dedup
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         pairs = dedup.minhash_lsh_pairs(docs, min_jaccard=0.5)
-        lines = self._join_lines(pairs)
-        # only the joins that carry the gram-set payload (id_a/id_b
-        # keys) must be SMJ; the tiny banded-signature self-join may
-        # legitimately broadcast at small scale (its estimates grow
-        # with the scan, so it becomes SMJ on its own at size)
-        pair_joins = [
-            l for l in lines if "id_a#" in l or "id_b#" in l
-        ]
-        assert pair_joins, "expected pair-side joins in the plan"
-        for line in pair_joins:
-            assert "SortMergeJoin" in line, line
+        for line in self._pair_joins(pairs):
+            assert "BroadcastHashJoin" in line, line
 
-    def test_ngram_pair_joins_sort_merge(self, spark):
+    def test_minhash_pair_joins_sort_merge_past_cap(self, spark, monkeypatch):
         from sales_data_pipeline_spark.operators import dedup
 
+        monkeypatch.setattr(dedup, "GRAM_MAP_BROADCAST_CAP", 0)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pairs = dedup.minhash_lsh_pairs(docs, min_jaccard=0.5)
+        for line in self._pair_joins(pairs):
+            assert "SortMergeJoin" in line, line
+
+    def test_ngram_pair_joins_sort_merge_past_cap(self, spark, monkeypatch):
+        from sales_data_pipeline_spark.operators import dedup
+
+        monkeypatch.setattr(dedup, "GRAM_MAP_BROADCAST_CAP", 0)
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         block = dedup.minhash_block_map(docs, "doc_id", "text", 3)
         pairs = dedup.ngram_jaccard_pairs(
             docs, min_jaccard=0.5, block=block
         )
-        lines = self._join_lines(pairs)
-        pair_joins = [
-            l for l in lines if "id_a#" in l or "id_b#" in l
-        ]
-        assert pair_joins, "expected pair-side joins in the plan"
-        for line in pair_joins:
+        for line in self._pair_joins(pairs):
             assert "SortMergeJoin" in line, line
+
+    def test_unknown_source_defaults_to_sort_merge(self, spark):
+        # a non-file source has no provable footprint: the gate must
+        # assume huge (None -> merge), never broadcast on hope
+        from sales_data_pipeline_spark.operators import dedup
+
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha beta gamma delta epsilon doc "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+        assert dedup._source_bytes(docs) is None
+        pairs = dedup.minhash_lsh_pairs(docs, min_jaccard=0.5)
+        for line in self._pair_joins(pairs):
+            assert "SortMergeJoin" in line, line
+
+    def test_source_bytes_matches_disk(self, spark):
+        import glob as _glob
+        import os as _os
+
+        from sales_data_pipeline_spark.operators import dedup
+
+        path = f"{SF_DIR}/documents.parquet"
+        docs = spark.read.parquet(path)
+        expect = (
+            sum(_os.path.getsize(p)
+                for p in _glob.glob(f"{path}/*.parquet"))
+            if _os.path.isdir(path) else _os.path.getsize(path)
+        )
+        assert dedup._source_bytes(docs) == expect
