@@ -32,14 +32,17 @@ from sales_data_pipeline_spark.caching import scoped_persist
 from sales_data_pipeline_spark.functions.text import content_hash, words
 
 # Size gate for broadcasting corpus-scaling gram/shingle-set maps
-# (gram_map_build below). Calibrated from the round-6 scale ladder:
-# documents parquet footprint 0.6 MB (sf0.1) and 6 MB (sf1) ran the
-# broadcast plan healthily; ~60 MB (sf10) produced a multi-GB
-# HashedRelation OOM — parquet->relation expansion is ~50x (compressed
-# prose -> uncompressed arrays of shingle hashes). 8 MB bounds the
-# relation near ~400 MB, comfortably inside a per-executor broadcast
-# budget, with sf10 an order of magnitude past the gate.
-GRAM_MAP_BROADCAST_CAP = 8 << 20
+# (gram_map_build below). Calibrated by A/B measurement (min-of-2
+# passes, idle machine, both arms forced) on the round-6 scale ladder:
+# at 0.6 MB of documents parquet (sf0.1) broadcast wins the 5-query
+# dedup family by ~2.8 s net; at 6 MB (sf1) merge wins decisively
+# (dedup_minhash_lsh 10.4 s vs 21.0 s broadcast — building and copying
+# the ~300 MB HashedRelation, ~50x parquet->relation expansion,
+# dominates); at ~60 MB (sf10) broadcast doesn't complete at all
+# (multi-GB relation OOM). The crossover is between those measured
+# points; 2 MB (~100 MB relation) takes broadcast only where it's both
+# safe AND measured faster.
+GRAM_MAP_BROADCAST_CAP = 2 << 20
 
 
 def _source_bytes(df: DataFrame) -> int | None:
