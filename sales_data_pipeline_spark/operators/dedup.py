@@ -21,13 +21,11 @@ orders of magnitude less data than the corpus itself.
 
 from __future__ import annotations
 
-import os
-from urllib.parse import urlparse
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_spark import scale
 from sales_data_pipeline_spark.caching import scoped_persist
 from sales_data_pipeline_spark.functions.text import content_hash, words
 
@@ -46,34 +44,16 @@ GRAM_MAP_BROADCAST_CAP = 2 << 20
 
 
 def _source_bytes(df: DataFrame) -> int | None:
-    """Total on-disk bytes of the local file-source inputs behind df,
-    or None when that is unknowable (non-file source, remote URI,
-    unreadable path) — callers must treat None as 'assume huge'."""
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    total = 0
-    for uri in files:
-        parsed = urlparse(uri)
-        if parsed.scheme not in ("", "file"):
-            return None
-        try:
-            total += os.path.getsize(parsed.path)
-        except OSError:
-            return None
-    return total
+    """Footprint probe shared with the engine-wide gate (scale.py)."""
+    return scale.source_bytes(df)
 
 
 def source_is_small(df: DataFrame, cap: int | None = None) -> bool:
     """True only when df's file-source footprint is PROVABLY at or
-    under the cap (default GRAM_MAP_BROADCAST_CAP) — unknowable sizes
-    count as huge, so callers can gate broadcast decisions on it."""
-    size = _source_bytes(df)
+    under the cap (default GRAM_MAP_BROADCAST_CAP, read at call time so
+    tests can monkeypatch it) — unknowable sizes count as huge."""
     limit = GRAM_MAP_BROADCAST_CAP if cap is None else cap
-    return size is not None and size <= limit
+    return scale.source_is_small(df, limit)
 
 
 def gram_map_build(map_df: DataFrame, corpus: DataFrame) -> DataFrame:

@@ -4,9 +4,13 @@ Reference: /root/reference/src/main/gold/sales_gold.py,
 customer_metrics_gold.py, and the legacy mart jobs under
 src/main/transformations/jobs/ (SURVEY §2.3-2.5, §3.2).
 
-Scale posture: dimensions are broadcast (fact never shuffles for the
-star join); the metrics aggregate is one shuffle on customer_id with
-map-side partial aggregation; marts reuse the same grouped shapes.
+Scale posture: dimension joins use the size-gated broadcast
+(scale.gated_broadcast — fact never shuffles for the star join while a
+dim is provably small on disk; at scales where customer/product grow
+past the cap the hint disappears and Catalyst/AQE degrades the join to
+sort-merge instead of OOMing on a forced broadcast); the metrics
+aggregate is one shuffle on customer_id with map-side partial
+aggregation; marts reuse the same grouped shapes.
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_spark.scale import gated_broadcast
 from sales_data_pipeline_spark.schemas import (
     GOLD_CUSTOMER_METRICS_COLUMNS,
     GOLD_SALES_ENRICHED_COLUMNS,
@@ -29,9 +34,9 @@ def build_sales_enriched(
 ) -> DataFrame:
     """Star join fact -> 3 dims + fixed projection (sales_gold.py:6-67)."""
     s = sales_df.alias("s")
-    c = F.broadcast(customer_df).alias("c")
-    p = F.broadcast(product_df).alias("p")
-    st = F.broadcast(store_df).alias("st")
+    c = gated_broadcast(customer_df).alias("c")
+    p = gated_broadcast(product_df).alias("p")
+    st = gated_broadcast(store_df).alias("st")
     enriched = (
         s.join(c, F.col("s.customer_id") == F.col("c.customer_id"), "inner")
         .join(p, F.col("s.product_id") == F.col("p.product_id"), "inner")
@@ -87,7 +92,7 @@ def build_customer_metrics(
         F.max("sales_date").alias("last_purchase_date"),
     )
     return (
-        agg.join(F.broadcast(customer_df), on="customer_id", how="inner")
+        agg.join(gated_broadcast(customer_df), on="customer_id", how="inner")
         .select(*GOLD_CUSTOMER_METRICS_COLUMNS)
     )
 
@@ -102,7 +107,7 @@ def build_customer_mart(gold_sales_df: DataFrame, customer_df: DataFrame) -> Dat
     (NULL-propagating), unlike gold's concat_ws — preserved.
     """
     enriched = gold_sales_df.join(
-        F.broadcast(
+        gated_broadcast(
             customer_df.select(
                 "customer_id", "first_name", "last_name", "address", "phone_number"
             )
@@ -157,7 +162,7 @@ def build_sales_team_mart(
         )
         .withColumn("incentive", F.col("total_sales") * F.lit(incentive_rate))
     )
-    team = F.broadcast(
+    team = gated_broadcast(
         sales_team_df.select(
             F.col("id").alias("sales_person_id"),
             F.concat_ws(" ", F.col("first_name"), F.col("last_name")).alias(
@@ -182,14 +187,14 @@ def enrich_with_sales_team(
     renamed. All dims broadcast."""
     joined = (
         sales_df.alias("s")
-        .join(F.broadcast(customer_df).alias("c"), on="customer_id", how="inner")
+        .join(gated_broadcast(customer_df).alias("c"), on="customer_id", how="inner")
         .join(
-            F.broadcast(store_df).alias("store"),
+            gated_broadcast(store_df).alias("store"),
             F.col("store.store_id") == F.col("s.store_id"),
             "inner",
         )
         .join(
-            F.broadcast(sales_team_df).alias("st"),
+            gated_broadcast(sales_team_df).alias("st"),
             F.col("st.id") == F.col("s.sales_person_id"),
             "inner",
         )

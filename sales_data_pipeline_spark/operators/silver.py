@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_spark.scale import gated_broadcast
 from sales_data_pipeline_spark.schemas import (
     SILVER_CUSTOMER_COLUMNS,
     SILVER_PRODUCT_COLUMNS,
@@ -64,7 +65,7 @@ def transform_sales(sales_df: DataFrame, product_df: DataFrame) -> DataFrame:
         "product_id", F.lower(F.trim(F.col("product_name"))).alias("product_name")
     )
     enriched = df_clean.join(
-        F.broadcast(lookup), on="product_name", how="inner"
+        gated_broadcast(lookup), on="product_name", how="inner"
     ).withColumns(
         {
             "total_cost": F.col("price") * F.col("quantity"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_spark.scale import gated_broadcast
 from sales_data_pipeline_spark.queries.base import (
     det_sum,
     query,
@@ -65,7 +66,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            o.join(gated_broadcast(c), o.o_custkey == c.c_custkey),
             li.l_orderkey == o.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -937,7 +938,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    cand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    cand = li.join(gated_broadcast(p), li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     max_qty = F.lit(0.5) * F.avg("l_quantity").over(
@@ -986,7 +987,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(q_lo, q_hi)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p), li.l_partkey == p.p_partkey)
         .filter(
             arm("Brand#12", 5, 1, 11)
             | arm("Brand#23", 10, 10, 20)
@@ -1110,7 +1111,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         srev.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_scaled") == F.col("max_scaled"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(gated_broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1157,7 +1158,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nrev = scoped_persist(
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(gated_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -1291,8 +1292,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(gated_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -1435,10 +1436,10 @@ def supplier_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_scaled = F.sum(v_scaled)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == cn.cn_key)
         .join(F.broadcast(r), cn.cn_region == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(gated_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -1614,7 +1615,7 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
-        .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
+        .join(gated_broadcast(s), F.col("late_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_items").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -1664,8 +1665,8 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(gated_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(gated_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1728,8 +1729,8 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.filter(F.col("unit_price") == F.col("min_price"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(gated_broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(gated_broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("p_partkey", "p_name", "s_name",
                 F.col("n_name").alias("nation"), "unit_price")
@@ -1777,11 +1778,11 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(excluded),
+            gated_broadcast(excluded),
             li.l_suppkey == excluded.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(gated_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -1884,7 +1885,7 @@ def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     sq = (
-        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey)
+        li.join(gated_broadcast(widget), li.l_partkey == widget.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
@@ -1895,7 +1896,7 @@ def dominant_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("supp_qty") * F.col("n_supp") > 2 * F.col("total_qty")
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(gated_broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("n_dominant"))
         .orderBy(F.desc("n_dominant"), F.asc("s_name"))
@@ -2331,7 +2332,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("childless"),
     )
     cust_orphans = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+        gated_broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
     )
     # one consumption of the 1-row aggregate -> two output rows (a
     # second select of `both` would re-run the whole fact pass)

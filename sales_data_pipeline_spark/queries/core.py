@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_spark.scale import gated_broadcast
 from sales_data_pipeline_spark.queries.base import (
     det_round,
     det_sum,
@@ -265,7 +266,7 @@ def star_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .join(gated_broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
         .select(
@@ -489,7 +490,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        o.join(gated_broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.functions import text as tx
 from sales_data_pipeline_spark.operators import dedup, multimodal, similarity
+from sales_data_pipeline_spark.scale import gated_broadcast
 from sales_data_pipeline_spark.queries.base import (
     det_round,
     query,
@@ -1202,7 +1203,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dft), "term")
+        tf.join(gated_broadcast(dft), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -2095,8 +2096,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_B * F.col("dl") * F.col("n_docs") * 1.0 / F.col("total_len")
     )
     scored = (
-        tf.join(F.broadcast(df_), "token")
-        .join(F.broadcast(dl), "doc_id")
+        tf.join(gated_broadcast(df_), "token")
+        .join(gated_broadcast(dl), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
@@ -2219,8 +2220,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_B * F.col("dl") * F.col("n_docs") * 1.0 / F.col("total_len")
     )
     lex = (
-        tf.join(F.broadcast(df_), "token")
-        .join(F.broadcast(dl), "doc_id")
+        tf.join(gated_broadcast(df_), "token")
+        .join(gated_broadcast(dl), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias("score"))
@@ -2588,7 +2589,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return (
-        w.join(F.broadcast(vocab), "word")
+        w.join(gated_broadcast(vocab), "word")
         .crossJoin(F.broadcast(tot))
         .withColumn("term", term)
         .groupBy("doc_id")
@@ -2745,7 +2746,7 @@ def knn_batch_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         c.join(
-            F.broadcast(q),
+            gated_broadcast(q),
             (F.col("qb") == F.col("cb")) & (F.col("vec_id") != F.col("qid")),
         )
         .select("qid", "vec_id", score.alias("score"))
@@ -2860,7 +2861,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return (
-        sw.join(F.broadcast(wt), "word")
+        sw.join(gated_broadcast(wt), "word")
         .join(F.broadcast(st), "source")
         .crossJoin(F.broadcast(tot))
         .withColumn("term", term)
@@ -3484,8 +3485,8 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1000000.0
     )
     return (
-        bgc.join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        bgc.join(gated_broadcast(ua), "a")
+        .join(gated_broadcast(ub), "b")
         .crossJoin(F.broadcast(all_bgc))
         .select("a", "b", F.col("c_ab").cast("long").alias("n_pairs"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))

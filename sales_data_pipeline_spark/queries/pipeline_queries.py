@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.operators import bronze, gold, scd2, silver
 from sales_data_pipeline_spark.quality import compiler
+from sales_data_pipeline_spark.scale import gated_broadcast
 from sales_data_pipeline_spark.queries.base import (
     det_round,
     det_sum,
@@ -1365,12 +1366,12 @@ def late_dim_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = c.filter(F.col("c_custkey") % 5 != 0)
     dim2 = c.filter(F.col("c_custkey") % 5 == 0)
     pass1 = o.join(
-        F.broadcast(dim1), o.o_custkey == dim1.c_custkey
+        gated_broadcast(dim1), o.o_custkey == dim1.c_custkey
     ).select("o_orderkey", "o_custkey", "c_nationkey", F.lit(1).alias("join_epoch"))
     quarantine = o.join(
-        F.broadcast(dim1), o.o_custkey == dim1.c_custkey, "left_anti"
+        gated_broadcast(dim1), o.o_custkey == dim1.c_custkey, "left_anti"
     )
     backfill = quarantine.join(
-        F.broadcast(dim2), quarantine.o_custkey == dim2.c_custkey
+        gated_broadcast(dim2), quarantine.o_custkey == dim2.c_custkey
     ).select("o_orderkey", "o_custkey", "c_nationkey", F.lit(2).alias("join_epoch"))
     return pass1.unionByName(backfill)
