@@ -543,3 +543,47 @@ class TestRound2Additions:
         keys = re.findall(r"Left keys \[\d+\]: \[(\w+)", plan)
         assert keys and all(k.startswith("doc_id") for k in keys), (
             keys, joins)
+
+
+class TestBroadcastScaleGate:
+    """Catalog-wide 100x broadcast invariant (round-6): with every size
+    gate forced shut, no query's optimized plan may carry a
+    strategy=broadcast hint whose hinted subtree is an unbounded
+    scaling relation — i.e., no bare F.broadcast of anything that
+    grows with the data. The full two-pass audit (incl. the physical
+    census at the sf10 paths) is tools/broadcast_audit.py; this test
+    enforces the cheap logical pass on every pytest run."""
+
+    def test_no_forced_unbounded_scaling_hints(self, spark):
+        from sales_data_pipeline_spark import plan_audit as pa
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        registry = {
+            n: s for n, s in load_all().items()
+            if "streaming" not in s.tags
+        }
+        forced, reviewed = pa.forced_hint_audit(spark, registry, SF_DIR)
+        assert not forced, f"ungated F.broadcast of scaling data: {forced}"
+        # every reviewed finding must still be in the curated list —
+        # and the list must not silently rot: each entry names a live
+        # query
+        names = set(registry)
+        for (q, _t) in pa.REVIEWED_HINTS:
+            assert q in names, f"REVIEWED_HINTS stale entry: {q}"
+
+    def test_gate_drops_hint_past_cap(self, spark, monkeypatch):
+        """star_join_enriched: with the default cap the customer join
+        carries a broadcast hint; with the gate forced shut only the
+        fixed nation/region hints remain."""
+        from sales_data_pipeline_spark import scale
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        def hints(df):
+            txt = df._jdf.queryExecution().optimizedPlan().toString()
+            return txt.count("strategy=broadcast")
+
+        fn = load_all()["star_join_enriched"].fn
+        default = hints(fn(spark, SF_DIR))
+        monkeypatch.setattr(scale, "DIM_BROADCAST_CAP", 0)
+        shut = hints(fn(spark, SF_DIR))
+        assert default == shut + 1, (default, shut)

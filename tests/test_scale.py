@@ -1,0 +1,94 @@
+"""Unit tests for sales_data_pipeline_spark.scale — the size-gated
+broadcast helper every scaling-dim / corpus-map join site uses."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark import scale
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+
+def _disk_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(p) for p in glob.glob(f"{path}/*.parquet")
+        )
+    return os.path.getsize(path)
+
+
+class TestSourceBytes:
+    def test_matches_disk_for_file_scan(self, spark):
+        path = f"{SF_DIR}/customer.parquet"
+        df = spark.read.parquet(path)
+        assert scale.source_bytes(df) == _disk_bytes(path)
+
+    def test_derived_frame_keeps_lineage(self, spark):
+        # projection + filter + aggregate all trace to the same files —
+        # an upper bound on any derived relation's true size
+        path = f"{SF_DIR}/customer.parquet"
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col("c_custkey") % 2 == 0)
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        assert scale.source_bytes(df) == _disk_bytes(path)
+
+    def test_join_lineage_is_union_of_sources(self, spark):
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        expect = _disk_bytes(f"{SF_DIR}/customer.parquet") + _disk_bytes(
+            f"{SF_DIR}/orders.parquet"
+        )
+        assert scale.source_bytes(j) == expect
+
+    def test_non_file_source_is_unknowable(self, spark):
+        df = spark.range(10)
+        assert scale.source_bytes(df) is None
+        assert not scale.source_is_small(df, 1 << 40)
+
+
+class TestGatedBroadcast:
+    def _is_hinted(self, df) -> bool:
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        return "strategy=broadcast" in txt
+
+    def test_broadcasts_under_cap(self, spark):
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        j = o.join(scale.gated_broadcast(c), o.o_custkey == c.c_custkey)
+        assert self._is_hinted(j)
+
+    def test_unhinted_past_cap(self, spark, monkeypatch):
+        monkeypatch.setattr(scale, "DIM_BROADCAST_CAP", 0)
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        j = o.join(scale.gated_broadcast(c), o.o_custkey == c.c_custkey)
+        assert not self._is_hinted(j)
+
+    def test_unhinted_for_unknowable_source(self, spark):
+        mem = spark.range(5).select(
+            F.col("id").alias("o_custkey"), F.lit("x").alias("v")
+        )
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        j = o.join(scale.gated_broadcast(mem), "o_custkey")
+        assert not self._is_hinted(j)
+
+    def test_corpus_probe_overrides_self(self, spark):
+        # a tiny aggregate of a big corpus must gate on the CORPUS
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        dl = docs.select("doc_id", F.length("text").alias("dl"))
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        gated = scale.gated_broadcast(
+            dl.withColumnRenamed("doc_id", "o_custkey"),
+            cap=0,
+            corpus=docs,
+        )
+        j = orders.join(gated, "o_custkey")
+        assert not self._is_hinted(j)

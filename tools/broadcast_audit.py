@@ -1,6 +1,8 @@
 """Catalog-wide broadcast audit — the 100x OOM-class gate, plan-only.
 
-Two passes over every registered (non-streaming) query:
+Two passes over every registered (non-streaming) query (walkers and the
+reviewed-findings list live in ``sales_data_pipeline_spark/plan_audit.py``
+so ``tests/test_plan_shapes.py`` enforces pass 2 on every pytest run):
 
 **Pass 1 — physical census at the 100x paths** (default /tmp/sf10).
 Walks each BroadcastExchange's build subtree and classifies every
@@ -11,9 +13,9 @@ fixed-cardinality region/nation dims):
                        sits between the exchange and every scaling scan:
                        cardinality fixed by construction, safe anywhere;
  - keyed_agg         — a grouped aggregate bounds the payload per key but
-                       the key-space may scale; review list (the dedup
-                       gram maps were this class — now size-gated, so
-                       they plan SMJ here);
+                       the key-space may scale; these are exactly the
+                       size-gated sites (the gate PROVED <= cap at this
+                       SF) plus the reviewed domain-bounded constructs;
  - estimate_adaptive — raw scan/filter/project chain: Catalyst chose the
                        broadcast from ACCURATE file-source stats, so the
                        same query re-plans sort-merge once the relation
@@ -26,9 +28,10 @@ Sets scale.DIM_BROADCAST_CAP and dedup.GRAM_MAP_BROADCAST_CAP to 0 (all
 then inspects each query's OPTIMIZED LOGICAL plan: any join hint
 ``strategy=broadcast`` that survives must be a bare ``F.broadcast`` in
 the code. The hinted subtree is then required to be BOUNDED (global
-aggregate / limit above every scaling leaf, or only fixed-dim leaves) —
-an unbounded scaling side is a forced broadcast that no optimizer can
-undo at 100x, and the audit FAILS.
+aggregate / limit above every scaling leaf, or only fixed-dim leaves),
+or listed in ``plan_audit.REVIEWED_HINTS`` with its domain-boundedness
+reason — anything else is a forced broadcast no optimizer can undo at
+100x, and the audit FAILS.
 
 Writes BROADCAST_AUDIT.json; exit 1 on any pass-2 finding.
 Run: PYTHONPATH=. python tools/broadcast_audit.py [sf10_dir] [sf001_dir]
@@ -42,180 +45,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCALING_TABLES = (
-    "lineitem", "orders", "events", "documents", "embeddings",
-    "customer", "supplier", "part",
-)
-FIXED_TABLES = ("region", "nation")
-
-# leaf-relation column prefixes -> table (logical leaves don't render
-# their file paths, but they keep the source schema)
-_COL_TABLE = {
-    "l_": "lineitem", "o_": "orders", "c_": "customer",
-    "s_": "supplier", "p_": "part", "n_": "nation", "r_": "region",
-    "doc_id": "documents", "vec_id": "embeddings",
-    "event_id": "events", "sale_id": "sales",
-}
-
-_BOUNDING_PHYS = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit",
-                  "LocalLimit")
-_AGGS_PHYS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
-_STAGES = ("BroadcastQueryStage", "ShuffleQueryStage",
-           "TableCacheQueryStage")
-
-import re
-
-_TABLE_RE = re.compile(
-    r"/(" + "|".join(SCALING_TABLES + FIXED_TABLES) + r")\.parquet"
-)
-
-
-def _kids(node):
-    nm = node.nodeName()
-    if nm.startswith("AdaptiveSparkPlan"):
-        return [node.initialPlan()]
-    if nm.startswith(_STAGES):
-        return [node.plan()]
-    ch = node.children()
-    return [ch.apply(i) for i in range(ch.size())]
-
-
-def _walk(node):
-    yield node
-    for k in _kids(node):
-        yield from _walk(k)
-
-
-def _classify_build(node, bounded: bool, keyed: bool, out: list) -> None:
-    """Physical DFS from a BroadcastExchange: record, for every
-    scaling-table scan reached, whether the path crossed a bounding
-    node or only a keyed aggregate."""
-    nm = node.nodeName()
-    if nm.startswith(_AGGS_PHYS):
-        try:
-            if node.groupingExpressions().isEmpty():
-                bounded = True
-            else:
-                keyed = True
-        except Exception:
-            keyed = True
-    elif nm.startswith(_BOUNDING_PHYS):
-        bounded = True
-    elif nm.startswith(("FileScan", "Scan", "BatchScan", "InMemory")):
-        hit = set(_TABLE_RE.findall(node.toString())) & set(SCALING_TABLES)
-        if hit:
-            out.append((sorted(hit), bounded, keyed))
-    for k in _kids(node):
-        _classify_build(k, bounded, keyed, out)
-
-
-# ---------- pass 2: logical hint audit ----------
-
-def _lkids(node):
-    ch = node.children()
-    return [ch.apply(i) for i in range(ch.size())]
-
-
-def _leaf_tables(node) -> set[str]:
-    """Tables under a LOGICAL node, identified by leaf output columns."""
-    tables: set[str] = set()
-    stack = [node]
-    while stack:
-        n = stack.pop()
-        kids = _lkids(n)
-        if not kids:
-            try:
-                out = n.output()
-                cols = [out.apply(i).name() for i in range(out.size())]
-            except Exception:
-                cols = []
-            for c in cols:
-                for pref, tab in _COL_TABLE.items():
-                    if c == pref or c.startswith(pref):
-                        tables.add(tab)
-                        break
-        stack.extend(kids)
-    return tables
-
-
-def _hinted_unbounded(node, bounded: bool, out: set) -> None:
-    """Logical DFS: collect scaling leaf tables reachable without
-    crossing a bounding node (global Aggregate or Limit)."""
-    nm = node.nodeName()
-    if nm.startswith("Aggregate"):
-        try:
-            if node.groupingExpressions().isEmpty():
-                bounded = True
-        except Exception:
-            pass
-    elif nm.startswith(("GlobalLimit", "LocalLimit")):
-        bounded = True
-    kids = _lkids(node)
-    if not kids and not bounded:
-        out |= _leaf_tables(node) & set(SCALING_TABLES)
-    for k in kids:
-        _hinted_unbounded(k, bounded, out)
-
-
-# Reviewed pass-2 findings: hinted broadcasts whose boundedness comes
-# from a domain fact the plan cannot express — a grouping key with a
-# FIXED domain (enum column, embedding dimension index) or a
-# cardinality set by the CLUSTER (per-shuffle-partition offsets from
-# operators/distributed.ordered_scan), not by the data. Each entry is
-# (query, table): reason; anything NOT listed fails the audit, so a new
-# ungated F.broadcast in one of these queries still trips.
-_REVIEWED: dict[tuple[str, str], str] = {
-    ("char_coverage_curve", "documents"):
-        "ordered_scan per-shuffle-partition offsets: rows = partition "
-        "count (cluster-bounded), not corpus size",
-    ("ntile_customer_quartiles", "customer"):
-        "ordered_scan per-shuffle-partition offsets (cluster-bounded)",
-    ("revenue_pareto_curve", "orders"):
-        "ordered_scan per-shuffle-partition offsets (cluster-bounded)",
-    ("join_string_normalized", "customer"):
-        "per-mktsegment aggregate: 5-value TPC-H enum domain",
-    ("median_imputation_events", "events"):
-        "per-event_type percentile: fixed event-type enum",
-    ("winsorize_event_values", "events"):
-        "per-event_type percentile bounds: fixed event-type enum",
-    ("zscore_outlier_counts", "events"):
-        "per-event_type moments: fixed event-type enum",
-    ("source_top_tokens", "documents"):
-        "per-source totals: fixed source enum",
-    ("source_kl_divergence", "documents"):
-        "per-source distributions: fixed source enum",
-    ("mixture_resample_plan", "documents"):
-        "per-source budgets: fixed source enum",
-    ("embedding_int8_quant_error", "embeddings"):
-        "per-dimension min/max: rows = embedding width (fixed 32)",
-}
-
-
-def _hint_findings(root) -> list[dict]:
-    found = []
-    stack = [root]
-    while stack:
-        n = stack.pop()
-        if n.nodeName().startswith("Join"):
-            for side, attr in (("left", "leftHint"), ("right", "rightHint")):
-                try:
-                    hint = getattr(n.hint(), attr)().toString()
-                except Exception:
-                    hint = ""
-                if "BROADCAST" not in hint.upper():
-                    continue
-                child = n.children().apply(0 if side == "left" else 1)
-                bad: set = set()
-                _hinted_unbounded(child, False, bad)
-                if bad:
-                    found.append({"side": side, "tables": sorted(bad)})
-        stack.extend(_lkids(n))
-    return found
-
 
 def main() -> int:
-    from sales_data_pipeline_spark import scale
-    from sales_data_pipeline_spark.operators import dedup
+    from sales_data_pipeline_spark import plan_audit as pa
     from sales_data_pipeline_spark.queries.base import (
         load_all,
         release_persisted,
@@ -241,12 +73,12 @@ def main() -> int:
     if os.path.isdir(sf10):
         for name, spec in registry.items():
             root = spec.fn(spark, sf10)._jdf.queryExecution().executedPlan()
-            for node in _walk(root):
+            for node in pa.phys_walk(root):
                 if not node.nodeName().startswith("BroadcastExchange"):
                     continue
                 n_exchanges += 1
                 hits: list = []
-                _classify_build(node, False, False, hits)
+                pa.classify_build(node, False, False, hits)
                 for tables, bounded, keyed in hits:
                     row = {"query": name, "tables": tables}
                     if bounded:
@@ -259,27 +91,7 @@ def main() -> int:
             spark.catalog.clearCache()
 
     # ---- pass 2: hint audit, every gate forced shut ----
-    saved = (scale.DIM_BROADCAST_CAP, dedup.GRAM_MAP_BROADCAST_CAP)
-    scale.DIM_BROADCAST_CAP = 0
-    dedup.GRAM_MAP_BROADCAST_CAP = 0
-    forced, reviewed = [], []
-    try:
-        for name, spec in registry.items():
-            root = spec.fn(spark, sf001)._jdf.queryExecution().optimizedPlan()
-            for f in _hint_findings(root):
-                reasons = [
-                    _REVIEWED.get((name, t)) for t in f["tables"]
-                ]
-                if all(reasons):
-                    reviewed.append(
-                        {"query": name, **f, "reasons": reasons}
-                    )
-                else:
-                    forced.append({"query": name, **f})
-            release_persisted()
-            spark.catalog.clearCache()
-    finally:
-        scale.DIM_BROADCAST_CAP, dedup.GRAM_MAP_BROADCAST_CAP = saved
+    forced, reviewed = pa.forced_hint_audit(spark, registry, sf001)
 
     summary = {
         "sf10_dir": sf10 if os.path.isdir(sf10) else None,
