@@ -3485,8 +3485,8 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1000000.0
     )
     return (
-        bgc.join(gated_broadcast(ua), "a")
-        .join(gated_broadcast(ub), "b")
+        bgc.join(gated_broadcast(ua, cached=True), "a")
+        .join(gated_broadcast(ub, cached=True), "b")
         .crossJoin(F.broadcast(all_bgc))
         .select("a", "b", F.col("c_ab").cast("long").alias("n_pairs"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))

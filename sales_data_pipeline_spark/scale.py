@@ -78,15 +78,22 @@ def gated_broadcast(
     df: DataFrame,
     cap: int | None = None,
     corpus: DataFrame | None = None,
+    cached: bool = False,
 ) -> DataFrame:
     """``F.broadcast(df)`` iff the file footprint behind ``corpus``
     (default: df's own lineage) is provably <= cap (default
     DIM_BROADCAST_CAP, read at call time so tests and the broadcast
     audit can force the gate shut); else df UNHINTED, so Catalyst/AQE
     picks the join strategy from its own estimates and the plan
-    degrades to sort-merge at scale instead of OOMing."""
+    degrades to sort-merge at scale instead of OOMing.
+
+    ``cached=True`` is REQUIRED for persisted builds (scoped_persist):
+    an InMemoryRelation's pre-materialization stats UNDERestimate (the
+    dedup gram-map OOM class), so the unhinted else-arm could still
+    pick a fatal broadcast — those sites get an explicit merge hint
+    instead, which spills and is memory-bounded at any size."""
     probe = corpus if corpus is not None else df
     limit = DIM_BROADCAST_CAP if cap is None else cap
     if source_is_small(probe, limit):
         return F.broadcast(df)
-    return df
+    return df.hint("merge") if cached else df

@@ -92,3 +92,24 @@ class TestGatedBroadcast:
         )
         j = orders.join(gated, "o_custkey")
         assert not self._is_hinted(j)
+
+
+class TestCachedArm:
+    def test_cached_build_gets_merge_past_cap(self, spark, monkeypatch):
+        """Persisted builds must NOT fall to the unhinted arm: their
+        InMemoryRelation stats underestimate (the dedup gram-map OOM
+        class), so the gate pins an explicit merge hint instead."""
+        monkeypatch.setattr(scale, "DIM_BROADCAST_CAP", 0)
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        agg = c.groupBy("c_custkey").count().persist()
+        try:
+            j = o.join(
+                scale.gated_broadcast(agg, cached=True),
+                o.o_custkey == agg.c_custkey,
+            )
+            txt = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "strategy=merge" in txt, txt
+            assert "strategy=broadcast" not in txt
+        finally:
+            agg.unpersist()
