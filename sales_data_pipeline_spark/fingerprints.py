@@ -160,9 +160,58 @@ def _is_module(modname: str) -> bool:
     return _is_module_cache[modname]
 
 
+_module_deps_cache: dict[str, set[str]] = {}
+
+
+def _module_deps(modname: str) -> set[str]:
+    """Tracked modules a tracked module imports (parsed from source
+    with the same regexes dep_modules uses; cached per-process)."""
+    if modname in _module_deps_cache:
+        return _module_deps_cache[modname]
+    deps: set[str] = set()
+    try:
+        src = inspect.getsource(importlib.import_module(modname))
+    except Exception:
+        _module_deps_cache[modname] = deps
+        return deps
+    for m in _PLAIN_IMPORT_RE.finditer(src):
+        if _tracked(m.group(1)):
+            deps.add(m.group(1))
+    for m in _FROM_IMPORT_RE.finditer(src):
+        base, imported = m.group(1), m.group(2).strip("()")
+        for item in imported.split(","):
+            name = item.strip().split(" as ")[0].strip()
+            if not name:
+                continue
+            cand = f"{base}.{name}"
+            target = cand if _is_module(cand) else base
+            if _tracked(target):
+                deps.add(target)
+    _module_deps_cache[modname] = deps
+    return deps
+
+
+def _dep_closure(mods: set[str]) -> set[str]:
+    """Transitive closure over tracked-module imports: an edit to a
+    helper module (e.g. scale.py) fronts every query whose operator
+    module delegates to it, not just queries importing it directly —
+    the blind spot observed when operators/dedup.py started delegating
+    its gate to scale.py."""
+    seen: set[str] = set()
+    frontier = set(mods)
+    while frontier:
+        m = frontier.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        frontier |= _module_deps(m) - seen
+    return seen
+
+
 def query_fingerprint(spec) -> str:
     """sha256 over the undecorated query fn's source, its oracle SQL,
-    and the source hashes of every tracked module the fn references."""
+    and the source hashes of every tracked module the fn references —
+    transitively, so helper-module edits front dependent families."""
     fn = getattr(spec.fn, "__wrapped__", spec.fn)
     try:
         src = inspect.getsource(fn)
@@ -170,7 +219,7 @@ def query_fingerprint(spec) -> str:
         src = repr(fn)
     dep_part = "\n".join(
         f"{m}:{h}"
-        for m in sorted(dep_modules(fn))
+        for m in sorted(_dep_closure(dep_modules(fn)))
         if (h := _module_hash(m)) is not None
     )
     payload = src + "\x00" + (spec.oracle or "") + "\x00" + dep_part

@@ -335,3 +335,38 @@ class TestGreenTailAging:
         # text_compression_ratio got its first-ever row in round 5
         assert rounds.get("text_compression_ratio") == 5
         assert min(rounds.values()) >= 1
+
+
+class TestTransitiveDeps:
+    """Round-6 blind spot, observed live: operators/dedup.py delegates
+    its broadcast gate to scale.py, but only DIRECTLY referenced
+    modules were hashed — a scale.py edit left every dedup query's
+    fingerprint unchanged. The closure fixes that."""
+
+    def test_closure_includes_helper_of_operator(self):
+        # dedup imports scale; a fn referencing dedup must transitively
+        # fingerprint scale
+        direct = fp.dep_modules(_fn_uses_dedup)
+        closure = fp._dep_closure(direct)
+        assert "sales_data_pipeline_spark.scale" in closure
+
+    def test_closure_excludes_query_modules(self):
+        closure = fp._dep_closure(fp.dep_modules(_fn_uses_dedup))
+        assert not any(
+            m.startswith("sales_data_pipeline_spark.queries")
+            for m in closure
+        )
+
+    def test_helper_hash_participates_in_fingerprint(self, monkeypatch):
+        spec = _spec("qd", _fn_uses_dedup)
+        before = fp.query_fingerprint(spec)
+        real = fp._module_hash
+
+        def fake(modname):
+            if modname == "sales_data_pipeline_spark.scale":
+                return "deadbeef"
+            return real(modname)
+
+        monkeypatch.setattr(fp, "_module_hash", fake)
+        after = fp.query_fingerprint(spec)
+        assert before != after
