@@ -93,10 +93,14 @@ def phys_walk(node):
         yield from phys_walk(k)
 
 
-def classify_build(node, bounded: bool, keyed: bool, out: list) -> None:
+def classify_build(
+    node, bounded: bool, keyed: bool, out: list, cached: bool = False
+) -> None:
     """Physical DFS from a BroadcastExchange: record, for every
     scaling-table scan reached, whether the path crossed a bounding
-    node or only a keyed aggregate."""
+    node, only a keyed aggregate, and/or an InMemory (cached) relation
+    — cached+keyed builds are the stats-lie class whose broadcasts must
+    come from a size gate, never an estimate."""
     nm = node.nodeName()
     if nm.startswith(AGGS_PHYS):
         try:
@@ -109,11 +113,13 @@ def classify_build(node, bounded: bool, keyed: bool, out: list) -> None:
     elif nm.startswith(BOUNDING_PHYS):
         bounded = True
     elif nm.startswith(("FileScan", "Scan", "BatchScan", "InMemory")):
+        if nm.startswith("InMemory"):
+            cached = True
         hit = set(TABLE_RE.findall(node.toString())) & set(SCALING_TABLES)
         if hit:
-            out.append((sorted(hit), bounded, keyed))
+            out.append((sorted(hit), bounded, keyed, cached))
     for k in phys_kids(node):
-        classify_build(k, bounded, keyed, out)
+        classify_build(k, bounded, keyed, out, cached)
 
 
 # ---------- logical walk (optimized plans, hint audit) ----------

@@ -79,8 +79,10 @@ def main() -> int:
                 n_exchanges += 1
                 hits: list = []
                 pa.classify_build(node, False, False, hits)
-                for tables, bounded, keyed in hits:
+                for tables, bounded, keyed, cached in hits:
                     row = {"query": name, "tables": tables}
+                    if cached:
+                        row["cached"] = True
                     if bounded:
                         phys["bounded"] += 1
                     elif keyed:
