@@ -491,17 +491,31 @@ def cluster_components(
     exponential plan growth that OOMs the driver around 10 rounds.
     Checkpointing truncates the plan to the materialized result (the
     same reason GraphX checkpoints in Pregel loops); on a cluster use
-    ``checkpoint()`` with a reliable checkpoint dir instead."""
+    ``checkpoint()`` with a reliable checkpoint dir instead.
+
+    Shuffle control: edges — the BIG side at scale (one row per pair
+    vs one per node) — are hash-partitioned on ``dst`` ONCE before the
+    checkpoint, with labels aligned on ``id`` at the same partition
+    count (data-sized, not the cluster default: ~2M edges/partition).
+    ``localCheckpoint`` preserves the partitioning in the LogicalRDD,
+    so the per-round ``edges ⋈ labels`` join is exchange-free on both
+    sides every iteration — without this, every round re-shuffles the
+    whole edge set, k times the largest shuffle in the loop."""
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    edges = sym.distinct().localCheckpoint(eager=True)
+    staged = sym.distinct().localCheckpoint(eager=True)
+    n_edges = staged.count()  # cheap: counts the checkpointed RDD
+    parts = int(max(2, min(2048, n_edges // 2_000_000 + 1)))
+    edges = staged.repartition(parts, "dst").localCheckpoint(eager=True)
+    staged.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
+        .repartition(parts, "id")
         .localCheckpoint(eager=True)
     )
     prev_sum = None
@@ -519,6 +533,12 @@ def cluster_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            # re-pin hash(id, parts) before the checkpoint: AQE may
+            # coalesce the round's shuffles, and a drifted labels
+            # partition count would force the NEXT round to re-shuffle
+            # the edge set to match — a node-sized shuffle here buys
+            # edge-set immobility for the whole loop
+            .repartition(parts, "id")
             .localCheckpoint(eager=True)
         )
         label_sum = new_labels.agg(F.sum("label")).collect()[0][0]
