@@ -111,7 +111,10 @@ def _rotated(
     _PRIORITY (force-recheck — even green rows, see the list's
     comment), then FINGERPRINT-STALE green names (code, oracle, or a
     referenced operator module changed since the row that certified
-    them), then unchecked (sorted), then fresh green last —
+    them) — OLDEST-driver-row first, so a shared-module edit that
+    fronts many queries at once (e.g. queries/base.py, tracked since
+    round 7) degrades into the aging order instead of an alphabetical
+    head — then unchecked (sorted), then fresh green last, also
     OLDEST-driver-row first, so each round organically re-certifies the
     stalest greens.
 
@@ -135,16 +138,27 @@ def _rotated(
     rounds = _row_rounds()
     names = list(registry)
     in_catalog = set(names)
-    head = [n for n in sorted(failed) if n in in_catalog]
-    seen = set(head)
-    head += [n for n in committed_window if n in in_catalog
-             and n not in seen]
-    seen = set(head)
-    head += [n for n in _PRIORITY if n in in_catalog and n not in seen]
-    seen = set(head)
-    head += [n for n in sorted(names) if n in green and n in stale
-             and n not in seen]
-    seen = set(head)
+    head: list[str] = []
+    seen: set[str] = set()
+
+    def _extend(cands) -> None:
+        # incremental seen-update: duplicates INSIDE one source list
+        # (e.g. a hand-edited CHECKED_FINGERPRINTS window or _PRIORITY)
+        # must not enter the head twice (round-6 advisor)
+        for n in cands:
+            if n in in_catalog and n not in seen:
+                head.append(n)
+                seen.add(n)
+
+    _extend(sorted(failed))
+    _extend(committed_window)
+    _extend(_PRIORITY)
+    _extend(
+        sorted(
+            (n for n in names if n in green and n in stale),
+            key=lambda n: (rounds.get(n, -1), n),
+        )
+    )
     mid = [n for n in sorted(names) if n not in green and n not in seen]
     tail = sorted(
         (n for n in names if n in green and n not in seen),

@@ -23,7 +23,15 @@ family too — over-checking, never under-checking). Remaining blind spot
 (documented, deliberate): helpers defined inside the same
 ``queries/*.py`` file as the fn are NOT hashed — including the defining
 module would front all ~80 co-located queries whenever any one of them
-changes, defeating the window.
+changes, defeating the window. Exception (round-7, closing the round-6
+verdict's gap): ``queries.base`` IS tracked — ``det_sum``/``det_round``/
+``table``/``events_table`` are semantics-bearing shared code every
+money/timestamp query depends on, and it defines no queries of its own,
+so tracking it can't collapse the window onto one file's co-located
+queries. A ``base.py`` edit fronts essentially the whole catalog, which
+is the over-checking direction this design prefers; the stale-green
+front is ordered oldest-driver-row-first, so even a catalog-wide front
+degrades gracefully into the green-tail aging order.
 
 ``CHECKED_FINGERPRINTS.json`` format (v2)::
 
@@ -55,6 +63,10 @@ _PKG = "sales_data_pipeline_spark"
 # queries.* excluded: hashing a query's own defining module would front
 # every co-located query on any single-fn edit (see module docstring).
 _UNTRACKED_PREFIX = _PKG + ".queries"
+# ...except shared semantics-bearing infrastructure that defines no
+# queries itself (see module docstring): an edit to det_sum/table must
+# front dependents even though the module lives under queries/.
+_TRACKED_EXCEPTIONS = frozenset({_PKG + ".queries.base"})
 
 _module_hash_cache: dict[str, str] = {}
 
@@ -71,6 +83,8 @@ _PLAIN_IMPORT_RE = re.compile(
 def _tracked(modname: str | None) -> bool:
     if not modname or not modname.startswith(_PKG):
         return False
+    if modname in _TRACKED_EXCEPTIONS:
+        return True
     if modname == __name__ or modname.startswith(_UNTRACKED_PREFIX):
         return False
     return True
