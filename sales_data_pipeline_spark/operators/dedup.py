@@ -463,6 +463,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def _loop_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage for an iterative loop frame.
+
+    RELIABLE ``checkpoint()`` when the SparkContext has a checkpoint dir
+    configured (the cluster deployment posture: checkpoint files live on
+    the shared FS, so a lost executor recovers by re-reading instead of
+    failing the job — localCheckpoint blocks are unrecoverable by
+    design); ``localCheckpoint()`` otherwise (local/test: no distributed
+    FS required, and executor loss isn't a failure mode in a single
+    JVM).
+
+    AQE is forced OFF while the checkpoint materializes (round-7 find):
+    with AQE on, the executed plan is an ``AdaptiveSparkPlanExec``,
+    whose ``outputPartitioning`` reports ``UnknownPartitioning`` — so
+    the LogicalRDD wrapping the checkpointed RDD silently LOSES the
+    hash partitioning and every per-round join re-shuffles the edge
+    set, the exact failure the partition-once design exists to prevent
+    (round 6 asserted exchange-free joins; plan inspection this round
+    showed Exchange on both join sides). Planned non-adaptively, the
+    explicit ``repartition(parts, key)``'s HashPartitioning survives
+    into the LogicalRDD and the loop joins are exchange-free — pinned
+    by tests/test_round7_fixes.py. AQE is restored immediately after;
+    the loop's other statements still plan adaptively. Nothing is lost
+    on the checkpoint statement itself: it ends in a user-specified
+    repartition, which AQE must respect anyway."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        if sc.getCheckpointDir():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def cluster_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -485,19 +522,27 @@ def cluster_components(
     active working set is one (id, label) row per node regardless of
     iteration count.
 
-    Lineage control: every round's labels are ``localCheckpoint``-ed.
-    Plain persist caches DATA but keeps the logical plan, so each
-    iteration's plan would embed the whole upstream pipeline again —
-    exponential plan growth that OOMs the driver around 10 rounds.
-    Checkpointing truncates the plan to the materialized result (the
-    same reason GraphX checkpoints in Pregel loops); on a cluster use
-    ``checkpoint()`` with a reliable checkpoint dir instead.
+    Lineage control: every round's labels are checkpointed via
+    ``_loop_checkpoint``. Plain persist caches DATA but keeps the
+    logical plan, so each iteration's plan would embed the whole
+    upstream pipeline again — exponential plan growth that OOMs the
+    driver around 10 rounds. Checkpointing truncates the plan to the
+    materialized result (the same reason GraphX checkpoints in Pregel
+    loops). When the session has a checkpoint dir configured the
+    checkpoint is RELIABLE (survives executor loss — on a 1000-executor
+    cluster a lost node would otherwise kill the whole loop, since
+    localCheckpoint blocks have no lineage to recompute from); without
+    one it falls back to localCheckpoint for local/test runs. Old
+    checkpoint blocks/files are reclaimed by the ContextCleaner once
+    the superseded round's RDD is GC'd (``Dataset.unpersist`` can NOT
+    release them — it only uncaches CacheManager entries, which is why
+    the staging frame below uses persist(), the one releasable kind).
 
     Shuffle control: edges — the BIG side at scale (one row per pair
     vs one per node) — are hash-partitioned on ``dst`` ONCE before the
     checkpoint, with labels aligned on ``id`` at the same partition
     count (data-sized, not the cluster default: ~2M edges/partition).
-    ``localCheckpoint`` preserves the partitioning in the LogicalRDD,
+    Both checkpoint flavors preserve the partitioning in the LogicalRDD,
     so the per-round ``edges ⋈ labels`` join is exchange-free on both
     sides every iteration — without this, every round re-shuffles the
     whole edge set, k times the largest shuffle in the loop."""
@@ -506,17 +551,23 @@ def cluster_components(
     ).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    staged = sym.distinct().localCheckpoint(eager=True)
-    n_edges = staged.count()  # cheap: counts the checkpointed RDD
-    parts = int(max(2, min(2048, n_edges // 2_000_000 + 1)))
-    edges = staged.repartition(parts, "dst").localCheckpoint(eager=True)
-    staged.unpersist()
-    labels = (
+    # persist (NOT checkpoint) the staging frame: we need its count to
+    # size the partitioning before the real checkpoint, and persist is
+    # the only materialization unpersist() can actually release — the
+    # round-6 advisor showed checkpointing here left the un-repartitioned
+    # edge copy resident for the whole loop, doubling peak edge storage.
+    staged = sym.distinct().persist()
+    try:
+        n_edges = staged.count()
+        parts = int(max(2, min(2048, n_edges // 2_000_000 + 1)))
+        edges = _loop_checkpoint(staged.repartition(parts, "dst"))
+    finally:
+        staged.unpersist()
+    labels = _loop_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
         .repartition(parts, "id")
-        .localCheckpoint(eager=True)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -539,15 +590,16 @@ def cluster_components(
             # the edge set to match — a node-sized shuffle here buys
             # edge-set immobility for the whole loop
             .repartition(parts, "id")
-            .localCheckpoint(eager=True)
         )
+        new_labels = _loop_checkpoint(new_labels)
         label_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        # superseded rounds' checkpoint blocks are ContextCleaner-
+        # reclaimed on GC (unpersist() can't release checkpoints);
+        # dropping the reference is the release
         labels = new_labels
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
-    edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
