@@ -18,6 +18,22 @@ driver-side result transfer — we measure the engine, not toPandas).
 instead of the headline list and writes the per-query detail to
 --out (default BENCH_FULL.json): the per-round regression surface for
 SCALE.md's full-catalog table.
+
+Machine-condition metadata (round-7, after BENCH_r06.json recorded a
+spurious uniform +20% on a loaded machine that an idle rerun disproved):
+every run records os.getloadavg() before the JVM starts and after the
+last query, plus /proc/loadavg's running-process count, into BOTH the
+artifact and the final summary line. ``load_ok`` is false when the
+pre-run 1-minute load exceeds 25% of the CPUs — annotation, not
+refusal (the external driver must still get a parsable line), so a
+contaminated run is self-evident instead of silently poisoning
+round-over-round comparisons.
+
+Peak-memory telemetry (round-7): per-query ``peak_mem`` = max stage
+peakExecutionMemory (bytes, from the UI REST API) across the query's
+stages — the trend line that surfaces the next broadcast/state blow-up
+before it's an sf10 crash. Written to the --full artifact; the summary
+line carries only the run-wide max.
 """
 
 from __future__ import annotations
@@ -129,7 +145,81 @@ HEADLINE = [
 ]
 
 
-def run_names(spark, registry, names, sf_dir) -> dict[str, float]:
+def _machine_conditions() -> dict:
+    """Load/process evidence for the artifact: 1/5/15-min load averages
+    and the running-process count from /proc/loadavg (co-process
+    evidence — 'R/total' 4th field)."""
+    cond: dict = {"cpus": os.cpu_count()}
+    try:
+        cond["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        cond["loadavg"] = None
+    try:
+        with open("/proc/loadavg") as f:
+            cond["procs_running"] = int(f.read().split()[3].split("/")[0])
+    except (OSError, ValueError, IndexError):
+        cond["procs_running"] = None
+    return cond
+
+
+class StagePeak:
+    """Per-query peak execution memory via the UI REST API.
+
+    Tracks the max completed-stage ``peakExecutionMemory`` since the
+    previous call; degrades to None when the UI is disabled or the
+    endpoint shape changes (telemetry must never fail the bench)."""
+
+    def __init__(self, spark) -> None:
+        self._base = None
+        self._seen = -1
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if ui and app:
+                base = f"{ui}/api/v1/applications/{app}"
+                self._fetch(base + "/stages?status=complete")
+                self._base = base
+        except Exception:
+            self._base = None
+
+    @staticmethod
+    def _fetch(url: str):
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            return json.load(resp)
+
+    def peak_since_last(self) -> int | None:
+        """Max peakExecutionMemory (bytes) over stages completed since
+        the previous call; None when telemetry is unavailable."""
+        if self._base is None:
+            return None
+        try:
+            stages = self._fetch(self._base + "/stages?status=complete")
+        except Exception:
+            return None
+        new = [
+            s
+            for s in stages
+            if isinstance(s.get("stageId"), int)
+            and s["stageId"] > self._seen
+        ]
+        if stages:
+            self._seen = max(
+                (s.get("stageId", -1) for s in stages), default=self._seen
+            )
+        vals = [
+            s.get("peakExecutionMemory")
+            for s in new
+            if isinstance(s.get("peakExecutionMemory"), (int, float))
+        ]
+        return int(max(vals)) if vals else 0
+
+
+def run_names(
+    spark, registry, names, sf_dir, peek: "StagePeak | None" = None,
+    peaks: dict[str, int] | None = None,
+) -> dict[str, float]:
     """Two passes: the first warms JVM JIT / codegen caches / parquet
     footers, the second is the measurement — round-over-round deltas
     on plan-pinned queries were dominated by single-run noise before
@@ -144,6 +234,8 @@ def run_names(spark, registry, names, sf_dir) -> dict[str, float]:
             spec = registry.get(name)
             if spec is None:
                 continue
+            if peek is not None:
+                peek.peak_since_last()  # reset the stage watermark
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -151,6 +243,10 @@ def run_names(spark, registry, names, sf_dir) -> dict[str, float]:
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+            if peek is not None and peaks is not None:
+                pk = peek.peak_since_last()
+                if pk is not None:
+                    peaks[name] = max(peaks.get(name, 0), pk)
             # queries that persist() intermediates would otherwise leak
             # cache across measurements; drop it so every query is timed
             # against a cold store (release first = precise unpersist of
@@ -181,14 +277,25 @@ def main() -> None:
     from sales_data_pipeline_spark.queries.base import load_all
     from sales_data_pipeline_spark.session import build_session
 
+    # Sample load BEFORE the JVM starts: once Spark is up the bench
+    # itself dominates the load average and the reading proves nothing.
+    cond_start = _machine_conditions()
+    load1 = (cond_start.get("loadavg") or [None])[0]
+    cpus_total = cond_start.get("cpus") or 1
+    load_ok = load1 is not None and load1 <= 0.25 * cpus_total
+
     registry = load_all()
-    spark = build_session("bench")
+    spark = build_session(
+        "bench", extra_conf={"spark.ui.enabled": "true"}
+    )
 
     # JVM + parquet-footer warmup so q1 doesn't pay session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    peek = StagePeak(spark)
+    peaks: dict[str, int] = {}
 
     names = sorted(registry) if args.full else HEADLINE
-    timings = run_names(spark, registry, names, sf_dir)
+    timings = run_names(spark, registry, names, sf_dir, peek, peaks)
 
     # round-5/6: the reference's actual SLA workloads as composite rows
     # (CSV ingest -> bronze rejection split -> silver -> SCD2 -> gold,
@@ -218,11 +325,23 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     metric = "full_catalog_total" if args.full else "headline_queries_total"
 
+    cond_end = _machine_conditions()
+    machine = {
+        "load1_start": load1,
+        "load1_end": (cond_end.get("loadavg") or [None])[0],
+        "procs_running_start": cond_start.get("procs_running"),
+        "cpus": cpus_total,
+        "load_ok": load_ok,
+    }
+    peak_max = max(peaks.values(), default=0) if peaks else None
+
     if args.full:
         with open(args.out, "w") as f:
             json.dump(
                 {"metric": metric, "value": total, "unit": "sec",
-                 "sf": sf, "queries": timings, "composites": composites},
+                 "sf": sf, "queries": timings, "composites": composites,
+                 "peak_mem": peaks, "machine": machine,
+                 "conditions": {"start": cond_start, "end": cond_end}},
                 f, indent=1, sort_keys=True,
             )
             f.write("\n")
@@ -239,6 +358,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "composites": composites,
+                "machine": machine,
+                "peak_mem_max": peak_max,
             }
         )
     )

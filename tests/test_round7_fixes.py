@@ -138,3 +138,44 @@ class TestClusterComponentsReliable:
             for f in files
         ]
         assert found, "CC loop took no reliable checkpoints"
+
+
+class TestBenchTelemetry:
+    """Round-7 (verdict #1/#7): bench.py records machine conditions and
+    per-query peak execution memory so a loaded-machine artifact is
+    self-evident instead of silently poisoning round-over-round deltas
+    (BENCH_r06's spurious +20%)."""
+
+    def test_machine_conditions_shape(self):
+        import bench
+
+        cond = bench._machine_conditions()
+        assert cond["cpus"] >= 1
+        assert cond["loadavg"] is None or len(cond["loadavg"]) == 3
+        # procs_running parses on Linux; None-degradation is allowed
+        assert cond["procs_running"] is None or cond["procs_running"] >= 0
+
+    def test_stage_peak_degrades_without_ui(self, spark):
+        """The suite session has spark.ui.enabled=false: StagePeak must
+        degrade to None telemetry, never raise."""
+        import bench
+
+        peek = bench.StagePeak(spark)
+        assert peek.peak_since_last() is None
+
+    def test_stage_peak_monotone_watermark(self):
+        import bench
+
+        peek = bench.StagePeak.__new__(bench.StagePeak)
+        peek._base = "http://x"
+        peek._seen = -1
+        fetched = [
+            [{"stageId": 0, "peakExecutionMemory": 100},
+             {"stageId": 1, "peakExecutionMemory": 300}],
+            [{"stageId": 0, "peakExecutionMemory": 100},
+             {"stageId": 1, "peakExecutionMemory": 300},
+             {"stageId": 2, "peakExecutionMemory": 50}],
+        ]
+        peek._fetch = lambda url: fetched.pop(0)
+        assert peek.peak_since_last() == 300  # stages 0+1 are new
+        assert peek.peak_since_last() == 50   # only stage 2 is new
