@@ -10,6 +10,11 @@ then committed as the true final commit):
                                               [--skip-pytest]
 
 Steps (fail-fast, each prints PASS/FAIL):
+  0. git cleanliness: no uncommitted tracked .py files — the round-6
+     verdict caught the census certifying a tree older than the final
+     code commit because this script ran BEFORE the last commit; now it
+     refuses to certify a dirty tree, making "end_of_round is the final
+     step" machine-enforced instead of procedural;
   1. full `pytest tests/ -q` — the bar condition;
   2. regenerate PLAN_CENSUS.md (tools/plan_census.py) so the census
      certifies the code as committed;
@@ -18,7 +23,10 @@ Steps (fail-fast, each prints PASS/FAIL):
   4. sanity: census + fingerprints mtimes are >= the newest tracked
      .py file's mtime (nothing certified is stale).
 
-Exit code 0 only when every step passes.
+Exit code 0 only when every step passes. The artifacts this script
+writes (PLAN_CENSUS.md, COVERAGE.md, CHECKED_FINGERPRINTS.json) are
+then committed as the round's true final commit — nothing but those
+artifacts may land after it.
 """
 
 from __future__ import annotations
@@ -69,6 +77,33 @@ def _freshness() -> bool:
     return ok
 
 
+def _git_clean() -> bool:
+    """No uncommitted/untracked source files: the certification this
+    script produces must describe a committed tree. Artifact files the
+    script itself (re)writes are exempt."""
+    proc = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=_REPO_ROOT, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        print("== git cleanliness: FAIL (git status errored)")
+        return False
+    dirty = [
+        line
+        for line in proc.stdout.splitlines()
+        if line.strip()
+        and line[3:].split(" -> ")[-1].endswith((".py", ".md", ".ini"))
+        and not line[3:].startswith(
+            ("PLAN_CENSUS.md", "COVERAGE.md", "SCALE.md")
+        )
+    ]
+    ok = not dirty
+    print(f"== git cleanliness: {'PASS' if ok else 'FAIL'}")
+    for line in dirty:
+        print(f"   uncommitted: {line}")
+    return ok
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--window", type=int, default=50)
@@ -76,6 +111,11 @@ def main() -> int:
                     help="when a green full run already exists this "
                     "session (the step takes ~10 min)")
     args = ap.parse_args()
+
+    if not _git_clean():
+        print("== end_of_round: FAIL (commit all source changes first; "
+              "this script must certify a committed tree)")
+        return 1
 
     steps = []
     if not args.skip_pytest:
