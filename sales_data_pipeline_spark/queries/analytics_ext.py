@@ -1802,9 +1802,16 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct counts — the sketch twin of incremental_metrics_merge)",
     doc="Distinct users per event type computed three ways: exact, one "
     "global HLL sketch, and two per-batch sketches unioned with "
-    "hll_union_agg. Sketch union is associative and lossless over "
-    "sketches, so merged == global EXACTLY (emitted as a boolean the "
-    "tests assert) — which is what lets 100 TB of history keep a "
+    "hll_union_agg. merge_consistent asserts the merged estimate sits "
+    "within the sketch error envelope of the one-pass estimate "
+    "(5% of exact ≈ 3x the lgConfigK=12 rsd). NOT bit-equality: the "
+    "round-7 sf1 pin falsified the earlier merged==global claim — "
+    "DataSketches keeps the more accurate HIP estimator only for a "
+    "single update stream and falls back to the composite estimator "
+    "after a union, so once cardinality leaves the sparse-exact "
+    "regime (~>thousands at lgK=12) the two legitimately diverge by "
+    "~1 rsd while both stay inside the bound. That bounded-error "
+    "merge is still exactly what lets 100 TB of history keep a "
     "per-partition sketch and answer distinct-count queries by "
     "merging kilobytes instead of rescanning: the expand-based exact "
     "countDistinct rescans everything on every refresh.",
@@ -1832,9 +1839,10 @@ def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_sketch",
             "n_merged",
-            (F.col("n_sketch") == F.col("n_merged")).alias(
-                "merge_consistent"
-            ),
+            (
+                F.abs(F.col("n_sketch") - F.col("n_merged"))
+                <= F.col("n_exact") * F.lit(0.05)
+            ).alias("merge_consistent"),
         )
         .orderBy("event_type")
     )
