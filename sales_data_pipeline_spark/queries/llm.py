@@ -513,6 +513,109 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle(k: int = 8, dim: int = similarity.DIM) -> str:
+    """Mirror of similarity.kmeans_assign_one_iter + semdedup: the same
+    left-fold L2/cosine chains, the same integer-scaled mean update,
+    the same first-match argmin — bit-identical doubles end to end."""
+
+    def l2sq(vec: str, cent_of) -> str:
+        terms = " + ".join(
+            f"(CAST({vec}[{j + 1}] AS DOUBLE) - {cent_of(j)})"
+            f" * (CAST({vec}[{j + 1}] AS DOUBLE) - {cent_of(j)})"
+            for j in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    d0 = ", ".join(
+        l2sq("embedding", lambda j, c=c: f"CAST(s[{c + 1}][{j + 1}] AS DOUBLE)")
+        for c in range(k)
+    )
+    d1 = ", ".join(
+        l2sq("embedding", lambda j, c=c: f"CAST(cents[{c * dim + j + 1}] AS DOUBLE)")
+        for c in range(k)
+    )
+    return f"""
+        WITH {_EMB_CORPUS_SQL},
+        sp AS (
+          SELECT list(embedding ORDER BY vec_id) AS s
+          FROM (SELECT vec_id, embedding FROM corpus
+                ORDER BY vec_id LIMIT {k})
+        ),
+        dist0 AS (
+          SELECT vec_id, embedding, [{d0}] AS dl FROM corpus, sp
+        ),
+        a0 AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS c0
+          FROM dist0
+        ),
+        comps AS (
+          SELECT c0, u.pos AS pos,
+                 CAST(FLOOR(CAST(u.val AS DOUBLE) * 1000000
+                      + CASE WHEN u.val >= 0 THEN 0.5 ELSE -0.5 END)
+                   AS BIGINT) AS scaled
+          FROM a0,
+               LATERAL (SELECT unnest(embedding) AS val,
+                               generate_subscripts(embedding, 1) AS pos) u
+        ),
+        cent AS (
+          SELECT c0, pos,
+                 CAST(SUM(scaled) AS BIGINT) / 1000000.0 / COUNT(*) AS cval
+          FROM comps GROUP BY c0, pos
+        ),
+        cp AS (SELECT list(cval ORDER BY c0, pos) AS cents FROM cent),
+        dist1 AS (
+          SELECT vec_id, embedding, [{d1}] AS dl FROM a0, cp
+        ),
+        a1 AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER)
+                   AS cluster
+          FROM dist1
+        ),
+        prs AS (
+          SELECT b.vec_id AS vec_id,
+                 FLOOR({_sql_dot("a.embedding", "b.embedding")}
+                   / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")})
+                   * 10000 + 0.5) / 10000.0 AS cs
+          FROM a1 a JOIN a1 b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ),
+        best AS (SELECT vec_id, MAX(cs) AS best_sim FROM prs GROUP BY vec_id)
+        SELECT a1.vec_id, a1.cluster, best.best_sim,
+               COALESCE(best.best_sim >= 0.96, FALSE) AS is_dup
+        FROM a1 LEFT JOIN best USING (vec_id)
+    """
+
+
+@query(
+    "semantic_dedup_semdedup",
+    oracle=_semdedup_oracle(),
+    survey="LLM-ext: semantic dedup (SemDeDup — k-means cluster + "
+    "within-cluster cosine pruning; operators/similarity.py)",
+    doc="SemDeDup (Abbas et al. 2023) over the injected-duplicate "
+    "embedding corpus: one deterministic Lloyd iteration (Forgy init "
+    "from the k lowest-id vectors, exact integer-scaled mean update, "
+    "first-match argmin re-assign), then within-cluster cosine "
+    "pruning — a vector is a semantic duplicate when some lower-id "
+    "vector in its cluster reaches rounded cosine >= 0.96, so exactly "
+    "one representative survives per near-duplicate ball. Every "
+    "double matches the oracle bit-for-bit: L2/cosine are left-fold "
+    "chains, centroid means are integer-scaled sums (order-free), "
+    "and both argmin steps run against ONE-ROW packed centroid "
+    "arrays (global aggregates broadcast via the scalar-BNLJ cross "
+    "join — the k centroids never shuffle the vector side). The "
+    "within-cluster pair join is a plain shuffled equi-join on "
+    "cluster: the SemDeDup contract at 100 TB is that k grows with "
+    "the corpus, bounding per-cluster blocks.",
+    tags=("llm",),
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        _emb_corpus(spark, sf_dir), k=8, min_cosine=0.96
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -459,3 +459,59 @@ def test_compression_ratio_matches_zlib(spark):
         raw = r.text.encode("utf-8")
         comp = len(zlib.compress(raw, 6))
         assert got[r.doc_id] == (len(raw), comp, comp / len(raw))
+
+
+class TestSemDeDup:
+    """semantic_dedup_semdedup (round 7): one-Lloyd-iteration k-means +
+    within-cluster cosine pruning. Oracle parity is the driver's job;
+    these pin the SEMANTICS."""
+
+    def _run(self, spark, sf="/root/testdata/sf0.001"):
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        return load_all()["semantic_dedup_semdedup"].fn(spark, sf).collect()
+
+    def test_injected_exact_duplicates_flagged(self, spark):
+        """The corpus injects an exact copy of every vec_id%10 vector at
+        +100000: identical embeddings land in the same cluster with
+        cosine 1.0, so every injected copy must flag is_dup with
+        best_sim 1.0 — and its (lower-id) original must survive."""
+        rows = {r.vec_id: r for r in self._run(spark)}
+        originals = [i for i in rows if i < 100000 and i % 10 == 0]
+        assert originals
+        for i in originals:
+            dup = rows[i + 100000]
+            assert dup.is_dup and dup.best_sim == 1.0, dup
+            assert not rows[i].is_dup or rows[i].best_sim < 1.0 or (
+                # an original may itself be flagged only via some OTHER
+                # lower-id near-dup, never by its own copy (copy id is
+                # higher)
+                rows[i].vec_id > min(originals)
+            )
+
+    def test_cluster_count_and_coverage(self, spark):
+        rows = self._run(spark)
+        clusters = {r.cluster for r in rows}
+        assert clusters <= set(range(8))
+        # Forgy init: every cluster contains at least its seed, and one
+        # Lloyd step cannot empty a cluster below 1 member in this
+        # corpus; at minimum several clusters must be in use
+        assert len(clusters) >= 2
+        # one row per corpus vector
+        from sales_data_pipeline_spark.queries.base import table
+        from pyspark.sql import functions as F
+
+        e = table(spark, "/root/testdata/sf0.001", "embeddings")
+        n = e.count() + e.filter(F.col("vec_id") % 10 == 0).count()
+        assert len(rows) == n
+
+    def test_non_duplicates_unflagged(self, spark):
+        """Random 64-dim embeddings are near-orthogonal: no organic pair
+        should reach cosine 0.96, so the ONLY is_dup rows are the
+        injected copies."""
+        rows = self._run(spark)
+        flagged = {r.vec_id for r in rows if r.is_dup}
+        assert flagged == {
+            r.vec_id for r in rows
+            if r.vec_id >= 100000 and (r.vec_id - 100000) % 10 == 0
+        }
