@@ -109,14 +109,17 @@ def _rotated(
     ``tools/fingerprints.py record`` computed and stamped — fronting it
     keeps the driver's actual window equal to the stamped set), then
     _PRIORITY (force-recheck — even green rows, see the list's
-    comment), then FINGERPRINT-STALE green names (code, oracle, or a
-    referenced operator module changed since the row that certified
-    them) — OLDEST-driver-row first, so a shared-module edit that
-    fronts many queries at once (e.g. queries/base.py, tracked since
-    round 7) degrades into the aging order instead of an alphabetical
-    head — then unchecked (sorted), then fresh green last, also
-    OLDEST-driver-row first, so each round organically re-certifies the
-    stalest greens.
+    comment), then UNCHECKED names (never had a driver row — a newly
+    added query must be certified the round it lands, not starve
+    behind re-certifications; round 7's base.py tracking made the
+    whole catalog fingerprint-stale at once, which would otherwise
+    push new queries past the window), then FINGERPRINT-STALE green
+    names (code, oracle, or a referenced operator module changed since
+    the row that certified them) — OLDEST-driver-row first, so a
+    shared-module edit that fronts many queries at once degrades into
+    the aging order instead of an alphabetical head — then fresh green
+    last, also OLDEST-driver-row first, so each round organically
+    re-certifies the stalest greens.
 
     ``registry`` maps name -> QuerySpec (fingerprints need the fn +
     oracle, not just the name). ``checked_fps`` / ``committed_window``
@@ -153,18 +156,18 @@ def _rotated(
     _extend(sorted(failed))
     _extend(committed_window)
     _extend(_PRIORITY)
+    _extend(sorted(n for n in names if n not in green))
     _extend(
         sorted(
             (n for n in names if n in green and n in stale),
             key=lambda n: (rounds.get(n, -1), n),
         )
     )
-    mid = [n for n in sorted(names) if n not in green and n not in seen]
     tail = sorted(
         (n for n in names if n in green and n not in seen),
         key=lambda n: (rounds.get(n, -1), n),
     )
-    return head + mid + tail
+    return head + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:

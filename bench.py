@@ -142,6 +142,10 @@ HEADLINE = [
     # catalog sweep's one INVESTIGATE) — benched so the fixed shape
     # can't silently regress to the theta-join
     "fuzzy_name_match",
+    # round-7: SemDeDup (k-means + within-cluster cosine prune) — the
+    # newest heavyweight family; benched so the norm-precompute and
+    # scalar-BNLJ centroid plan can't silently regress
+    "semantic_dedup_semdedup",
 ]
 
 

@@ -103,19 +103,33 @@ class TestOrderedScan:
 
 class TestDriverWindowRotation:
     def test_unchecked_and_failed_queries_lead(self):
+        """Live-rotation invariants under the committed-window design:
+        latest-FAILED names lead everything; the COMMITTED WINDOW from
+        CHECKED_FINGERPRINTS.json (stamped green names the driver must
+        actually re-check) fronts verbatim next; and every UNCHECKED
+        name sorts before every green name outside that head — a new
+        query must be certified the round it lands, never starved
+        behind re-certifications."""
         import __spark_entry__ as e
+        from sales_data_pipeline_spark import fingerprints as fp
 
         names = list(e.queries())
         green, failed = e._driver_rows()
         assert green, "round-1 CORRECTNESS file should be present"
-        n_front = len([n for n in names if n not in green])
-        # every latest-failed / unchecked query sorts before every green one
-        assert all(n not in green for n in names[:n_front])
-        assert all(n in green for n in names[n_front:])
-        # a failed latest row re-fronts ahead of unchecked names
+        pos = {n: i for i, n in enumerate(names)}
+        head = set(fp.load_window(e._REPO_ROOT)) | set(e._PRIORITY)
+        # failed latest rows lead everything else
+        others = [pos[n] for n in names if n not in failed]
         for f in failed:
-            if f in names:
-                assert names.index(f) < n_front
+            if f in pos and others:
+                assert pos[f] < min(others)
+        unchecked = [n for n in names if n not in green and n not in failed]
+        greens_outside_head = [
+            pos[n] for n in names if n in green and n not in head
+            and n not in failed
+        ]
+        if unchecked and greens_outside_head:
+            assert max(pos[n] for n in unchecked) < min(greens_outside_head)
 
     def test_oracle_keys_subset_and_order(self):
         import __spark_entry__ as e

@@ -163,8 +163,10 @@ class TestRecordTool:
             fp, "load_checked", lambda root: dict(existing)
         )
         out = tmp_path / "CHECKED_FINGERPRINTS.json"
-        # window of 2: rotation = [qa (stale), qc (unchecked), qb] -> the
-        # driver will check qa and qc this round; qb keeps its stamp
+        # window of 2: rotation = [qc (unchecked — never-checked names
+        # front before re-certifications since round 7), qa (stale),
+        # qb] -> the driver will check qc and qa this round; qb keeps
+        # its stamp
         stamps = tool.record(
             window=2, also_stamp_green=False, out_path=str(out),
             registry=reg,
@@ -176,7 +178,7 @@ class TestRecordTool:
         assert data["stamps"] == dict(sorted(stamps.items()))
         # v2: the artifact carries the exact ordered window that was
         # stamped, so _rotated can front it verbatim at driver time
-        assert data["window"] == ["qa", "qc"]
+        assert data["window"] == ["qc", "qa"]
 
     def test_driver_window_equals_stamped_window(
         self, rows, tmp_path, monkeypatch
@@ -492,3 +494,21 @@ class TestStaleFrontAging:
         stamps = {n: stale_stamp for n in reg}
         order = entry_mod._rotated(reg, checked_fps=stamps)
         assert order == ["q_old", "q_mid", "q_new"]
+
+
+class TestUncheckedFrontsBeforeStale:
+    def test_new_query_beats_catalog_wide_staleness(self, rows):
+        """Round-7 regression guard: tracking queries/base.py made every
+        green query fingerprint-stale at once; a newly added (never
+        checked) query must still land inside the driver window instead
+        of starving behind ~200 re-certifications."""
+        reg = {
+            "q_new_query": _spec("q_new_query", _fn_c),  # never checked
+            "qa": _spec("qa", _fn_a),  # green, stale stamp
+            "qb": _spec("qb", _fn_b),  # green, stale stamp
+        }
+        rows(green=["qa", "qb"])
+        stale_stamp = fp.query_fingerprint(_spec("x", _fn_a2))
+        stamps = {"qa": stale_stamp, "qb": stale_stamp}
+        order = entry_mod._rotated(reg, checked_fps=stamps)
+        assert order[0] == "q_new_query"
