@@ -732,6 +732,11 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "narrow pass. No oracle: HLL register layouts differ per engine.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread_small_scan-wrapped (round-7 A/B): this query's serial
+    # portion is the file decode itself, which a repartition cannot
+    # parallelize — the added shuffle only cost time (2.1 -> 3.0 s).
+    # The spread pays off only when CPU-heavy per-row work (shingling,
+    # HOF folds, explodes) roots on the scan.
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")

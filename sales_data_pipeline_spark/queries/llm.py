@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.functions import text as tx
 from sales_data_pipeline_spark.operators import dedup, multimodal, similarity
-from sales_data_pipeline_spark.scale import gated_broadcast
+from sales_data_pipeline_spark.scale import (
+    gated_broadcast,
+    spread_small_scan,
+)
 from sales_data_pipeline_spark.queries.base import (
     det_round,
     query,
@@ -49,10 +52,13 @@ def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(NEAR_DUP_PAD)).alias("text"),
     )
     # the testdata is ONE small parquet file -> 1-2 scan partitions;
-    # spread the corpus so per-document work uses every core (a real
-    # corpus arrives in thousands of files and needs no help)
-    n = spark.sparkContext.defaultParallelism
-    return d.unionByName(exact).unionByName(near).repartition(n, "doc_id")
+    # spread the corpus so per-document work uses every core. GATED on
+    # the observed partition count (round 7): a real corpus arrives in
+    # thousands of splits, where an unconditional repartition would be
+    # a full-corpus shuffle for nothing.
+    return spread_small_scan(
+        d.unionByName(exact).unionByName(near), "doc_id"
+    )
 
 
 _DOCS_CORPUS_SQL = f"""
@@ -278,8 +284,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
     hashes = d.select(
         F.col("doc_id"), tx.content_hash(F.col("text")).alias("content_hash")
     )
@@ -1364,8 +1369,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
+    # gated spread: the deletion-neighborhood explode roots here
+    c = spread_small_scan(
+        table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        ),
+        "c_custkey",
     )
     name = F.col("c_name")
     del_keys = F.array_union(
@@ -1636,7 +1645,11 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def repetition_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # gated spread: two n-gram explode passes root on this scan
+    d = spread_small_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     w = F.split(F.trim(F.col("text")), r"\s+")
     sized = d.select(
         "doc_id", w.alias("w"), F.explode(F.array(F.lit(2), F.lit(5))).alias("n")
@@ -1852,7 +1865,12 @@ def _incremental_oracle() -> str:
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # gated spread: the block maps + gram sets on both sides root on
+    # this scan; one-file inputs serialized 3.5 s of the 6.6 s total
+    base = spread_small_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     near = base.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_DUP_PAD)).alias("text"),
@@ -3537,7 +3555,10 @@ def char_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # gated spread: the small-SF corpus is ONE file, which serialized
+    # both explode passes onto one core (3.1 s of the 3.9 s total);
+    # no-op at scale where the scan already has splits
+    d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
     bg_rows = dedup.shingle_rows(d, "doc_id", "text", 2)
     bgc_all = (
         bg_rows.select(

@@ -97,3 +97,34 @@ def gated_broadcast(
     if source_is_small(probe, limit):
         return F.broadcast(df)
     return df.hint("merge") if cached else df
+
+
+def spread_small_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-spread a scan-rooted frame across the cluster ONLY when its
+    physical plan has fewer partitions than the default parallelism.
+
+    The failure this gates (round-7 find, measured): a small-SF corpus
+    is ONE parquet file, so the scan stage has ONE partition and every
+    CPU-heavy per-row projection rooted on it — shingling, minhash
+    folds, tokenizing explodes — runs single-threaded no matter how
+    many cores exist (dedup_incremental_batch spent 3.5 s of its 6.6 s
+    in one such stage; token_bigram_pmi 3.1 s of 3.9 s). A blanket
+    ``repartition`` fixes the bench but is a catastrophic full-corpus
+    shuffle at 100 TB, where scans already arrive in thousands of
+    splits — so the spread is GATED on the observed partition count and
+    becomes a no-op exactly when the data is big enough not to need it.
+
+    The partition probe (``df.rdd.getNumPartitions()``) plans the frame
+    but launches no job. Keys make the placement deterministic (hash of
+    the id), not round-robin."""
+    sess = df.sparkSession
+    n = sess.sparkContext.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if parts >= min(n, 8):
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys]) if keys else (
+        df.repartition(n)
+    )

@@ -113,3 +113,26 @@ class TestCachedArm:
             assert "strategy=broadcast" not in txt
         finally:
             agg.unpersist()
+
+
+class TestSpreadSmallScan:
+    def test_spreads_single_file_scan(self, spark):
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        assert df.rdd.getNumPartitions() < 8  # precondition: tiny file
+        out = scale.spread_small_scan(df, "doc_id")
+        n = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == n
+        assert out.count() == df.count()
+
+    def test_noop_when_already_parallel(self, spark):
+        df = spark.range(1000).repartition(16)
+        out = scale.spread_small_scan(df, "id")
+        # gate: >= min(defaultParallelism, 8) partitions -> untouched
+        assert out is df
+
+    def test_keyless_spread(self, spark):
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = scale.spread_small_scan(df)
+        assert out.rdd.getNumPartitions() == (
+            spark.sparkContext.defaultParallelism
+        )
