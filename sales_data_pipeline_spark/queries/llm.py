@@ -78,7 +78,10 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    return e.unionByName(dup)
+    # gated spread (round 7): the one-file embeddings scan serialized
+    # the per-vector fold work (LSH buckets, k-means assignment) onto
+    # 1-2 cores; no-op at scale where the scan has splits
+    return spread_small_scan(e.unionByName(dup), "vec_id")
 
 
 _EMB_CORPUS_SQL = """
