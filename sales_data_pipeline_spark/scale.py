@@ -114,9 +114,15 @@ def spread_small_scan(df: DataFrame, *keys: str) -> DataFrame:
     splits — so the spread is GATED on the observed partition count and
     becomes a no-op exactly when the data is big enough not to need it.
 
-    The partition probe (``df.rdd.getNumPartitions()``) plans the frame
-    but launches no job. Keys make the placement deterministic (hash of
-    the id), not round-robin."""
+    PRECONDITION: call this on SCAN-ROOTED frames only (scan + narrow
+    projections/filters/unions, no shuffle upstream). The partition
+    probe (``df.rdd.getNumPartitions()``) plans such a frame without
+    launching a job — but under AQE, ``.rdd`` on a plan that CONTAINS a
+    shuffle materializes the intermediate query stages (runs real
+    jobs), so wrapping a post-shuffle frame would silently execute it
+    here. All current call sites are corpus/scan builders; keep it
+    that way. Keys make the placement deterministic (hash of the id),
+    not round-robin."""
     sess = df.sparkSession
     n = sess.sparkContext.defaultParallelism
     try:
