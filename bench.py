@@ -167,6 +167,10 @@ HEADLINE = [
     # newest heavyweight family; benched so the norm-precompute and
     # scalar-BNLJ centroid plan can't silently regress
     "semantic_dedup_semdedup",
+    # round-8: scaled-k hierarchical SemDeDup (the measured k ∝ corpus
+    # path) + its precision/recall eval vs injected ground truth
+    "semantic_dedup_scaled",
+    "semantic_dedup_eval",
 ]
 
 

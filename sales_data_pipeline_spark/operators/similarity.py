@@ -515,3 +515,239 @@ def semdedup(
             F.col("best_sim") >= F.lit(min_cosine), F.lit(False)
         ).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scaled-k SemDeDup: hierarchical one-Lloyd-per-level k-means so the
+# effective k GROWS with the corpus while per-vector assignment work
+# stays O(branch * depth) — the measured form of the "k ∝ corpus"
+# contract the flat operator documents.
+# ---------------------------------------------------------------------------
+
+
+def _argmin_cell(cells: Column, vec: Column, dim: int = DIM) -> Column:
+    """cid of the nearest centroid in a packed
+    array<struct<cid,cv>> column (first-match / lowest-cid tie-break,
+    the same semantics as the flat operator's array_position argmin).
+    HOF transform keeps the expression tree O(1) in the number of
+    centroids — the property that lets branch*depth replace an
+    unrolled k."""
+    d = F.transform(cells, lambda s: _fold_l2sq(vec, s["cv"], dim))
+    return F.element_at(
+        cells, F.array_position(d, F.array_min(d)).cast("int")
+    )["cid"]
+
+
+def _centroid_cells(
+    assigned: DataFrame,
+    cell_col: str,
+    vec_col: str,
+    branch: int,
+    scale: int,
+) -> DataFrame:
+    """Exact integer-scaled mean centroid per cell, re-packed per
+    PARENT cell as array<struct<cid,cv>> (sorted by cid, so the argmin
+    tie-break is deterministic). The component aggregation is the flat
+    operator's: micro-unit int64 partial sums (associative in any
+    shard order), then (sum / scale) / count as two double divisions —
+    bit-identical to the flat form and the oracle SQL.
+
+    Output size is k*dim values total (k = #occupied cells), collected
+    into k/branch parent rows — aggregate-sized at any corpus size;
+    the collect_list runs over k*dim rows, never over data rows."""
+    comp = assigned.select(
+        F.col(cell_col).alias("nc"),
+        F.posexplode(vec_col).alias("pos0", "val"),
+    ).select(
+        "nc",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(
+            F.col("val").cast("double") * scale
+            + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        )
+        .cast("long")
+        .alias("scaled"),
+    )
+    cent = comp.groupBy("nc", "pos").agg(
+        (F.sum("scaled") / float(scale) / F.count("*")).alias("cval")
+    )
+    vecs = cent.groupBy("nc").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cv")
+    )
+    return vecs.groupBy(
+        F.floor(F.col("nc") / branch).cast("long").alias("parent")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("nc").alias("cid"), "cv"))
+        ).alias("cells")
+    )
+
+
+def kmeans_assign_hierarchical(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    depth: int = 1,
+    branch: int = 8,
+    dim: int = DIM,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hierarchical one-Lloyd-iteration-per-level k-means: effective
+    k = branch**depth with per-vector work O(branch*depth*dim) — the
+    large-k assignment path (k unrolled as expressions, as in
+    kmeans_assign_one_iter, stops planning past a few dozen clusters).
+    Returns (id, vec, cluster) with cluster a long path id in
+    [0, branch**depth).
+
+    Level 0 is EXACTLY the flat operator's iteration — Forgy seeds from
+    the branch lowest-id vectors (distributed TakeOrderedAndProject),
+    assign, exact integer-scaled mean update, re-assign — so depth=1,
+    branch=k reproduces kmeans_assign_one_iter value-for-value (pinned
+    in tests/test_semdedup_scaled.py). Deeper levels split each cell
+    with one Lloyd iteration whose INIT is pmod(xxhash64(id), branch):
+    a per-cell lowest-id Forgy pick would need a per-cell top-b (a
+    window or collect over data rows — the thing this operator exists
+    to avoid at 100 TB), while hash-init is a pure projection; the
+    final assignment is still value-based (nearest updated centroid),
+    so identical vectors always co-locate regardless of init.
+
+    Shuffle shape per level: one (k*dim)-group integer aggregation +
+    one equi-join of the data against the k-row centroid table, packed
+    per PARENT cell (broadcast while small; a plain shuffled equi-join
+    on the parent cell once k*dim outgrows the hint — Catalyst/AQE
+    decides, nothing is forced). No window functions, no collect over
+    data rows, no cartesian: assignment cost is n*branch*depth folds,
+    i.e. O(n log n) when depth tracks log(corpus) — the measured
+    scale-check path (SCALE_CHECK_SF10_R8.json)."""
+    from sales_data_pipeline_spark.caching import scoped_persist
+
+    # ---- level 0: flat Forgy-by-lowest-id Lloyd iteration -----------
+    seeds_row = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(branch)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("i"),
+                            F.col(vec_col).alias("v"),
+                        )
+                    )
+                ),
+                lambda s, i: F.struct(
+                    i.cast("long").alias("cid"),
+                    s["v"].cast("array<double>").alias("cv"),
+                ),
+            ).alias("cells")
+        )
+    )
+    a0 = scoped_persist(
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(seeds_row))
+        .select(
+            id_col,
+            vec_col,
+            _argmin_cell(F.col("cells"), F.col(vec_col), dim).alias("nc"),
+        )
+    )
+    cents0 = _centroid_cells(a0, "nc", vec_col, branch, scale)
+    cur = (
+        a0.crossJoin(F.broadcast(cents0.select("cells")))
+        .select(
+            id_col,
+            vec_col,
+            _argmin_cell(F.col("cells"), F.col(vec_col), dim).alias(
+                "cell"
+            ),
+        )
+    )
+
+    # ---- levels 1..depth-1: hash-init Lloyd split of each cell ------
+    for _level in range(1, depth):
+        cur = scoped_persist(cur)
+        prelim = cur.withColumn(
+            "nc",
+            F.col("cell") * branch
+            + F.pmod(F.xxhash64(F.col(id_col)), F.lit(branch)),
+        )
+        cents = _centroid_cells(prelim, "nc", vec_col, branch, scale)
+        cur = cur.join(cents, cur["cell"] == cents["parent"]).select(
+            id_col,
+            vec_col,
+            _argmin_cell(F.col("cells"), F.col(vec_col), dim).alias(
+                "cell"
+            ),
+        )
+    return cur.select(id_col, vec_col, F.col("cell").alias("cluster"))
+
+
+def auto_depth(n: int, branch: int = 8, target: int = 400) -> int:
+    """Smallest depth whose branch**depth cells bound the mean cluster
+    at ~target vectors: ceil(log_branch(n / target)), min 1. This is
+    the 'k grows with the corpus' schedule — cluster size stays O(1)
+    in n, so the within-cluster pair join is O(n * target), linear."""
+    import math
+
+    if n <= target * branch:
+        return 1
+    return max(1, math.ceil(math.log(n / target) / math.log(branch)))
+
+
+def semdedup_scaled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    branch: int = 8,
+    target: int = 400,
+    depth: int | None = None,
+    min_cosine: float = 0.96,
+    dim: int = DIM,
+) -> DataFrame:
+    """SemDeDup with k ∝ corpus: hierarchical clustering at
+    depth = ceil(log_branch(n/target)) (one count() job to size the
+    corpus when depth is not given), then the flat operator's
+    within-cluster cosine pruning. Per-cluster blocks stay ~target
+    vectors at ANY corpus size, so the pair join is O(n*target) and
+    the assignment O(n*branch*depth) — the measured sub-quadratic form
+    of the contract semdedup's docstring states (flat k=8 keeps the
+    oracle-exact catalog semantics; this is the 100 TB execution
+    path). Output matches semdedup's: (id, cluster, best_sim, is_dup),
+    cluster as long."""
+    from sales_data_pipeline_spark.caching import scoped_persist
+
+    if depth is None:
+        depth = auto_depth(df.count(), branch, target)
+    assign = scoped_persist(
+        kmeans_assign_hierarchical(
+            df, id_col, vec_col, depth, branch, dim
+        ).withColumn("nrm", norm(F.col(vec_col), dim))
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cs = (
+        F.floor(
+            dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000.0
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"b.{id_col}").alias(id_col), cs.alias("cs"))
+    best = pairs.groupBy(id_col).agg(F.max("cs").alias("best_sim"))
+    return assign.join(best, id_col, "left").select(
+        id_col,
+        F.col("cluster").cast("long").alias("cluster"),
+        "best_sim",
+        F.coalesce(
+            F.col("best_sim") >= F.lit(min_cosine), F.lit(False)
+        ).alias("is_dup"),
+    )

@@ -521,10 +521,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(k: int = 8, dim: int = similarity.DIM) -> str:
-    """Mirror of similarity.kmeans_assign_one_iter + semdedup: the same
-    left-fold L2/cosine chains, the same integer-scaled mean update,
-    the same first-match argmin — bit-identical doubles end to end."""
+def _semdedup_ctes(
+    corpus_sql: str, k: int = 8, dim: int = similarity.DIM
+) -> str:
+    """The WITH-body of the SemDeDup oracle (corpus -> a1 -> best),
+    parameterized on the corpus CTE so the eval query can reuse the
+    identical clustering/pruning SQL over its injected-near-dup
+    corpus. Mirror of similarity.kmeans_assign_one_iter + semdedup:
+    the same left-fold L2/cosine chains, the same integer-scaled mean
+    update, the same first-match argmin — bit-identical doubles end
+    to end."""
 
     def l2sq(vec: str, cent_of) -> str:
         terms = " + ".join(
@@ -543,7 +549,7 @@ def _semdedup_oracle(k: int = 8, dim: int = similarity.DIM) -> str:
         for c in range(k)
     )
     return f"""
-        WITH {_EMB_CORPUS_SQL},
+        WITH {corpus_sql},
         sp AS (
           SELECT list(embedding ORDER BY vec_id) AS s
           FROM (SELECT vec_id, embedding FROM corpus
@@ -590,7 +596,25 @@ def _semdedup_oracle(k: int = 8, dim: int = similarity.DIM) -> str:
             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         ),
         best AS (SELECT vec_id, MAX(cs) AS best_sim FROM prs GROUP BY vec_id)
-        SELECT a1.vec_id, a1.cluster, best.best_sim,
+    """
+
+
+def _semdedup_oracle(
+    k: int = 8,
+    dim: int = similarity.DIM,
+    corpus_sql: str | None = None,
+    cluster_type: str = "INTEGER",
+) -> str:
+    """Full per-vector SemDeDup oracle. ``cluster_type`` lets the
+    scaled-k query (long path ids at depth > 1) keep a stable BIGINT
+    schema while the flat catalog query stays INTEGER."""
+    ctes = _semdedup_ctes(
+        corpus_sql if corpus_sql is not None else _EMB_CORPUS_SQL, k, dim
+    )
+    return f"""
+        {ctes}
+        SELECT a1.vec_id, CAST(a1.cluster AS {cluster_type}) AS cluster,
+               best.best_sim,
                COALESCE(best.best_sim >= 0.96, FALSE) AS is_dup
         FROM a1 LEFT JOIN best USING (vec_id)
     """
@@ -621,6 +645,148 @@ def _semdedup_oracle(k: int = 8, dim: int = similarity.DIM) -> str:
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         _emb_corpus(spark, sf_dir), k=8, min_cosine=0.96
+    )
+
+
+@query(
+    "semantic_dedup_scaled",
+    oracle=_semdedup_oracle(cluster_type="BIGINT"),
+    survey="LLM-ext: semantic dedup, scaled-k hierarchical form "
+    "(operators/similarity.py semdedup_scaled)",
+    doc="SemDeDup with k ∝ corpus: hierarchical one-Lloyd-per-level "
+    "k-means at depth = ceil(log8(n/400)) bounds clusters at ~400 "
+    "vectors at ANY corpus size, so the within-cluster pair join is "
+    "O(n*400) (linear) and assignment O(n*8*depth) (n log n) — the "
+    "measured execution path for the flat operator's documented "
+    "'k grows with the corpus' contract (SCALE_CHECK_SF10_R8.json). "
+    "At the driver's gate scale the corpus fits one level, where the "
+    "hierarchy provably REDUCES to the flat operator (level 0 is the "
+    "identical Forgy-by-lowest-id Lloyd iteration; equivalence pinned "
+    "value-for-value in tests/test_semdedup_scaled.py), so this oracle "
+    "is the flat k=8 SQL with a BIGINT cluster — deeper levels emit "
+    "long path ids, hence the stable BIGINT schema.",
+    tags=("llm",),
+)
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup_scaled(
+        _emb_corpus(spark, sf_dir), branch=8, target=400, min_cosine=0.96
+    )
+
+
+def _emb_eval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base embeddings + DETERMINISTIC near-duplicate injections for
+    semantic-dedup evaluation: every vec_id%5==0 vector gets a copy at
+    +300000 with each component j (1-based) shifted by
+    ((vec_id*31 + j*17) % 7 - 3) * 1e-4 — a perturbation small enough
+    that the pair's cosine stays >= 0.96 by construction, so the
+    injected ids ARE the ground-truth duplicate set."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + (
+                (F.col("vec_id") * 31 + (i + 1) * 17) % 7 - 3
+            ).cast("double")
+            * F.lit(0.0001),
+        ).alias("embedding"),
+    )
+    return spread_small_scan(base.unionByName(pert), "vec_id")
+
+
+_EMB_EVAL_CORPUS_SQL = f"""
+  corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 300000,
+           list_transform(generate_series(1, {similarity.DIM}),
+             j -> CAST(embedding[j] AS DOUBLE)
+                  + CAST((vec_id*31 + j*17) % 7 - 3 AS DOUBLE) * 0.0001)
+    FROM embeddings WHERE vec_id % 5 = 0
+  )
+"""
+
+
+@query(
+    "semantic_dedup_eval",
+    oracle=f"""
+        {_semdedup_ctes(_EMB_EVAL_CORPUS_SQL)},
+        flagged AS (
+          SELECT a1.vec_id
+          FROM a1 LEFT JOIN best USING (vec_id)
+          WHERE COALESCE(best.best_sim >= 0.96, FALSE)
+        ),
+        truth AS (
+          SELECT vec_id + 300000 AS vec_id
+          FROM embeddings WHERE vec_id % 5 = 0
+        ),
+        m AS (
+          SELECT
+            (SELECT count(*) FROM flagged) AS n_flagged,
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM flagged f
+             JOIN truth t ON f.vec_id = t.vec_id) AS tp
+        )
+        SELECT CAST(n_flagged AS BIGINT) AS n_flagged,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(tp AS BIGINT) AS tp,
+               FLOOR(tp * 1.0 / n_flagged * 10000 + 0.5) / 10000.0
+                 AS precision_vs_truth,
+               FLOOR(tp * 1.0 / n_truth * 10000 + 0.5) / 10000.0 AS recall
+        FROM m
+    """,
+    survey="LLM-ext: semantic dedup quality evaluation vs injected "
+    "ground truth (counterpart of dedup_minhash_eval)",
+    doc="Evaluation harness for SemDeDup: the eval corpus injects a "
+    "perturbed near-copy (+300000, per-component shift <= 3e-4, cosine "
+    ">= 0.96 by construction) for every vec_id%5==0 vector, then runs "
+    "the catalog's flat SemDeDup and scores its is_dup flags against "
+    "the injected id set — exact precision/recall, the "
+    "measure-your-dedup-before-trusting-it step. Same caveat as "
+    "dedup_minhash_eval: only injected ids count as true, so organic "
+    "near-dup pairs in the base corpus (none in this synthetic data) "
+    "would read as false positives. One full-outer join + one "
+    "aggregate row; no driver-side counts.",
+    tags=("llm",),
+)
+def semantic_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = similarity.semdedup(
+        _emb_eval_corpus(spark, sf_dir), k=8, min_cosine=0.96
+    )
+    flagged = res.filter(F.col("is_dup")).select("vec_id")
+    truth = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select((F.col("vec_id") + 300000).alias("vec_id"))
+    )
+    j = flagged.withColumn("in_f", F.lit(1)).join(
+        truth.withColumn("in_t", F.lit(1)), "vec_id", "full_outer"
+    )
+    m = j.agg(
+        F.sum("in_f").cast("long").alias("n_flagged"),
+        F.sum("in_t").cast("long").alias("n_truth"),
+        F.sum(F.col("in_f") * F.col("in_t")).cast("long").alias("tp"),
+    )
+    return m.select(
+        "n_flagged",
+        "n_truth",
+        "tp",
+        (
+            F.floor(
+                F.col("tp") * 1.0 / F.col("n_flagged") * 10000 + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("precision_vs_truth"),
+        (
+            F.floor(
+                F.col("tp") * 1.0 / F.col("n_truth") * 10000 + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall"),
     )
 
 

@@ -136,3 +136,28 @@ class TestSpreadSmallScan:
         assert out.rdd.getNumPartitions() == (
             spark.sparkContext.defaultParallelism
         )
+
+    def test_noop_for_multi_split_scan(self, spark, tmp_path):
+        """The big-data arm, on a SCAN-rooted frame (the helper's
+        documented precondition): a scan that already arrives in >= 8
+        splits must come back as the IDENTICAL object — no added
+        Exchange — so the bench-scale spread can never silently turn
+        into an unconditional full-corpus repartition at scale."""
+        path = str(tmp_path / "many_splits")
+        spark.range(0, 20000).selectExpr(
+            "id AS doc_id", "repeat('x', 64) AS text"
+        ).repartition(12).write.parquet(path)
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        try:
+            df = spark.read.parquet(path)
+            assert df.rdd.getNumPartitions() >= 8  # precondition
+            out = scale.spread_small_scan(df, "doc_id")
+            assert out is df
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", old_ocb)
