@@ -487,7 +487,24 @@ def _loop_checkpoint(df: DataFrame) -> DataFrame:
     by tests/test_round7_fixes.py. AQE is restored immediately after;
     the loop's other statements still plan adaptively. Nothing is lost
     on the checkpoint statement itself: it ends in a user-specified
-    repartition, which AQE must respect anyway."""
+    repartition, which AQE must respect anyway.
+
+    CONCURRENCY CAVEAT (round-8, advisor): the AQE toggle is a
+    session-GLOBAL conf flip — a query planned CONCURRENTLY on the
+    same SparkSession during the materialization window would plan
+    non-adaptively, and the restore can clobber a concurrent conf
+    change. The engine's execution model is single-threaded per
+    session (driver contract, bench, tests all serialize queries), so
+    this is safe here; a shared-session deployment should run
+    iterative loops on a dedicated ``spark.newSession()`` whose conf
+    changes don't leak.
+
+    Superseded RELIABLE checkpoint files are reclaimed by the
+    ContextCleaner only under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — set in
+    session._BASE_CONF (default false would strand one labels-sized
+    directory per loop round on the shared FS). localCheckpoint blocks
+    are cleaner-reclaimed unconditionally."""
     spark = df.sparkSession
     sc = spark.sparkContext
     old = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -593,9 +610,12 @@ def cluster_components(
         )
         new_labels = _loop_checkpoint(new_labels)
         label_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        # superseded rounds' checkpoint blocks are ContextCleaner-
-        # reclaimed on GC (unpersist() can't release checkpoints);
-        # dropping the reference is the release
+        # superseded rounds' checkpoints are ContextCleaner-reclaimed
+        # on GC (unpersist() can't release checkpoints) — dropping the
+        # reference is the release for localCheckpoint blocks always,
+        # and for reliable checkpoint FILES because _BASE_CONF sets
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true (the
+        # default false would strand one directory per round)
         labels = new_labels
         if label_sum == prev_sum:
             break

@@ -47,6 +47,14 @@ _BASE_CONF: dict[str, str] = {
     # OOM that left a py4j collect waiting forever). Sized for the
     # local test harness; cluster deployments override per executor.
     "spark.driver.memory": "8g",
+    # Reliable checkpoint FILES are only deleted by the ContextCleaner
+    # when this is true (default false!) — without it, every
+    # cluster_components round strands a labels/edges-sized checkpoint
+    # on the shared FS until app exit: unbounded disk growth on
+    # long-running apps. localCheckpoint blocks are cleaner-reclaimed
+    # regardless; this conf matters exactly on the cluster-with-
+    # checkpoint-dir posture the reliable branch targets.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

@@ -34,16 +34,38 @@ reason — anything else is a forced broadcast no optimizer can undo at
 100x, and the audit FAILS.
 
 Writes BROADCAST_AUDIT.json; exit 1 on any pass-2 finding.
-Run: PYTHONPATH=. python tools/broadcast_audit.py [sf10_dir] [sf001_dir]
+Run: PYTHONPATH=. python tools/broadcast_audit.py [census_dir] [sf001_dir]
+
+Round-8 honesty fix: the round-7 refresh ran against /tmp/sf1 but kept
+``sf10_dir`` / ``*_at_sf10`` field names — a mislabeled artifact. The
+census-scale field names are now scale-neutral, and the artifact
+carries a ``census_scale`` field DERIVED from the census directory's
+basename (asserted to look like an sf dir, never hand-written), so the
+label can't drift from the data again.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def census_scale_of(path: str) -> str:
+    """Scale label derived from (and asserted against) the census dir's
+    basename — 'sf10' for /tmp/sf10 — so the artifact can never claim a
+    scale other than the directory it actually read."""
+    base = os.path.basename(os.path.normpath(path))
+    m = re.fullmatch(r"sf([0-9.]+)", base)
+    if not m:
+        raise SystemExit(
+            f"census dir basename must be sf<N>, got {base!r} — the "
+            "artifact's census_scale field is derived from it"
+        )
+    return base
 
 
 def main() -> int:
@@ -54,8 +76,9 @@ def main() -> int:
     )
     from sales_data_pipeline_spark.session import build_session
 
-    sf10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+    census_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     sf001 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    census_scale = census_scale_of(census_dir)
     # full engine session: some query fns run scalar jobs at build time
     # (iterative-CC convergence, quality thresholds), which at sf10 need
     # the engine's memory/parallelism confs, not a toy session
@@ -70,9 +93,13 @@ def main() -> int:
     # ---- pass 1: physical census at 100x paths ----
     phys = {"bounded": 0, "keyed_agg": [], "estimate_adaptive": []}
     n_exchanges = 0
-    if os.path.isdir(sf10):
+    if os.path.isdir(census_dir):
         for name, spec in registry.items():
-            root = spec.fn(spark, sf10)._jdf.queryExecution().executedPlan()
+            root = (
+                spec.fn(spark, census_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+            )
             for node in pa.phys_walk(root):
                 if not node.nodeName().startswith("BroadcastExchange"):
                     continue
@@ -96,13 +123,15 @@ def main() -> int:
     forced, reviewed = pa.forced_hint_audit(spark, registry, sf001)
 
     summary = {
-        "sf10_dir": sf10 if os.path.isdir(sf10) else None,
+        "census_dir": census_dir if os.path.isdir(census_dir) else None,
+        "census_scale": census_scale,
         "queries_audited": len(registry),
-        "broadcast_exchanges_at_sf10": n_exchanges,
-        "bounded_scaling_broadcasts_at_sf10": phys["bounded"],
-        "keyed_agg_scaling_broadcasts_at_sf10": phys["keyed_agg"],
-        "estimate_adaptive_scaling_broadcasts_at_sf10":
+        "broadcast_exchanges_at_census_scale": n_exchanges,
+        "bounded_scaling_broadcasts": phys["bounded"],
+        "keyed_agg_scaling_broadcasts": phys["keyed_agg"],
+        "estimate_adaptive_scaling_broadcasts":
             len(phys["estimate_adaptive"]),
+        "hint_audit_scale": "sf0.01 (plan-only, gates forced shut)",
         "reviewed_domain_bounded_hints": reviewed,
         "forced_unbounded_scaling_hints": forced,
     }

@@ -21,12 +21,24 @@ Steps (fail-fast, each prints PASS/FAIL):
   3. record CHECKED_FINGERPRINTS.json (tools/fingerprints.py) so the
      driver window equals the stamped set;
   4. sanity: census + fingerprints mtimes are >= the newest tracked
-     .py file's mtime (nothing certified is stale).
+     .py file's mtime (nothing certified is stale);
+  5. peak-mem trend diff (round-8): compares BENCH_FULL.json's
+     per-query peak_mem against the previous round's committed version
+     and FAILS on any query whose peak grew > 2x at unchanged sf —
+     the broadcast/state blow-up detector the telemetry was built for.
 
 Exit code 0 only when every step passes. The artifacts this script
 writes (PLAN_CENSUS.md, COVERAGE.md, CHECKED_FINGERPRINTS.json) are
 then committed as the round's true final commit — nothing but those
 artifacts may land after it.
+
+Round-8 cleanliness tightening: the dirty-tree check now covers EVERY
+tracked file, not just .py/.md/.ini (round-7's README edit landed after
+the artifacts commit precisely because the filter was suffix-scoped),
+and SCALE.md lost its exemption (the script doesn't regenerate it, so
+an uncommitted SCALE.md edit was passing the committed-tree gate the
+step exists to enforce). Only the files this script itself (re)writes
+are exempt.
 """
 
 from __future__ import annotations
@@ -92,9 +104,10 @@ def _git_clean() -> bool:
         line
         for line in proc.stdout.splitlines()
         if line.strip()
-        and line[3:].split(" -> ")[-1].endswith((".py", ".md", ".ini"))
         and not line[3:].startswith(
-            ("PLAN_CENSUS.md", "COVERAGE.md", "SCALE.md")
+            # exactly the files this script (re)writes — exemptions
+            # must be earned by the script being their producer
+            ("PLAN_CENSUS.md", "COVERAGE.md", "CHECKED_FINGERPRINTS.json")
         )
     ]
     ok = not dirty
@@ -102,6 +115,109 @@ def _git_clean() -> bool:
     for line in dirty:
         print(f"   uncommitted: {line}")
     return ok
+
+
+PEAK_GROWTH_LIMIT = 2.0
+# ignore sub-16 MB peaks: tiny stages double from scheduling noise
+PEAK_NOISE_FLOOR = 16 << 20
+
+
+def peak_mem_regressions(
+    cur: dict,
+    prev: dict,
+    limit: float = PEAK_GROWTH_LIMIT,
+    floor: int = PEAK_NOISE_FLOOR,
+) -> list[dict]:
+    """Queries whose peak execution memory grew more than ``limit``x
+    between two BENCH_FULL.json artifacts at the SAME sf. Pure function
+    so tests/test_round8_fixes.py can pin the gate with a synthetic
+    regression. New queries (absent from prev) and sub-floor prior
+    peaks are skipped; an sf mismatch returns [] (not comparable)."""
+    if cur.get("sf") != prev.get("sf"):
+        return []
+    out: list[dict] = []
+    prev_pk = prev.get("peak_mem") or {}
+    for name, pk in sorted((cur.get("peak_mem") or {}).items()):
+        old = prev_pk.get(name)
+        if not isinstance(old, (int, float)) or old < floor:
+            continue
+        if not isinstance(pk, (int, float)):
+            continue
+        if pk > old * limit:
+            out.append(
+                {
+                    "query": name,
+                    "prev": int(old),
+                    "cur": int(pk),
+                    "ratio": round(pk / old, 2),
+                }
+            )
+    return out
+
+
+def _git_show(ref_path: str) -> str | None:
+    proc = subprocess.run(
+        ["git", "show", ref_path],
+        cwd=_REPO_ROOT, capture_output=True, text=True,
+    )
+    return proc.stdout if proc.returncode == 0 else None
+
+
+def _prev_bench_full() -> dict | None:
+    """The previous round's BENCH_FULL.json: the HEAD version when the
+    working file differs from it (sweep done, not yet committed), else
+    the second-most-recent committed version."""
+    import json
+
+    path = os.path.join(_REPO_ROOT, "BENCH_FULL.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        cur_text = f.read()
+    head_text = _git_show("HEAD:BENCH_FULL.json")
+    if head_text is not None and head_text != cur_text:
+        return json.loads(head_text)
+    log = subprocess.run(
+        ["git", "log", "-n", "2", "--format=%H", "--", "BENCH_FULL.json"],
+        cwd=_REPO_ROOT, capture_output=True, text=True,
+    )
+    shas = log.stdout.split()
+    if len(shas) < 2:
+        return None
+    prev_text = _git_show(f"{shas[1]}:BENCH_FULL.json")
+    return json.loads(prev_text) if prev_text else None
+
+
+def _peak_mem_trend() -> bool:
+    import json
+
+    path = os.path.join(_REPO_ROOT, "BENCH_FULL.json")
+    if not os.path.exists(path):
+        print("== peak-mem trend: SKIP (no BENCH_FULL.json)")
+        return True
+    with open(path) as f:
+        cur = json.load(f)
+    prev = _prev_bench_full()
+    if prev is None:
+        print("== peak-mem trend: SKIP (no prior committed sweep)")
+        return True
+    if cur.get("sf") != prev.get("sf"):
+        print(f"== peak-mem trend: SKIP (sf changed "
+              f"{prev.get('sf')} -> {cur.get('sf')})")
+        return True
+    bad = peak_mem_regressions(cur, prev)
+    if bad:
+        print("== peak-mem trend: FAIL — peaks grew >"
+              f"{PEAK_GROWTH_LIMIT}x at unchanged sf:")
+        print(f"   | query | prev MB | cur MB | ratio |")
+        for row in bad:
+            print(f"   | {row['query']} | {row['prev'] >> 20} "
+                  f"| {row['cur'] >> 20} | {row['ratio']}x |")
+        return False
+    n = len(cur.get("peak_mem") or {})
+    print(f"== peak-mem trend: PASS ({n} queries, no >"
+          f"{PEAK_GROWTH_LIMIT}x grower vs prior round)")
+    return True
 
 
 def main() -> int:
@@ -129,6 +245,7 @@ def main() -> int:
     ]
     ok = all(_run(label, cmd) for label, cmd in steps)
     ok = _freshness() and ok
+    ok = _peak_mem_trend() and ok
     print(f"== end_of_round: {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
