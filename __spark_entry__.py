@@ -30,7 +30,28 @@ if _REPO_ROOT not in sys.path:
 # organically. Keep this list as the escape hatch for changes neither
 # mechanism can see (e.g. testdata regeneration, driver-side compare
 # changes).
-_PRIORITY: list[str] = []
+_PRIORITY: list[str] = [
+    # Round-8: the similarity.py-touched family (module hash changed
+    # when the hierarchical scaled-k path landed). Their stamps drop
+    # with the edit, but their driver rows are YOUNG (r7), so the
+    # oldest-row-first stale front would queue them behind the
+    # never-stamped tail — front them explicitly so every
+    # round-touched query is re-certified in its own round.
+    "semantic_dedup_semdedup",
+    "knn_brute_force",
+    "knn_lsh_bucket",
+    "knn_ivf_probe",
+    "ivf_centroid_assign",
+    "embedding_cosine_histogram",
+    "embedding_norm_stats",
+    "embedding_pca_project",
+    "doc_fingerprints",
+    "incremental_metrics_merge",
+    # Round-8 aging straggler: the one r3-latest-row query the 38
+    # aging slots left behind (judge ask: post-r8, nothing older
+    # than r4).
+    "prefix_duplicate_groups",
+]
 
 
 def _latest_rows() -> dict[str, tuple[dict, int]]:
