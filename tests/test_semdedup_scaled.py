@@ -97,6 +97,55 @@ class TestAutoDepth:
             assert n / (8**d) <= 400 * 8
 
 
+class TestIncrementalProbe:
+    def test_multiprobe_recall_on_injected_near_dups(self, spark):
+        """The incremental probe's recall contract: with top-2
+        multi-probe, >= 99% of injected perturbed near-copies find
+        their stored original (one Lloyd half-step of label/centroid
+        drift can push a boundary original into the copy's 2nd-nearest
+        cluster; top-1 alone measured 90.4%). Fresh synthetic vectors
+        must overwhelmingly come back unique."""
+        from sales_data_pipeline_spark.queries.llm import (
+            semantic_dedup_incremental,
+        )
+
+        rows = semantic_dedup_incremental(spark, SF_DIR).collect()
+        near = [r for r in rows if r["vec_id"] < 500000]
+        fresh = [r for r in rows if r["vec_id"] >= 500000]
+        assert near and fresh
+        matched = [r for r in near if not r["is_unique"]]
+        assert len(matched) / len(near) >= 0.99
+        # every match points at a real stored id and clears the bar
+        for r in matched:
+            assert r["matched_base_id"] is not None
+            assert r["cos_sim"] >= 0.96
+        assert sum(1 for r in fresh if r["is_unique"]) == len(fresh)
+
+    def test_self_probe_matches_at_cosine_one(self, spark):
+        """Probing stored vectors against their own corpus: one output
+        row per batch vector, and every found match is the vector
+        itself (or an exact copy) at rounded cosine 1.0. NOT asserted
+        at 100%: the stored labels predate the re-derived means, so a
+        boundary vector's own label can sit outside its top-2 probe
+        clusters (the measured drift the operator docstring states) —
+        the contract is the >=90% top-2 floor, exact-1.0 matches, and
+        no duplicate output rows from the probe explode."""
+        from sales_data_pipeline_spark.queries.llm import _emb_corpus
+        from sales_data_pipeline_spark.operators.similarity import (
+            semdedup_incremental,
+        )
+
+        base = _emb_corpus(spark, SF_DIR)
+        batch = base.filter(F.col("vec_id") % 50 == 0)
+        n = batch.count()
+        out = semdedup_incremental(base, batch, k=8)
+        assert out.count() == n
+        assert out.select("vec_id").distinct().count() == n
+        matched = out.filter(~F.col("is_unique"))
+        assert matched.count() >= 0.9 * n
+        assert matched.filter(F.col("cos_sim") != 1.0).count() == 0
+
+
 class TestEvalCorpusContract:
     def test_injected_pairs_exceed_threshold(self, spark):
         """The eval corpus's perturbation (per-component shift <= 3e-4)
