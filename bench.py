@@ -174,6 +174,7 @@ HEADLINE = [
     "semantic_dedup_scaled",
     "semantic_dedup_eval",
     "semantic_dedup_incremental",
+    "semantic_dedup_incremental_scaled",
 ]
 
 

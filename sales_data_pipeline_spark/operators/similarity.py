@@ -526,6 +526,9 @@ def semdedup_incremental(
     min_cosine: float = 0.96,
     dim: int = DIM,
     scale: int = 1_000_000,
+    assign: DataFrame | None = None,
+    depth: int = 1,
+    branch: int | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup: probe an incoming embedding BATCH
     against a stored corpus without re-clustering the corpus — the
@@ -563,70 +566,142 @@ def semdedup_incremental(
     a plain hash equi-join on cluster (an OR-of-equalities condition
     would nest-loop), partition-prunable when the stored assignment is
     written partitioned by cluster; the best-match window partitions
-    by batch id (bounded groups — candidates within nprobe clusters)."""
+    by batch id (bounded groups — candidates within nprobe clusters).
+
+    ``assign`` overrides the stored clustering: pass
+    kmeans_assign_hierarchical's output (id, vec, cluster path id,
+    with matching ``depth``/``branch``) to probe a SCALED-k state —
+    with bounded clusters the probe cost is
+    O(batch * (2*branch*depth + nprobe*target)), linear in the corpus:
+    the 100 TB ingest path. The batch DESCENDS the hierarchy (beam-2:
+    both surviving parents' children score at the next level, ~2*branch
+    folds per level) against per-level centroid tables ROLLED UP from
+    the stored leaf sums — exact integer rollups, aggregate-sized at
+    every level, derived purely from the stored labels. A flat
+    all-k probe was measured 23x on 10x data at sf10 (k=4096: every
+    batch vector scored all 4096 centroids); the descent replaces it.
+    depth=1 (the default flat k=8 state) makes the descent one
+    all-siblings scoring round — identical values to a flat top-2
+    argmin, which is what keeps the k=8 DuckDB oracle valid."""
     from pyspark.sql import Window as W
 
     from sales_data_pipeline_spark.caching import scoped_persist
 
+    branch = branch if branch is not None else k
+    if assign is None:
+        assign = kmeans_assign_one_iter(base, id_col, vec_col, k, dim)
     assign = scoped_persist(
-        kmeans_assign_one_iter(base, id_col, vec_col, k, dim).withColumn(
-            "nrm", norm(F.col(vec_col), dim)
+        assign.withColumn("nrm", norm(F.col(vec_col), dim)).withColumn(
+            "cluster", F.col("cluster").cast("long")
         )
     )
-    comp = assign.select(
-        "cluster", F.posexplode(vec_col).alias("pos0", "val")
-    ).select(
-        "cluster",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(
-            F.col("val").cast("double") * scale
-            + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    # exact integer component sums per LEAF cluster, rolled up level by
+    # level (sums and counts add exactly; the per-level mean is the
+    # same (sum/scale)/count double pair the flat M-step computes)
+    leaf = (
+        assign.select(
+            F.col("cluster").alias("g"),
+            F.posexplode(vec_col).alias("pos0", "val"),
         )
-        .cast("long")
-        .alias("scaled"),
-    )
-    cent = comp.groupBy("cluster", "pos").agg(
-        (F.sum("scaled") / float(scale) / F.count("*")).alias("cval")
-    )
-    cents_row = cent.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("cluster", "pos", "cval"))),
-            lambda s: s["cval"],
-        ).alias("cents")
-    )
-    dq = F.array(
-        *[
-            _fold_l2sq(
-                F.col(vec_col),
-                F.slice(F.col("cents"), c * dim + 1, dim),
-                dim,
+        .select(
+            "g",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(
+                F.col("val").cast("double") * scale
+                + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(
+                    F.lit(-0.5)
+                )
             )
-            for c in range(k)
-        ]
-    )
-    p1 = F.array_position(dq, F.array_min(dq))
-    dl2 = F.concat(
-        F.slice(dq, F.lit(1), p1 - 1),
-        F.slice(dq, p1 + 1, F.lit(k) - p1),
-    )
-    p2r = F.array_position(dl2, F.array_min(dl2))
-    c2 = F.when(p2r >= p1, p2r + 1).otherwise(p2r) - 1
-    bq = (
-        batch.crossJoin(F.broadcast(cents_row))
-        .select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qvec"),
-            F.array(
-                (p1 - 1).cast("int"), c2.cast("int")
-            ).alias("probes"),
-            norm(F.col(vec_col), dim).alias("qnrm"),
+            .cast("long")
+            .alias("scaled"),
         )
-        .select(
+        .groupBy("g", "pos")
+        .agg(F.sum("scaled").alias("s"), F.count("*").alias("c"))
+    )
+    levels = {depth: leaf}
+    for lvl in range(depth - 1, 0, -1):
+        levels[lvl] = (
+            levels[lvl + 1]
+            .groupBy(
+                F.floor(F.col("g") / branch).cast("long").alias("g"),
+                "pos",
+            )
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        )
+
+    def _packed_cells(tbl: DataFrame) -> DataFrame:
+        vecs = tbl.groupBy("g").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("s") / float(scale) / F.col("c")).alias(
+                                "cval"
+                            ),
+                        )
+                    )
+                ),
+                lambda st: st["cval"],
+            ).alias("cv")
+        )
+        return vecs.groupBy(
+            F.floor(F.col("g") / branch).cast("long").alias("parent")
+        ).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("g").alias("cid"), "cv"))
+            ).alias("cells")
+        )
+
+    # beam-2 descent: at each level both surviving parents' children
+    # score (<= 2*branch candidate folds per batch vector), and the two
+    # best (distance, cid) pairs survive — struct sort breaks distance
+    # ties on the lower cid, matching the flat argmin's first-match
+    cur = batch.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col), dim).alias("qnrm"),
+        F.lit(0).cast("long").alias("parent"),
+    )
+    for lvl in range(1, depth + 1):
+        cells_l = _packed_cells(levels[lvl])
+        cand = cur.join(cells_l, "parent").select(
             "qid",
             "qvec",
             "qnrm",
-            F.explode("probes").alias("cluster"),
+            F.explode(
+                F.transform(
+                    F.col("cells"),
+                    lambda st: F.struct(
+                        _fold_l2sq(F.col("qvec"), st["cv"], dim).alias(
+                            "d"
+                        ),
+                        st["cid"].alias("cid"),
+                    ),
+                )
+            ).alias("pc"),
         )
+        cur = (
+            cand.groupBy("qid")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list("pc")), 1, 2
+                ).alias("t2"),
+                F.first("qvec").alias("qvec"),
+                F.first("qnrm").alias("qnrm"),
+            )
+            .select(
+                "qid",
+                "qvec",
+                "qnrm",
+                F.explode("t2").alias("e"),
+            )
+            .select(
+                "qid", "qvec", "qnrm", F.col("e.cid").alias("parent")
+            )
+        )
+    bq = cur.select(
+        "qid", "qvec", "qnrm", F.col("parent").alias("cluster")
     )
     cs = (
         F.floor(

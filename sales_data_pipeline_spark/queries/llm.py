@@ -920,6 +920,17 @@ def semantic_dedup_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     base = _emb_corpus(spark, sf_dir)
+    batch = _semdedup_probe_batch(spark, sf_dir)
+    return similarity.semdedup_incremental(
+        base, batch, k=8, min_cosine=0.96
+    )
+
+
+def _semdedup_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-probe batch both incremental queries share:
+    perturbed near-dups of vec_id%4 at +400000 (SQL mirror
+    _SQL_PERTURB) plus genuinely fresh deterministic vectors of
+    vec_id%9 at +500000."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     near = e.filter(F.col("vec_id") % 4 == 0).select(
         (F.col("vec_id") + 400000).alias("vec_id"),
@@ -935,9 +946,41 @@ def semantic_dedup_incremental(
             / 10.0,
         ).alias("embedding"),
     )
-    batch = spread_small_scan(near.unionByName(fresh), "vec_id")
+    return spread_small_scan(near.unionByName(fresh), "vec_id")
+
+
+@query(
+    "semantic_dedup_incremental_scaled",
+    oracle=_semdedup_incr_oracle(),
+    survey="LLM-ext: incremental semantic dedup over the SCALED-k "
+    "hierarchical state — the linear 100 TB ingest path",
+    doc="The same incremental probe composed with the scaled-k stored "
+    "state: the corpus clusters via the auto-depth hierarchy "
+    "(bounded ~400-vector cells at any size), so the batch probe "
+    "costs O(batch * 2 * 400) — LINEAR in the corpus, vs the flat "
+    "k=8 state's corpus/8-sized clusters (the fixed-k trade "
+    "semantic_dedup_incremental documents). The probe pipeline is "
+    "generic in k: one packed array<struct<cid,cv>> centroid row "
+    "(HOF argmin, expression tree O(1) in k), top-2 multi-probe, "
+    "hash equi-join on cluster. At the driver's gate scale the "
+    "auto-depth hierarchy provably equals the flat k=8 clustering "
+    "(pinned equivalence), so this certifies against the SAME DuckDB "
+    "oracle as semantic_dedup_incremental while running genuinely "
+    "hierarchical at sf1+ (SCALE_CHECK_SF10_R8.json measures the "
+    "linear ingest ratio).",
+    tags=("llm",),
+)
+def semantic_dedup_incremental_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _emb_corpus(spark, sf_dir)
+    batch = _semdedup_probe_batch(spark, sf_dir)
+    depth = similarity.auto_depth(base.count(), branch=8, target=400)
+    stored = similarity.kmeans_assign_hierarchical(
+        base, depth=depth, branch=8
+    )
     return similarity.semdedup_incremental(
-        base, batch, k=8, min_cosine=0.96
+        base, batch, min_cosine=0.96, assign=stored, depth=depth, branch=8
     )
 
 

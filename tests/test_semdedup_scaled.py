@@ -146,6 +146,30 @@ class TestIncrementalProbe:
         assert matched.filter(F.col("cos_sim") != 1.0).count() == 0
 
 
+class TestIncrementalScaledComposition:
+    def test_equals_flat_incremental_at_one_level(self, spark):
+        """semantic_dedup_incremental_scaled reduces EXACTLY to the
+        flat incremental query when the auto-depth hierarchy fits one
+        level — the equivalence that lets both certify against the
+        same DuckDB oracle at the driver's gate scale."""
+        from sales_data_pipeline_spark.queries.llm import (
+            semantic_dedup_incremental,
+            semantic_dedup_incremental_scaled,
+        )
+
+        flat = sorted(
+            tuple(r)
+            for r in semantic_dedup_incremental(spark, SF_DIR).collect()
+        )
+        hier = sorted(
+            tuple(r)
+            for r in semantic_dedup_incremental_scaled(
+                spark, SF_DIR
+            ).collect()
+        )
+        assert flat == hier
+
+
 class TestEvalCorpusContract:
     def test_injected_pairs_exceed_threshold(self, spark):
         """The eval corpus's perturbation (per-component shift <= 3e-4)
