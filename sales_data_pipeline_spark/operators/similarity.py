@@ -629,8 +629,8 @@ def semdedup_incremental(
             .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
         )
 
-    def _packed_cells(tbl: DataFrame) -> DataFrame:
-        vecs = tbl.groupBy("g").agg(
+    def _cell_vecs(tbl: DataFrame) -> DataFrame:
+        return tbl.groupBy("g").agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(
@@ -645,12 +645,20 @@ def semdedup_incremental(
                 lambda st: st["cval"],
             ).alias("cv")
         )
-        return vecs.groupBy(
+
+    _cells_struct = F.struct(F.col("g").alias("cid"), "cv")
+
+    def _packed_cells(tbl: DataFrame) -> DataFrame:
+        return _cell_vecs(tbl).groupBy(
             F.floor(F.col("g") / branch).cast("long").alias("parent")
-        ).agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("g").alias("cid"), "cv"))
-            ).alias("cells")
+        ).agg(F.array_sort(F.collect_list(_cells_struct)).alias("cells"))
+
+    def _packed_cells_root(tbl: DataFrame) -> DataFrame:
+        # level 1 has exactly one parent (the root): pack via a GLOBAL
+        # aggregate so the scalar-BNLJ build is the sanctioned
+        # one-row-global-agg shape the plan gate certifies
+        return _cell_vecs(tbl).agg(
+            F.array_sort(F.collect_list(_cells_struct)).alias("cells")
         )
 
     # beam-2 descent: at each level both surviving parents' children
@@ -661,11 +669,21 @@ def semdedup_incremental(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col), dim).alias("qnrm"),
-        F.lit(0).cast("long").alias("parent"),
     )
     for lvl in range(1, depth + 1):
-        cells_l = _packed_cells(levels[lvl])
-        cand = cur.join(cells_l, "parent").select(
+        if lvl == 1:
+            # level 1 has exactly ONE parent (the root), so the cells
+            # pack as a one-row GLOBAL aggregate and join via the
+            # sanctioned scalar-BNLJ cross join. (An equi-join on a
+            # LITERAL parent column constant-folds to TRUE and plans a
+            # BNLJ whose build side is the scaling BATCH union — the
+            # exact shape the plan gate rejects.)
+            joined = cur.crossJoin(
+                F.broadcast(_packed_cells_root(levels[1]))
+            )
+        else:
+            joined = cur.join(_packed_cells(levels[lvl]), "parent")
+        cand = joined.select(
             "qid",
             "qvec",
             "qnrm",
