@@ -31,26 +31,19 @@ if _REPO_ROOT not in sys.path:
 # mechanism can see (e.g. testdata regeneration, driver-side compare
 # changes).
 _PRIORITY: list[str] = [
-    # Round-8: the similarity.py-touched family (module hash changed
-    # when the hierarchical scaled-k path landed). Their stamps drop
-    # with the edit, but their driver rows are YOUNG (r7), so the
-    # oldest-row-first stale front would queue them behind the
-    # never-stamped tail — front them explicitly so every
-    # round-touched query is re-certified in its own round.
-    "semantic_dedup_semdedup",
-    "knn_brute_force",
-    "knn_lsh_bucket",
-    "knn_ivf_probe",
-    "ivf_centroid_assign",
-    "embedding_cosine_histogram",
-    "embedding_norm_stats",
-    "embedding_pca_project",
-    "doc_fingerprints",
-    "incremental_metrics_merge",
-    # Round-8 aging straggler: the one r3-latest-row query the 38
-    # aging slots left behind (judge ask: post-r8, nothing older
-    # than r4).
-    "prefix_duplicate_groups",
+    # EMPTY for round 9. The round-8 entries all received green r8
+    # rows; the round-9 rotation fix removed the two levers that made
+    # manual entries necessary: (a) UNCHECKED names now front BEFORE
+    # the committed window, so a newly added query can never be
+    # starved by a stale stamp file again (the round-8 failure mode);
+    # (b) the green tail is one merged bucket ordered by driver-row
+    # AGE first (staleness only breaks ties within a round), so a
+    # stamped-but-old row (prefix_duplicate_groups, r3) fronts ahead
+    # of younger unstamped rows instead of behind ~140 of them.
+    # Round-9's similarity.py edits are docstring/guard-only; the
+    # family's r8 rows are young, so it is deliberately left to age
+    # organically rather than burn ~10 of the 46 aging slots the
+    # judge asked to spend on the r3/r4 tail.
 ]
 
 
@@ -125,22 +118,32 @@ def _rotated(
     checked_fps: dict[str, str] | None = None,
     committed_window: list[str] | None = None,
 ):
-    """Driver-window ordering: latest-failed first, then the COMMITTED
-    WINDOW from CHECKED_FINGERPRINTS.json verbatim (the exact head
-    ``tools/fingerprints.py record`` computed and stamped — fronting it
-    keeps the driver's actual window equal to the stamped set), then
-    _PRIORITY (force-recheck — even green rows, see the list's
-    comment), then UNCHECKED names (never had a driver row — a newly
-    added query must be certified the round it lands, not starve
-    behind re-certifications; round 7's base.py tracking made the
-    whole catalog fingerprint-stale at once, which would otherwise
-    push new queries past the window), then FINGERPRINT-STALE green
-    names (code, oracle, or a referenced operator module changed since
-    the row that certified them) — OLDEST-driver-row first, so a
-    shared-module edit that fronts many queries at once degrades into
-    the aging order instead of an alphabetical head — then fresh green
-    last, also OLDEST-driver-row first, so each round organically
-    re-certifies the stalest greens.
+    """Driver-window ordering: latest-failed first, then UNCHECKED
+    names (never had a driver row). Unchecked fronts BEFORE the
+    committed window — round 8 proved the old order is a replay trap:
+    a stale CHECKED_FINGERPRINTS.json window (recorded before the new
+    queries existed) exactly filled the driver's 50 slots and starved
+    the round's own additions for a full round. A newly added query
+    must be certified the round it lands, unconditionally — even when
+    the stamp file predates it. Then the COMMITTED WINDOW from
+    CHECKED_FINGERPRINTS.json verbatim (the exact head
+    ``tools/fingerprints.py record`` computed and stamped — fronting
+    it keeps the driver's actual window equal to the stamped set; at
+    steady state unchecked names are already inside it, so the
+    reorder only matters when the registry grew after the record),
+    then _PRIORITY (force-recheck — even green rows, see the list's
+    comment), then ALL remaining green names in one merged bucket
+    ordered by driver-row AGE (oldest round first), with
+    FINGERPRINT-STALE names (code, oracle, or a referenced module
+    changed since the row that certified them) ahead of
+    fresh-stamped ones only WITHIN the same round. Age-primary
+    replaced the old stale-bucket-first order in round 9: with most
+    of the catalog never stamped, "stale" was uninformative, and a
+    stamped-but-r3 row (whose green is three rounds of code drift
+    old) sat behind ~140 younger unstamped rows — the
+    prefix_duplicate_groups starvation. A green row's
+    trustworthiness decays with age regardless of stamps; staleness
+    still wins ties inside an age cohort.
 
     ``registry`` maps name -> QuerySpec (fingerprints need the fn +
     oracle, not just the name). ``checked_fps`` / ``committed_window``
@@ -175,18 +178,12 @@ def _rotated(
                 seen.add(n)
 
     _extend(sorted(failed))
+    _extend(sorted(n for n in names if n not in green and n not in failed))
     _extend(committed_window)
     _extend(_PRIORITY)
-    _extend(sorted(n for n in names if n not in green))
-    _extend(
-        sorted(
-            (n for n in names if n in green and n in stale),
-            key=lambda n: (rounds.get(n, -1), n),
-        )
-    )
     tail = sorted(
         (n for n in names if n in green and n not in seen),
-        key=lambda n: (rounds.get(n, -1), n),
+        key=lambda n: (rounds.get(n, -1), n not in stale, n),
     )
     return head + tail
 

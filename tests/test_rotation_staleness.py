@@ -496,6 +496,85 @@ class TestStaleFrontAging:
         assert order == ["q_old", "q_mid", "q_new"]
 
 
+class TestUncheckedBeatsStaleCommittedWindow:
+    """Round-9 structural fix for the round-8 replay loop: the committed
+    CHECKED_FINGERPRINTS window (recorded BEFORE new queries existed)
+    exactly filled the driver's 50 slots, so the round's own additions
+    were never driver-checked. Unchecked names now front before the
+    committed window unconditionally."""
+
+    def test_new_query_lands_in_window_despite_full_stale_window(
+        self, rows, monkeypatch
+    ):
+        """The judge's done-condition verbatim: registry = stamps + one
+        new name, a full 50-name committed window -> the new name must
+        place INSIDE the top-50."""
+        old_names = [f"q{i:02d}" for i in range(50)]
+        reg = {n: _spec(n, _fn_a) for n in old_names}
+        reg["q_added_after_record"] = _spec("q_added_after_record", _fn_c)
+        rows(green=old_names)
+        monkeypatch.setattr(
+            entry_mod, "_row_rounds", lambda: {n: 7 for n in old_names}
+        )
+        stamps = {n: fp.query_fingerprint(reg[n]) for n in old_names}
+        order = entry_mod._rotated(
+            reg, checked_fps=stamps, committed_window=list(old_names)
+        )
+        assert "q_added_after_record" in order[:50]
+        # stronger: it leads the window (nothing failed), and the
+        # committed window still follows verbatim after it
+        assert order[0] == "q_added_after_record"
+        assert order[1:51] == old_names
+
+    def test_failed_still_beats_unchecked(self, rows):
+        reg = {
+            "q_failed": _spec("q_failed", _fn_a),
+            "q_new": _spec("q_new", _fn_c),
+        }
+        rows(green=[], failed=["q_failed"])
+        order = entry_mod._rotated(reg, checked_fps={}, committed_window=[])
+        assert order == ["q_failed", "q_new"]
+
+
+class TestGreenTailAgePrimary:
+    """Round-9: the green tail is ONE bucket ordered by driver-row age;
+    fingerprint staleness only breaks ties within a round. With most of
+    the catalog never stamped, the old stale-bucket-first order let a
+    stamped r3 row (prefix_duplicate_groups) starve behind ~140 younger
+    unstamped rows for two consecutive rounds."""
+
+    def test_fresh_old_row_beats_stale_young_row(self, rows, monkeypatch):
+        reg = {
+            "q_old_fresh": _spec("q_old_fresh", _fn_a),  # r3, stamp matches
+            "q_young_stale": _spec("q_young_stale", _fn_b),  # r6, no stamp
+        }
+        rows(green=list(reg))
+        monkeypatch.setattr(
+            entry_mod,
+            "_row_rounds",
+            lambda: {"q_old_fresh": 3, "q_young_stale": 6},
+        )
+        stamps = {"q_old_fresh": fp.query_fingerprint(reg["q_old_fresh"])}
+        order = entry_mod._rotated(reg, checked_fps=stamps)
+        assert order == ["q_old_fresh", "q_young_stale"]
+
+    def test_stale_wins_tie_within_same_round(self, rows, monkeypatch):
+        reg = {
+            "q_a_fresh": _spec("q_a_fresh", _fn_a),
+            "q_z_stale": _spec("q_z_stale", _fn_b),
+        }
+        rows(green=list(reg))
+        monkeypatch.setattr(
+            entry_mod,
+            "_row_rounds",
+            lambda: {"q_a_fresh": 5, "q_z_stale": 5},
+        )
+        stamps = {"q_a_fresh": fp.query_fingerprint(reg["q_a_fresh"])}
+        order = entry_mod._rotated(reg, checked_fps=stamps)
+        # same round: the stale one fronts despite sorting later by name
+        assert order == ["q_z_stale", "q_a_fresh"]
+
+
 class TestUncheckedFrontsBeforeStale:
     def test_new_query_beats_catalog_wide_staleness(self, rows):
         """Round-7 regression guard: tracking queries/base.py made every
