@@ -568,6 +568,18 @@ def semdedup_incremental(
     written partitioned by cluster; the best-match window partitions
     by batch id (bounded groups — candidates within nprobe clusters).
 
+    FLAT-k CAVEAT (same trade the flat ``semdedup`` documents, same
+    resolution): with the default k=8 stored state, each probed
+    cluster holds ~corpus/8 members, so the per-batch-vector compare
+    cost GROWS with the corpus — fine as the oracle fixture the
+    catalog certifies cell-exact against DuckDB, wrong as the ingest
+    path at scale. The production path is the ``assign`` override
+    below with a hierarchical scaled-k state (catalog query
+    ``semantic_dedup_incremental_scaled``), whose bounded ~400-vector
+    cells keep the probe linear in the corpus — measured 1.3x wall on
+    10x data (SCALE_CHECK_SF10_R8.json), exactly as ``semdedup``
+    names ``semdedup_scaled`` as its 100 TB execution path.
+
     ``assign`` overrides the stored clustering: pass
     kmeans_assign_hierarchical's output (id, vec, cluster path id,
     with matching ``depth``/``branch``) to probe a SCALED-k state —

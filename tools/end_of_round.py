@@ -117,6 +117,39 @@ def _git_clean() -> bool:
     return ok
 
 
+def _broadcast_audit_coverage() -> bool:
+    """BROADCAST_AUDIT.json freshness (round-9 advisor): nothing gated
+    the audit's coverage the way PLAN_CENSUS/CHECKED_FINGERPRINTS are
+    gated, so round 8's audit (193 queries) silently excluded the two
+    incremental queries registered after it ran. The audit itself is a
+    long sf10 run this script shouldn't launch, but its ``queries_
+    audited`` must equal the current registry — fail and name the tool
+    to re-run otherwise."""
+    import json
+
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    path = os.path.join(_REPO_ROOT, "BROADCAST_AUDIT.json")
+    if not os.path.exists(path):
+        print("== broadcast-audit coverage: FAIL (no BROADCAST_AUDIT.json)")
+        return False
+    with open(path) as f:
+        audited = json.load(f).get("queries_audited")
+    # the audit skips streaming-tagged queries by design; mirror its
+    # exact filter (tools/broadcast_audit.py: `"streaming" not in tags`)
+    reg = load_all()
+    eligible = sum(1 for s in reg.values() if "streaming" not in s.tags)
+    ok = audited == eligible
+    print(
+        f"== broadcast-audit coverage: {'PASS' if ok else 'FAIL'} "
+        f"(audited {audited}, eligible non-streaming {eligible}"
+        + ("" if ok else " — re-run PYTHONPATH=. python "
+           "tools/broadcast_audit.py")
+        + ")"
+    )
+    return ok
+
+
 PEAK_GROWTH_LIMIT = 2.0
 # ignore sub-16 MB peaks: tiny stages double from scheduling noise
 PEAK_NOISE_FLOOR = 16 << 20
@@ -242,9 +275,16 @@ def main() -> int:
         ("coverage doc", [sys.executable, "gen_coverage.py"]),
         ("fingerprints", [sys.executable, "tools/fingerprints.py",
                           "record", "--window", str(args.window)]),
+        # registry-growth tripwire (round-9, judge ask #8): fails when a
+        # registered query has neither a driver row nor a slot in the
+        # window just recorded — the round-8 "new query never certified"
+        # state becomes a commit-time failure instead of a judging find
+        ("registry tripwire", [sys.executable, "tools/fingerprints.py",
+                               "check"]),
     ]
     ok = all(_run(label, cmd) for label, cmd in steps)
     ok = _freshness() and ok
+    ok = _broadcast_audit_coverage() and ok
     ok = _peak_mem_trend() and ok
     print(f"== end_of_round: {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1

@@ -88,12 +88,47 @@ def record(
     return stamps
 
 
+def check(registry: dict | None = None) -> list[str]:
+    """Registry-growth tripwire (round-9, judge ask #8): names that have
+    NEVER had a driver CORRECTNESS row and are NOT in the committed
+    window — i.e. queries the upcoming driver run will not certify.
+
+    Round 8 shipped exactly this state (4 new queries behind a stale
+    full window) and it surfaced only at judging. After a fresh
+    ``record`` the list is empty by construction (unchecked names front
+    before the committed window since round 9), so a non-empty result
+    means the registry grew after the last record. Returns the offending
+    names; the CLI and tools/end_of_round.py fail on any."""
+    import __spark_entry__ as entry_mod
+    from sales_data_pipeline_spark import fingerprints as fp
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    if registry is None:
+        registry = load_all()
+    window = set(fp.load_window(_REPO_ROOT))
+    with_rows = set(entry_mod._row_rounds())
+    return sorted(
+        n for n in registry if n not in with_rows and n not in window
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("cmd", choices=["record"])
+    ap.add_argument("cmd", choices=["record", "check"])
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument("--also-stamp-green", action="store_true")
     args = ap.parse_args()
+    if args.cmd == "check":
+        missing = check()
+        if missing:
+            print(
+                "FAIL: registry grew since the last record — these "
+                "queries have no driver row and no window slot: "
+                + ", ".join(missing)
+            )
+            raise SystemExit(1)
+        print("OK: every registered query has a driver row or a window slot")
+        return
     stamps = record(args.window, args.also_stamp_green)
     print(f"recorded {len(stamps)} fingerprints")
 
