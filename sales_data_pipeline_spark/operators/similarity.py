@@ -1003,3 +1003,71 @@ def semdedup_scaled(
             F.col("best_sim") >= F.lit(min_cosine), F.lit(False)
         ).alias("is_dup"),
     )
+
+
+def cluster_cohesion(
+    assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-cluster cohesion metrics over a (id, vec, cluster)
+    assignment: each vector's rounded (4 dp) cosine to its OWN
+    cluster's centroid — the measure-your-clustering-before-trusting-
+    your-semantic-dedup step (SemDeDup prunes within clusters, so a
+    low-cohesion cluster is where its recall dies). Returns one row
+    per cluster: (cluster, n_vectors, mean_cohesion, min_cohesion).
+
+    LINEAR, unlike the within-cluster pair join: one posexplode
+    aggregate re-derives the exact integer-scaled mean centroids from
+    the labels (k*dim rows — aggregate-sized at any corpus size, the
+    same derivation semdedup_incremental's stored state uses), one
+    hash equi-join puts each vector next to its k-row centroid table
+    (Catalyst broadcasts the agg side from stats; nothing forced), one
+    partial-agg groupBy. Cross-engine determinism: the per-vector
+    cosine rounds to an INTEGER 1e4 grid before aggregating, so the
+    per-cluster sums are order-free int64 math and the mean is two
+    IEEE divisions of identical integers on both engines."""
+    comp = assign.select(
+        F.col("cluster").alias("nc"),
+        F.posexplode(vec_col).alias("pos0", "val"),
+    ).select(
+        "nc",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(
+            F.col("val").cast("double") * scale
+            + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        )
+        .cast("long")
+        .alias("scaled"),
+    )
+    cent = comp.groupBy("nc", "pos").agg(
+        (F.sum("scaled") / float(scale) / F.count("*")).alias("cval")
+    )
+    centv = cent.groupBy("nc").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cv")
+    )
+    css = (
+        F.floor(
+            dot(F.col(vec_col), F.col("cv"), dim)
+            / (norm(F.col(vec_col), dim) * norm(F.col("cv"), dim))
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("css")
+    )
+    scored = assign.join(
+        centv, assign["cluster"] == centv["nc"]
+    ).select(F.col("cluster").cast("int").alias("cluster"), css)
+    return scored.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum("css").cast("long") / 10000.0 / F.count("*")).alias(
+            "mean_cohesion"
+        ),
+        (F.min("css") / 10000.0).alias("min_cohesion"),
+    )

@@ -1041,6 +1041,180 @@ def semantic_dedup_incremental_scaled(
     )
 
 
+@query(
+    "semantic_cluster_cohesion",
+    oracle=f"""
+        {_semdedup_ctes(_EMB_CORPUS_SQL)},
+        comps3 AS (
+          SELECT cluster, u.pos AS pos,
+                 CAST(FLOOR(CAST(u.val AS DOUBLE) * 1000000
+                      + CASE WHEN u.val >= 0 THEN 0.5 ELSE -0.5 END)
+                   AS BIGINT) AS scaled
+          FROM a1,
+               LATERAL (SELECT unnest(embedding) AS val,
+                               generate_subscripts(embedding, 1) AS pos) u
+        ),
+        cent3 AS (
+          SELECT cluster, pos,
+                 CAST(SUM(scaled) AS BIGINT) / 1000000.0 / COUNT(*) AS cval
+          FROM comps3 GROUP BY cluster, pos
+        ),
+        centv AS (
+          SELECT cluster, list(cval ORDER BY pos) AS cv
+          FROM cent3 GROUP BY cluster
+        ),
+        cosr AS (
+          SELECT a1.cluster AS cluster,
+                 CAST(FLOOR({_sql_dot("a1.embedding", "centv.cv")}
+                   / ({_sql_norm("a1.embedding")} * {_sql_norm("centv.cv")})
+                   * 10000 + 0.5) AS BIGINT) AS css
+          FROM a1 JOIN centv USING (cluster)
+        )
+        SELECT CAST(cluster AS INTEGER) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(css) AS BIGINT) / 10000.0 / COUNT(*)
+                 AS mean_cohesion,
+               MIN(css) / 10000.0 AS min_cohesion
+        FROM cosr GROUP BY cluster
+    """,
+    survey="LLM-ext: semantic clustering quality — per-cluster "
+    "cosine-to-centroid cohesion (operators/similarity.py "
+    "cluster_cohesion)",
+    doc="Measure-the-clustering step for the SemDeDup family: each "
+    "vector's rounded cosine to its OWN cluster's re-derived "
+    "exact-integer-mean centroid, aggregated per cluster as "
+    "(n_vectors, mean_cohesion, min_cohesion). A low-cohesion "
+    "cluster is where within-cluster dedup recall dies, so this is "
+    "the health metric to watch before trusting semantic_dedup_* "
+    "output. LINEAR (no pair join): centroid re-derivation is the "
+    "k*dim-row aggregate the incremental probe already uses, the "
+    "vector-to-centroid join is a hash equi-join on cluster against "
+    "a k-row agg (Catalyst broadcasts from stats, nothing forced), "
+    "and the cosine rounds to an integer 1e4 grid BEFORE summing so "
+    "the per-cluster mean is order-free integer math + two IEEE "
+    "divisions — identical doubles on both engines.",
+    tags=("llm",),
+)
+def semantic_cluster_cohesion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    assign = similarity.kmeans_assign_one_iter(
+        _emb_corpus(spark, sf_dir), k=8
+    )
+    return similarity.cluster_cohesion(assign)
+
+
+@query(
+    "incremental_token_quantiles",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id % 8 AS shard,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        state AS (
+          SELECT shard, CAST(n_tokens // 32 AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY shard, n_tokens // 32
+        ),
+        merged AS (
+          SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM state GROUP BY bin
+        ),
+        cum AS (
+          SELECT bin, cnt,
+                 CAST(SUM(cnt) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM merged
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM merged)
+        SELECT MAX(n_docs) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               SUM(CASE WHEN cum >= CAST(CEIL(0.5 * n_docs) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(0.5 * n_docs) AS BIGINT)
+                        THEN CAST(bin * 32 AS DOUBLE)
+                             + CAST(32 * (CAST(CEIL(0.5 * n_docs) AS BIGINT)
+                                          - cum + cnt) AS DOUBLE)
+                               / CAST(cnt AS DOUBLE) END) AS p50_est,
+               SUM(CASE WHEN cum >= CAST(CEIL(0.9 * n_docs) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(0.9 * n_docs) AS BIGINT)
+                        THEN CAST(bin * 32 AS DOUBLE)
+                             + CAST(32 * (CAST(CEIL(0.9 * n_docs) AS BIGINT)
+                                          - cum + cnt) AS DOUBLE)
+                               / CAST(cnt AS DOUBLE) END) AS p90_est,
+               SUM(CASE WHEN cum >= CAST(CEIL(0.99 * n_docs) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(0.99 * n_docs) AS BIGINT)
+                        THEN CAST(bin * 32 AS DOUBLE)
+                             + CAST(32 * (CAST(CEIL(0.99 * n_docs) AS BIGINT)
+                                          - cum + cnt) AS DOUBLE)
+                               / CAST(cnt AS DOUBLE) END) AS p99_est
+        FROM cum, tot
+    """,
+    survey="§2.4/I1-I4 extension (mergeable quantile state: "
+    "histogram-sketch percentiles — the quantile twin of "
+    "incremental_distinct_sketch)",
+    doc="Token-length percentiles (p50/p90/p99) from a MERGEABLE "
+    "fixed-width histogram state instead of a global sort: per-shard "
+    "(doc_id%8 stands in for the ingest batch) bin counts are the "
+    "stored state — kilobytes per shard, additive under union — and "
+    "a merge is groupBy(bin).sum, after which each percentile is one "
+    "linear interpolation inside its target bin. The exact-percentile "
+    "alternative re-sorts the corpus on every refresh; at 100 TB the "
+    "sketch path aggregates (shards x bins) rows and never shuffles "
+    "documents. Both engines interpolate the SAME integers (bin "
+    "edges, counts, CEIL'd target ranks), so the estimate matches "
+    "bit-for-bit — unlike approx_percentile's engine-specific GK "
+    "internals, which is why this is the certifiable sketch. The "
+    "cumulative window runs over the merged bin table (bounded by "
+    "max_tokens/32 rows, never data rows); the one-row totals ride "
+    "the sanctioned scalar-BNLJ cross join.",
+    tags=("llm",),
+)
+def incremental_token_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    state = toks.groupBy(
+        "shard", (F.col("n_tokens") / 32).cast("long").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    merged = state.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    tot = merged.agg(F.sum("cnt").cast("long").alias("n_docs"))
+    qrow = cum.crossJoin(F.broadcast(tot))
+
+    def est(q: float, name: str):
+        target = F.ceil(F.lit(q) * F.col("n_docs")).cast("long")
+        hit = (F.col("cum") >= target) & (
+            F.col("cum") - F.col("cnt") < target
+        )
+        e = (F.col("bin") * 32).cast("double") + (
+            32 * (target - F.col("cum") + F.col("cnt"))
+        ).cast("double") / F.col("cnt").cast("double")
+        return F.sum(F.when(hit, e)).alias(name)
+
+    return qrow.agg(
+        F.max("n_docs").alias("n_docs"),
+        F.count("*").alias("n_bins"),
+        est(0.5, "p50_est"),
+        est(0.9, "p90_est"),
+        est(0.99, "p99_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -515,3 +515,94 @@ class TestSemDeDup:
             r.vec_id for r in rows
             if r.vec_id >= 100000 and (r.vec_id - 100000) % 10 == 0
         }
+
+
+class TestClusterCohesion:
+    """Round-9 semantic_cluster_cohesion: linear cosine-to-centroid
+    quality metric over the k-means assignment (oracle-certified; these
+    pin the semantics the hash can't show)."""
+
+    def _run(self, spark):
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        reg = load_all()
+        return reg["semantic_cluster_cohesion"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+
+    def test_covers_corpus_and_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from sales_data_pipeline_spark.queries.base import table
+
+        rows = self._run(spark)
+        e = table(spark, "/root/testdata/sf0.001", "embeddings")
+        n = e.count() + e.filter(F.col("vec_id") % 10 == 0).count()
+        assert sum(r.n_vectors for r in rows) == n
+        for r in rows:
+            # cosine is in [-1, 1]; the mean sits between min and 1
+            assert -1.0 <= r.min_cohesion <= r.mean_cohesion <= 1.0
+
+    def test_clusters_cohere_better_than_random(self, spark):
+        """Vectors are nearer their own centroid than a random 64-dim
+        direction would be: mean cohesion must be clearly positive in
+        every cluster (near-orthogonal corpus baseline ~0)."""
+        rows = self._run(spark)
+        assert rows and all(r.mean_cohesion > 0.05 for r in rows)
+
+
+class TestIncrementalTokenQuantiles:
+    """Round-9 mergeable histogram-state percentiles: the sketch must
+    track the exact sorted percentiles within one 32-token bin."""
+
+    def test_within_one_bin_of_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from sales_data_pipeline_spark.queries.base import load_all, table
+
+        reg = load_all()
+        row = reg["incremental_token_quantiles"].fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()[0]
+        toks = sorted(
+            table(spark, "/root/testdata/sf0.01", "documents")
+            .select(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+            )
+            .rdd.map(lambda r: r.n)
+            .collect()
+        )
+        n = len(toks)
+        assert row.n_docs == n
+        for q, est in (
+            (0.5, row.p50_est),
+            (0.9, row.p90_est),
+            (0.99, row.p99_est),
+        ):
+            exact = toks[min(n - 1, max(0, math.ceil(q * n) - 1))]
+            assert abs(est - exact) <= 32, (q, est, exact)
+
+    def test_state_is_mergeable(self, spark):
+        """Doubling the shard count must not change the merged result —
+        the additive-state property that lets per-batch histograms
+        union at 100 TB."""
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        reg = load_all()
+        spec = reg["incremental_token_quantiles"]
+        base = spec.fn(spark, "/root/testdata/sf0.01").collect()[0]
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.01/documents.parquet'"
+            )
+            resharded = spec.oracle.replace("doc_id % 8", "doc_id % 16")
+            alt = con.execute(resharded).fetchone()
+        finally:
+            con.close()
+        assert (base.p50_est, base.p90_est, base.p99_est) == (
+            alt[2], alt[3], alt[4],
+        )
