@@ -175,6 +175,10 @@ HEADLINE = [
     "semantic_dedup_eval",
     "semantic_dedup_incremental",
     "semantic_dedup_incremental_scaled",
+    # round-9: clustering-quality metric (linear cosine-to-centroid)
+    # and mergeable histogram-state percentiles
+    "semantic_cluster_cohesion",
+    "incremental_token_quantiles",
 ]
 
 
