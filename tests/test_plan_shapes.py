@@ -251,11 +251,16 @@ class TestNoGlobalWindows:
     #   rolling_zscore_anomaly  — same per-day aggregate spine
     #   revenue_mom_growth      — per-month aggregate spine
     #   hybrid_search_rrf       — both rankers sit on limit(50) results
+    #   incremental_token_quantiles — cumulative window runs over the
+    #                             MERGED histogram-bin table (bounded
+    #                             by max_tokens/bin_width rows, an
+    #                             aggregate spine — never data rows)
     BOUNDED_INPUT_OK: set[str] = {
         "ewma_daily_revenue",
         "rolling_zscore_anomaly",
         "revenue_mom_growth",
         "hybrid_search_rrf",
+        "incremental_token_quantiles",
     }
 
     def test_catalog_free_of_unbounded_global_windows(self, spark):
