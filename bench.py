@@ -175,10 +175,13 @@ HEADLINE = [
     "semantic_dedup_eval",
     "semantic_dedup_incremental",
     "semantic_dedup_incremental_scaled",
-    # round-9: clustering-quality metric (linear cosine-to-centroid)
-    # and mergeable histogram-state percentiles
+    # round-9: clustering-quality metric (linear cosine-to-centroid),
+    # mergeable histogram-state percentiles, and the ingest stream —
+    # semantic dedup as a real foreachBatch run against stored state
+    # (4 sequential micro-batches, hence the family's heaviest)
     "semantic_cluster_cohesion",
     "incremental_token_quantiles",
+    "streaming_semantic_dedup",
 ]
 
 

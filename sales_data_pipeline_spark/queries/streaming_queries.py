@@ -559,3 +559,92 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_events").cast("long").alias("n_events"),
         (F.col("cents") / 100.0).alias("total_value"),
     )
+
+
+@query(
+    "streaming_semantic_dedup",
+    # identical final table to semantic_dedup_incremental: per-vector
+    # results depend ONLY on (vector, stored state), so micro-batch
+    # boundaries cannot change them — the same SQL certifies both
+    oracle=None,  # set below: llm._semdedup_incr_oracle() (late import
+    # keeps the llm module decoration-order-independent)
+    survey="streaming-ext: semantic dedup as a real ingest stream "
+    "(foreachBatch probe against stored cluster state)",
+    doc="The 100 TB ingest shape the incremental semantic dedup "
+    "documents, run as an ACTUAL Structured Streaming job: the stored "
+    "corpus cluster state (labels from the flat k=8 one-Lloyd k-means "
+    "— the oracle fixture; production swaps in the hierarchical "
+    "scaled-k state exactly as semantic_dedup_incremental_scaled "
+    "does) is materialized to parquet ONCE, then the incoming vector "
+    "batch is staged as multiple files and streamed with "
+    "maxFilesPerTrigger=1 under Trigger.AvailableNow, so the run "
+    "really processes several micro-batches. Each micro-batch probes "
+    "the STORED state via operators/similarity.semdedup_incremental "
+    "(top-2 multi-probe, hash equi-join on cluster, best-match "
+    "window) and APPENDS its per-vector verdicts — append IS the "
+    "correct upsert because each vector's verdict depends only on the "
+    "vector and the stored state, never on batchmates, which is also "
+    "why the final table equals the one-shot batch query and the SAME "
+    "DuckDB oracle certifies both: the streaming run is a MEASURED "
+    "proof of micro-batch-boundary invariance. State never touches "
+    "the driver; the per-batch probe is the same bounded-join plan "
+    "the batch twin audits.",
+    tags=("streaming", "llm"),
+)
+def streaming_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from sales_data_pipeline_spark.operators import similarity
+    from sales_data_pipeline_spark.queries.llm import (
+        _emb_corpus,
+        _semdedup_probe_batch,
+    )
+
+    work = tempfile.mkdtemp(prefix="sem_stream_")
+    # stored state: the corpus assignment production persists between
+    # batches (re-derived centroids come from these labels per batch)
+    similarity.kmeans_assign_one_iter(
+        _emb_corpus(spark, sf_dir), k=8
+    ).write.parquet(f"{work}/state")
+    stored = spark.read.parquet(f"{work}/state")
+    batch = _semdedup_probe_batch(spark, sf_dir)
+    stage = f"{work}/stage"
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+    batch.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def probe_batch(mb: DataFrame, _epoch: int) -> None:
+        similarity.semdedup_incremental(
+            stored, mb, k=8, min_cosine=0.96, assign=stored
+        ).write.mode("append").parquet(f"{work}/verdicts")
+
+    with ingest.bounded_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{work}/verdicts")
+
+
+# late-bind the oracle: the final table is row-identical to
+# semantic_dedup_incremental's (batch-boundary invariance, see doc),
+# so the streaming run certifies against the same SQL
+def _bind_streaming_semdedup_oracle() -> None:
+    from sales_data_pipeline_spark.queries import llm
+    from sales_data_pipeline_spark.queries.base import REGISTRY
+
+    REGISTRY["streaming_semantic_dedup"].oracle = (
+        llm._semdedup_incr_oracle()
+    )
+
+
+_bind_streaming_semdedup_oracle()
