@@ -572,23 +572,27 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     "(foreachBatch probe against stored cluster state)",
     doc="The 100 TB ingest shape the incremental semantic dedup "
     "documents, run as an ACTUAL Structured Streaming job: the stored "
-    "corpus cluster state (labels from the flat k=8 one-Lloyd k-means "
-    "— the oracle fixture; production swaps in the hierarchical "
-    "scaled-k state exactly as semantic_dedup_incremental_scaled "
-    "does) is materialized to parquet ONCE, then the incoming vector "
-    "batch is staged as multiple files and streamed with "
-    "maxFilesPerTrigger=1 under Trigger.AvailableNow, so the run "
-    "really processes several micro-batches. Each micro-batch probes "
-    "the STORED state via operators/similarity.semdedup_incremental "
-    "(top-2 multi-probe, hash equi-join on cluster, best-match "
-    "window) and APPENDS its per-vector verdicts — append IS the "
-    "correct upsert because each vector's verdict depends only on the "
-    "vector and the stored state, never on batchmates, which is also "
-    "why the final table equals the one-shot batch query and the SAME "
-    "DuckDB oracle certifies both: the streaming run is a MEASURED "
-    "proof of micro-batch-boundary invariance. State never touches "
-    "the driver; the per-batch probe is the same bounded-join plan "
-    "the batch twin audits.",
+    "corpus cluster state — the SCALED hierarchical assignment at "
+    "auto_depth, the production state semantic_dedup_incremental_"
+    "scaled uses, whose bounded ~400-vector cells keep every "
+    "micro-batch's probe LINEAR in the corpus (a flat k=8 state makes "
+    "per-batch cost grow with corpus/8-sized clusters — the fixture "
+    "trade its twin documents) — is materialized to parquet ONCE, "
+    "then the incoming vector batch is staged as multiple files and "
+    "streamed with maxFilesPerTrigger=1 under Trigger.AvailableNow, "
+    "so the run really processes several micro-batches. Each "
+    "micro-batch probes the STORED state via operators/similarity."
+    "semdedup_incremental (beam-2 hierarchical descent, top-2 "
+    "multi-probe, hash equi-join on cluster, best-match window) and "
+    "APPENDS its per-vector verdicts — append IS the correct upsert "
+    "because each vector's verdict depends only on the vector and the "
+    "stored state, never on batchmates, which is also why the final "
+    "table equals the one-shot batch query and the SAME DuckDB oracle "
+    "certifies both (at the certification scale auto_depth==1, where "
+    "the hierarchy provably equals the flat k=8 clustering — the "
+    "pinned equivalence _incremental_scaled certifies through): the "
+    "streaming run is a MEASURED proof of micro-batch-boundary "
+    "invariance. State never touches the driver.",
     tags=("streaming", "llm"),
 )
 def streaming_semantic_dedup(
@@ -599,14 +603,23 @@ def streaming_semantic_dedup(
     from sales_data_pipeline_spark.operators import similarity
     from sales_data_pipeline_spark.queries.llm import (
         _emb_corpus,
+        _flat_oracle_depth_guard,
         _semdedup_probe_batch,
     )
 
     work = tempfile.mkdtemp(prefix="sem_stream_")
-    # stored state: the corpus assignment production persists between
-    # batches (re-derived centroids come from these labels per batch)
-    similarity.kmeans_assign_one_iter(
-        _emb_corpus(spark, sf_dir), k=8
+    # stored state: the SCALED hierarchical assignment production
+    # persists between batches (per-level centroids re-derive from
+    # these labels per micro-batch); auto_depth==1 at the driver's
+    # certification scale, where it provably equals the flat k=8
+    # clustering the shared oracle encodes (llm._flat_oracle_depth_
+    # guard logs the same warning there when a run outgrows that)
+    base = _emb_corpus(spark, sf_dir)
+    depth = _flat_oracle_depth_guard(
+        "streaming_semantic_dedup", base.count(), branch=8, target=400
+    )
+    similarity.kmeans_assign_hierarchical(
+        base, depth=depth, branch=8
     ).write.parquet(f"{work}/state")
     stored = spark.read.parquet(f"{work}/state")
     batch = _semdedup_probe_batch(spark, sf_dir)
@@ -621,7 +634,8 @@ def streaming_semantic_dedup(
 
     def probe_batch(mb: DataFrame, _epoch: int) -> None:
         similarity.semdedup_incremental(
-            stored, mb, k=8, min_cosine=0.96, assign=stored
+            stored, mb, min_cosine=0.96, assign=stored,
+            depth=depth, branch=8,
         ).write.mode("append").parquet(f"{work}/verdicts")
 
     with ingest.bounded_state_partitions(spark):
