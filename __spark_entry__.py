@@ -44,6 +44,14 @@ _PRIORITY: list[str] = [
     # family's r8 rows are young, so it is deliberately left to age
     # organically rather than burn ~10 of the 46 aging slots the
     # judge asked to spend on the r3/r4 tail.
+    #
+    # One exception: gapfill_daily_revenue's round-9 edit is
+    # PLAN-BEARING (its F.broadcast(spine) hint on the preserved side
+    # of the left join was silently dropped by Spark; the hint is now
+    # removed and AQE broadcasts the bounded daily agg instead), and
+    # its driver row is young (r8) — front it so the round-touched
+    # plan is re-certified in its own round.
+    "gapfill_daily_revenue",
 ]
 
 

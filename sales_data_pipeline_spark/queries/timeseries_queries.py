@@ -191,11 +191,14 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode + left join — densifies sparse daily aggregates)",
     doc="Daily revenue over a fixed two-month window, zero-filled on "
     "days with no orders. The calendar spine is generated engine-side "
-    "(sequence -> explode from a 1-row seed: ~60 rows, broadcast), so "
-    "gap detection never depends on which days happen to have data — "
-    "the classic time-series densification every dashboard needs. At "
+    "(sequence -> explode from a 1-row seed: ~60 rows), so gap "
+    "detection never depends on which days happen to have data — the "
+    "classic time-series densification every dashboard needs. At "
     "100 TB the daily aggregate is one partial-agg shuffle; the spine "
-    "join is a broadcast of the spine, costing nothing.",
+    "join is UNHINTED (a preserved left side cannot be "
+    "build-broadcast — Spark drops such a hint with a WARN), and "
+    "Catalyst/AQE broadcasts the calendar-bounded daily agg "
+    "(<= 60 rows at any sf) from stats.",
     tags=("timeseries",),
 )
 def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,8 +221,16 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day")
     )
+    # NO broadcast hint: the spine is the PRESERVED side of the left
+    # join, and Spark cannot build-broadcast a preserved side — the
+    # old F.broadcast(spine) hint was silently dropped with a
+    # HintErrorLogger WARN (round-9 find). The join is left unhinted:
+    # `daily` is a calendar-bounded keyed agg (<= 60 rows at ANY sf,
+    # the date filter bounds the key space), so Catalyst/AQE
+    # broadcasts it from stats, which is the plan the hint was
+    # wrongly trying to force.
     return (
-        F.broadcast(spine)
+        spine
         .join(daily, "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
