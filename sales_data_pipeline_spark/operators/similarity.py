@@ -517,6 +517,42 @@ def semdedup(
     )
 
 
+def semdedup_state_sums(
+    assign: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact integer-scaled per-cluster component sums ``(g, pos, s,
+    c)`` over a stored assignment — the storable CENTROID half of the
+    incremental-dedup state. k*dim rows total (aggregate-sized at any
+    corpus size), and sums/counts add exactly, so upper-level centroids
+    roll up from this table alone: a production ingest pipeline
+    persists (labels+norms, these sums) between batches and never runs
+    a corpus-sized aggregate per batch — pass the stored table to
+    ``semdedup_incremental(leaf_sums=...)``. Derived inline by that
+    operator when not supplied (the certification fixture's shape)."""
+    return (
+        assign.select(
+            F.col("cluster").cast("long").alias("g"),
+            F.posexplode(vec_col).alias("pos0", "val"),
+        )
+        .select(
+            "g",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(
+                F.col("val").cast("double") * scale
+                + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(
+                    F.lit(-0.5)
+                )
+            )
+            .cast("long")
+            .alias("scaled"),
+        )
+        .groupBy("g", "pos")
+        .agg(F.sum("scaled").alias("s"), F.count("*").alias("c"))
+    )
+
+
 def semdedup_incremental(
     base: DataFrame,
     batch: DataFrame,
@@ -529,6 +565,7 @@ def semdedup_incremental(
     assign: DataFrame | None = None,
     depth: int = 1,
     branch: int | None = None,
+    leaf_sums: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup: probe an incoming embedding BATCH
     against a stored corpus without re-clustering the corpus — the
@@ -594,7 +631,15 @@ def semdedup_incremental(
     batch vector scored all 4096 centroids); the descent replaces it.
     depth=1 (the default flat k=8 state) makes the descent one
     all-siblings scoring round — identical values to a flat top-2
-    argmin, which is what keeps the k=8 DuckDB oracle valid."""
+    argmin, which is what keeps the k=8 DuckDB oracle valid.
+
+    ``leaf_sums`` passes the STORED centroid component sums
+    (semdedup_state_sums over the same assignment — what production
+    persists next to the labels): the per-batch plan then derives every
+    level's centroids from k*dim stored rows and never re-aggregates
+    the corpus. Omitted, the sums derive inline from ``assign`` — same
+    values (the helper IS the inline derivation), one extra
+    corpus-sized aggregate, the certification fixture's shape."""
     from pyspark.sql import Window as W
 
     from sales_data_pipeline_spark.caching import scoped_persist
@@ -602,34 +647,21 @@ def semdedup_incremental(
     branch = branch if branch is not None else k
     if assign is None:
         assign = kmeans_assign_one_iter(base, id_col, vec_col, k, dim)
-    assign = scoped_persist(
-        assign.withColumn("nrm", norm(F.col(vec_col), dim)).withColumn(
-            "cluster", F.col("cluster").cast("long")
-        )
-    )
+    if "nrm" not in assign.columns:
+        assign = assign.withColumn("nrm", norm(F.col(vec_col), dim))
+    assign = assign.withColumn("cluster", F.col("cluster").cast("long"))
     # exact integer component sums per LEAF cluster, rolled up level by
     # level (sums and counts add exactly; the per-level mean is the
-    # same (sum/scale)/count double pair the flat M-step computes)
-    leaf = (
-        assign.select(
-            F.col("cluster").alias("g"),
-            F.posexplode(vec_col).alias("pos0", "val"),
-        )
-        .select(
-            "g",
-            (F.col("pos0") + 1).alias("pos"),
-            F.floor(
-                F.col("val").cast("double") * scale
-                + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(
-                    F.lit(-0.5)
-                )
-            )
-            .cast("long")
-            .alias("scaled"),
-        )
-        .groupBy("g", "pos")
-        .agg(F.sum("scaled").alias("s"), F.count("*").alias("c"))
-    )
+    # same (sum/scale)/count double pair the flat M-step computes).
+    # When the caller passes STORED sums (semdedup_state_sums written
+    # alongside the labels — the production state shape), the per-batch
+    # plan contains no corpus-sized aggregate at all and the assignment
+    # feeds only the probe join, so it needs no persist either.
+    if leaf_sums is None:
+        assign = scoped_persist(assign)
+        leaf = semdedup_state_sums(assign, vec_col=vec_col, scale=scale)
+    else:
+        leaf = leaf_sums
     levels = {depth: leaf}
     for lvl in range(depth - 1, 0, -1):
         levels[lvl] = (

@@ -577,7 +577,10 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     "scaled uses, whose bounded ~400-vector cells keep every "
     "micro-batch's probe LINEAR in the corpus (a flat k=8 state makes "
     "per-batch cost grow with corpus/8-sized clusters — the fixture "
-    "trade its twin documents) — is materialized to parquet ONCE, "
+    "trade its twin documents), stored as labels WITH precomputed "
+    "norms plus the k*dim-row centroid component sums "
+    "(semdedup_state_sums), so a micro-batch plan aggregates only "
+    "aggregate-sized stored rows — is materialized to parquet ONCE, "
     "then the incoming vector batch is staged as multiple files and "
     "streamed with maxFilesPerTrigger=1 under Trigger.AvailableNow, "
     "so the run really processes several micro-batches. Each "
@@ -609,19 +612,28 @@ def streaming_semantic_dedup(
 
     work = tempfile.mkdtemp(prefix="sem_stream_")
     # stored state: the SCALED hierarchical assignment production
-    # persists between batches (per-level centroids re-derive from
-    # these labels per micro-batch); auto_depth==1 at the driver's
-    # certification scale, where it provably equals the flat k=8
-    # clustering the shared oracle encodes (llm._flat_oracle_depth_
-    # guard logs the same warning there when a run outgrows that)
+    # persists between batches — labels WITH precomputed norms plus the
+    # k*dim-row centroid component sums (semdedup_state_sums), so a
+    # micro-batch's plan touches the corpus exactly once (the probe
+    # join) and derives centroids from aggregate-sized stored rows;
+    # auto_depth==1 at the driver's certification scale, where it
+    # provably equals the flat k=8 clustering the shared oracle
+    # encodes (llm._flat_oracle_depth_guard logs the same warning
+    # there when a run outgrows that)
     base = _emb_corpus(spark, sf_dir)
     depth = _flat_oracle_depth_guard(
         "streaming_semantic_dedup", base.count(), branch=8, target=400
     )
     similarity.kmeans_assign_hierarchical(
         base, depth=depth, branch=8
+    ).withColumn(
+        "nrm", similarity.norm(F.col("embedding"), similarity.DIM)
     ).write.parquet(f"{work}/state")
     stored = spark.read.parquet(f"{work}/state")
+    similarity.semdedup_state_sums(stored).write.parquet(
+        f"{work}/state_sums"
+    )
+    stored_sums = spark.read.parquet(f"{work}/state_sums")
     batch = _semdedup_probe_batch(spark, sf_dir)
     stage = f"{work}/stage"
     # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
@@ -635,7 +647,7 @@ def streaming_semantic_dedup(
     def probe_batch(mb: DataFrame, _epoch: int) -> None:
         similarity.semdedup_incremental(
             stored, mb, min_cosine=0.96, assign=stored,
-            depth=depth, branch=8,
+            depth=depth, branch=8, leaf_sums=stored_sums,
         ).write.mode("append").parquet(f"{work}/verdicts")
 
     with ingest.bounded_state_partitions(spark):

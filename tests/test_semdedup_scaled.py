@@ -146,6 +146,46 @@ class TestIncrementalProbe:
         assert matched.filter(F.col("cos_sim") != 1.0).count() == 0
 
 
+class TestStoredStateEquivalence:
+    def test_stored_sums_path_is_value_identical(self, spark):
+        """The production stored-state path — assignment persisted WITH
+        norms plus semdedup_state_sums as a separate table — must give
+        the exact rows the inline-derivation fixture gives: the helper
+        IS the inline derivation, so stored vs derived can only differ
+        if the state schema drifted. Guards the streaming ingest query,
+        which probes stored (labels+nrm, sums) every micro-batch."""
+        from sales_data_pipeline_spark.queries.llm import _emb_corpus
+        from sales_data_pipeline_spark.operators.similarity import (
+            DIM,
+            kmeans_assign_one_iter,
+            norm,
+            semdedup_incremental,
+            semdedup_state_sums,
+        )
+
+        base = _emb_corpus(spark, SF_DIR)
+        batch = base.filter(F.col("vec_id") % 37 == 0)
+        assign = kmeans_assign_one_iter(base, "vec_id", "embedding", 8)
+        stored = assign.withColumn(
+            "nrm", norm(F.col("embedding"), DIM)
+        )
+        sums = semdedup_state_sums(stored)
+        inline = sorted(
+            tuple(r)
+            for r in semdedup_incremental(
+                base, batch, k=8, assign=assign
+            ).collect()
+        )
+        stored_path = sorted(
+            tuple(r)
+            for r in semdedup_incremental(
+                base, batch, k=8, assign=stored, leaf_sums=sums
+            ).collect()
+        )
+        assert inline == stored_path
+        assert len(inline) == batch.count()
+
+
 class TestIncrementalScaledComposition:
     def test_equals_flat_incremental_at_one_level(self, spark):
         """semantic_dedup_incremental_scaled reduces EXACTLY to the
