@@ -182,6 +182,10 @@ HEADLINE = [
     "semantic_cluster_cohesion",
     "incremental_token_quantiles",
     "streaming_semantic_dedup",
+    # round-9: product quantization — encode health report + ADC
+    # search (completes the ANN family: flat / LSH / IVF / PQ)
+    "pq_codebook_histogram",
+    "knn_pq_adc",
 ]
 
 

@@ -272,6 +272,151 @@ def ivf_probe_topk(
     return brute_force_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN. Each vector splits
+# into PQ_M subvectors, each quantized to its nearest codeword in a
+# per-subspace sub-codebook — a vector becomes PQ_M small codes
+# (here 4 x 4 bits = 2 bytes vs 64 floats, a 128x compression), and
+# search scores CODES against a per-query lookup table (ADC) without
+# touching the raw vectors. At 100 TB this is the ANN path when even
+# one pass over raw embeddings is too expensive: the code table is
+# ~1/100th the scan, and the LUT turns scoring into PQ_M array lookups.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces per vector
+PQ_KSUB = 16  # codewords per sub-codebook (4-bit codes)
+PQ_SUBDIM = DIM // PQ_M
+
+
+def pq_codeword(j: int, i: int, subdim: int = PQ_SUBDIM) -> list[float]:
+    """Deterministic codeword i of sub-codebook j (stand-in for trained
+    per-subspace k-means — the same trade ivf_centroid makes: the
+    operators are codebook-agnostic, and literal codebooks keep both
+    engines bit-identical). Modulus 17 > PQ_KSUB keeps all 16 codewords
+    of a subspace distinct (a 13-modulus would alias i and i+13)."""
+    return [
+        ((i * 5 + j * 13 + t * 3) % 17 - 8) / 16.0 for t in range(subdim)
+    ]
+
+
+def pq_dists(
+    vec: Column,
+    j: int,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+) -> Column:
+    """array<double> of squared-L2 distances from subvector j of
+    ``vec`` to every codeword of sub-codebook j — the E-step input for
+    both encoding (argmin) and quantization error (array_min). One
+    HOF fold per codeword over the subdim slice, same left-fold
+    association as the oracle SQL."""
+    sub = F.slice(vec, j * subdim + 1, subdim)
+    return F.array(
+        *[
+            l2sq_to_literal(sub, pq_codeword(j, i, subdim))
+            for i in range(ksub)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """PQ-encode every vector: (id, code_0..code_{m-1}, err_micro).
+    code_j is the 0-based argmin codeword of subspace j (first-match
+    tie-break, as ivf_assign); err_micro is the integer-scaled total
+    quantization error sum_j min_i l2sq(sub_j, c_{j,i}) — the distance
+    from the vector to its own reconstruction, the quantity PQ training
+    minimizes and the index-health number an encode job reports.
+    Integer-scaled (floor(err*1e6+0.5)) so downstream sums stay exact
+    across engines and shard orders. One narrow projection — no
+    shuffle, no UDF; the expression tree is O(m*ksub) HOF folds."""
+    cols: list[Column] = [F.col(id_col)]
+    err: Column | None = None
+    for j in range(m):
+        d = pq_dists(F.col(vec_col), j, subdim, ksub)
+        cols.append(
+            (F.array_position(d, F.array_min(d)) - 1)
+            .cast("int")
+            .alias(f"code_{j}")
+        )
+        err = F.array_min(d) if err is None else err + F.array_min(d)
+    cols.append(
+        F.floor(err * 1_000_000 + F.lit(0.5)).cast("long").alias("err_micro")
+    )
+    return df.select(*cols)
+
+
+def pq_lut(
+    query: list[float],
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+) -> list[list[float]]:
+    """Driver-side ADC lookup table: lut[j][i] = squared L2 from the
+    query's subvector j to codeword i. Both the query vector and the
+    codebook are literals, so this is plain Python O(m*ksub*subdim) —
+    and both engines consume the SAME Python doubles as literals, so
+    ADC scores cannot drift between Spark and the oracle."""
+    lut: list[list[float]] = []
+    for j in range(m):
+        qsub = query[j * subdim : (j + 1) * subdim]
+        row = []
+        for i in range(ksub):
+            c = pq_codeword(j, i, subdim)
+            d = 0.0
+            for a, b in zip(qsub, c):
+                d = d + (a - b) * (a - b)
+            row.append(d)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: approximate
+    dist(q, x) by sum_j lut[j][code_j(x)] — the query stays full
+    precision, the corpus is scored through its PQ codes. Here the
+    encode fuses into the scan (codes aren't stored at bench scale);
+    at 100 TB the code table is precomputed by pq_encode and this scan
+    reads 2-byte codes instead of 256-byte vectors — the scan-volume
+    win that makes PQ the memory-bound ANN path. Score is a chained
+    sum of m literal-array lookups (JVM-side, no UDF), rounded with
+    id tie-break for a total order; top-k is TakeOrderedAndProject,
+    never a full sort."""
+    lut = pq_lut(query, m, subdim, ksub)
+    s = 10**round_digits
+    score: Column | None = None
+    for j in range(m):
+        d = pq_dists(F.col(vec_col), j, subdim, ksub)
+        lut_arr = F.array(*[F.lit(float(v)) for v in lut[j]])
+        term = F.element_at(
+            lut_arr, F.array_position(d, F.array_min(d)).cast("int")
+        )
+        score = term if score is None else score + term
+    scored = df.select(
+        F.col(id_col),
+        (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
+            "adc_dist"
+        ),
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
+
+
 def pca_loadings(
     df: DataFrame, vec_col: str = "embedding", k: int = 4
 ) -> list[list[float]]:

@@ -1763,6 +1763,129 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization: encode + ADC search
+# ---------------------------------------------------------------------------
+
+
+def _sql_pq_dlist(j: int) -> str:
+    """DOUBLE[] of squared-L2 distances from embedding's subvector j to
+    every codeword of sub-codebook j — same 0.0-rooted left-fold term
+    order as similarity.pq_dists' HOF folds."""
+    subdim = similarity.PQ_SUBDIM
+    off = j * subdim
+    dists = []
+    for i in range(similarity.PQ_KSUB):
+        c = similarity.pq_codeword(j, i)
+        terms = " + ".join(
+            f"(CAST(embedding[{off + t + 1}] AS DOUBLE) - ({c[t]!r})) * "
+            f"(CAST(embedding[{off + t + 1}] AS DOUBLE) - ({c[t]!r}))"
+            for t in range(subdim)
+        )
+        dists.append(f"(0.0 + {terms})")
+    return "[" + ", ".join(dists) + "]"
+
+
+def _pq_hist_oracle() -> str:
+    dl = ", ".join(
+        f"{_sql_pq_dlist(j)} AS d{j}" for j in range(similarity.PQ_M)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(d{j}, list_min(d{j})) - 1 AS INTEGER) "
+        f"AS code_{j}"
+        for j in range(similarity.PQ_M)
+    )
+    err = " + ".join(f"list_min(d{j})" for j in range(similarity.PQ_M))
+    return f"""
+        WITH d AS (SELECT vec_id, {dl} FROM embeddings)
+        SELECT code_0, code_1, code_2, code_3,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+               CAST(SUM(CAST(FLOOR(({err}) * 1000000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS err_micro_sum
+        FROM (SELECT vec_id, {codes},
+                     d0, d1, d2, d3 FROM d) c
+        GROUP BY 1, 2, 3, 4
+    """
+
+
+@query(
+    "pq_codebook_histogram",
+    oracle=_pq_hist_oracle(),
+    survey="LLM-ext: product-quantization encode (operators/"
+    "similarity.py pq_encode — code-cell occupancy + quantization "
+    "error, the PQ index-build health report)",
+    doc="PQ-encode the corpus (4 sub-codebooks x 16 codewords: 64 "
+    "floats -> 2 bytes, 128x compression) and report per code cell "
+    "the occupancy, lowest member id, and integer-scaled total "
+    "quantization error — what an index build inspects before "
+    "serving ANN from codes (empty/overfull cells or fat error tails "
+    "mean the codebook doesn't fit the data). Codebooks are "
+    "deterministic literals (the ivf_centroid trade: the operators "
+    "are codebook-agnostic, literals keep both engines bit-exact); "
+    "encoding is one narrow projection of O(m*ksub) HOF folds — no "
+    "shuffle except the aggregate-sized final groupBy, no UDF, and "
+    "the error sum is integer-scaled so shard order can't drift it.",
+    tags=("llm",),
+)
+def pq_codebook_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(e)
+    return enc.groupBy("code_0", "code_1", "code_2", "code_3").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.sum("err_micro").cast("long").alias("err_micro_sum"),
+    )
+
+
+def _pq_adc_oracle() -> str:
+    q = similarity.query_vector()
+    lut = similarity.pq_lut(q)
+    dl = ", ".join(
+        f"{_sql_pq_dlist(j)} AS d{j}" for j in range(similarity.PQ_M)
+    )
+    terms = []
+    for j in range(similarity.PQ_M):
+        lut_list = (
+            "["
+            + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lut[j])
+            + "]"
+        )
+        terms.append(f"{lut_list}[list_position(d{j}, list_min(d{j}))]")
+    score = " + ".join(terms)
+    return f"""
+        WITH d AS (SELECT vec_id, {dl} FROM embeddings)
+        SELECT vec_id,
+               FLOOR(({score}) * 1000000 + 0.5) / 1000000.0 AS adc_dist
+        FROM d
+        ORDER BY adc_dist ASC, vec_id
+        LIMIT 10
+    """
+
+
+@query(
+    "knn_pq_adc",
+    oracle=_pq_adc_oracle(),
+    survey="LLM-ext: PQ ADC ANN search (operators/similarity.py "
+    "pq_adc_topk — completes the ANN family: brute-force / LSH "
+    "bucket / IVF probe / compressed-domain PQ)",
+    doc="ADC top-10: the query stays full-precision, the corpus is "
+    "scored through its PQ codes as sum_j lut[j][code_j] — m literal-"
+    "array lookups per row against a driver-computed lookup table "
+    "(query and codebook are both literals, so the LUT is plain "
+    "Python and both engines consume the SAME doubles). At 100 TB "
+    "the code table is precomputed (pq_codebook_histogram's encode) "
+    "and this scan reads 2-byte codes instead of 256-byte vectors — "
+    "the memory-bound ANN path; IVF prunes which rows to score, PQ "
+    "shrinks what scoring reads. Rounded score + id tie-break = "
+    "total order; top-k is TakeOrderedAndProject, never a full sort.",
+    tags=("llm",),
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(e, similarity.query_vector(), k=10)
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------
 
