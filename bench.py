@@ -186,6 +186,7 @@ HEADLINE = [
     # search (completes the ANN family: flat / LSH / IVF / PQ)
     "pq_codebook_histogram",
     "knn_pq_adc",
+    "knn_ivfpq",
 ]
 
 

@@ -417,6 +417,30 @@ def pq_adc_topk(
     return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_IVF_CENTROIDS,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC composition): coarse-quantize the query
+    on the driver, scan ONLY that centroid's inverted list, and score
+    it through PQ codes with the ADC lookup table — IVF prunes WHICH
+    rows are read (~1/n_centroids, partition-pruned when the corpus is
+    stored partitioned by centroid id), PQ shrinks WHAT scoring reads
+    (2-byte codes vs 256-byte vectors). Together they are the standard
+    billion-scale ANN serving shape: both knobs compose because they
+    cut different costs. Same total order as pq_adc_topk (rounded
+    score, id tie-break)."""
+    probe = ivf_probe_centroid(query, n_centroids)
+    in_cell = df.select(id_col, vec_col).filter(
+        ivf_assign(F.col(vec_col), n_centroids) == probe
+    )
+    return pq_adc_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def pca_loadings(
     df: DataFrame, vec_col: str = "embedding", k: int = 4
 ) -> list[list[float]]:

@@ -1885,6 +1885,68 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(e, similarity.query_vector(), k=10)
 
 
+def _ivfpq_oracle() -> str:
+    q = similarity.query_vector()
+    probe = similarity.ivf_probe_centroid(q)
+    dists = [
+        _sql_l2sq_literal("embedding", _centroid(i)) for i in range(8)
+    ]
+    least = "least(" + ", ".join(dists) + ")"
+    chain = (
+        "CASE "
+        + " ".join(
+            f"WHEN {d} = {least} THEN {i}" for i, d in enumerate(dists)
+        )
+        + " END"
+    )
+    lut = similarity.pq_lut(q)
+    dl = ", ".join(
+        f"{_sql_pq_dlist(j)} AS d{j}" for j in range(similarity.PQ_M)
+    )
+    terms = []
+    for j in range(similarity.PQ_M):
+        lut_list = (
+            "["
+            + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lut[j])
+            + "]"
+        )
+        terms.append(f"{lut_list}[list_position(d{j}, list_min(d{j}))]")
+    score = " + ".join(terms)
+    return f"""
+        WITH cell AS (
+          SELECT vec_id, embedding FROM embeddings WHERE {chain} = {probe}
+        ),
+        d AS (SELECT vec_id, {dl} FROM cell)
+        SELECT vec_id,
+               FLOOR(({score}) * 1000000 + 0.5) / 1000000.0 AS adc_dist
+        FROM d
+        ORDER BY adc_dist ASC, vec_id
+        LIMIT 10
+    """
+
+
+@query(
+    "knn_ivfpq",
+    oracle=_ivfpq_oracle(),
+    survey="LLM-ext: IVF-PQ composed ANN (operators/similarity.py "
+    "ivfpq_topk — the FAISS IVFADC serving shape: IVF prunes which "
+    "rows are read, PQ shrinks what scoring reads)",
+    doc="Billion-scale ANN serving: the query coarse-quantizes on the "
+    "driver (centroids are literals), only its centroid's inverted "
+    "list is scanned (~1/8 of the corpus, a partition-pruned read "
+    "when stored partitioned by centroid id), and rows score through "
+    "their PQ codes via the driver-computed ADC lookup table. The two "
+    "knobs compose because they cut DIFFERENT costs — rows touched "
+    "vs bytes per row — which is why IVF+PQ, not either alone, is "
+    "the standard at 100 TB. Same rounded-score total order as "
+    "knn_pq_adc, restricted to the probed cell.",
+    tags=("llm",),
+)
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(e, similarity.query_vector(), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -117,6 +117,25 @@ class TestADC:
                 s = s + lut[j][r[f"code_{j}"]]
             assert r["adc_dist"] == math.floor(s * 1e6 + 0.5) / 1e6
 
+    def test_ivfpq_is_adc_restricted_to_probed_cell(self, spark):
+        """ivfpq_topk must equal pq_adc_topk run over exactly the
+        query's IVF cell — the composition adds pruning, never changes
+        scoring."""
+        q = similarity.query_vector()
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        probe = similarity.ivf_probe_centroid(q)
+        cell = e.filter(similarity.ivf_assign(F.col("embedding")) == probe)
+        expect = [
+            tuple(r) for r in similarity.pq_adc_topk(cell, q, k=10).collect()
+        ]
+        got = [
+            tuple(r) for r in similarity.ivfpq_topk(e, q, k=10).collect()
+        ]
+        assert got == expect
+        assert 0 < len(got) <= 10
+
     def test_topk_total_order(self, spark):
         """Rounded score + id tie-break: the top-10 is sorted, unique,
         and stable across runs."""
