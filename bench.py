@@ -187,6 +187,8 @@ HEADLINE = [
     "pq_codebook_histogram",
     "knn_pq_adc",
     "knn_ivfpq",
+    "knn_pq_rerank",
+    "pq_recall_eval",
 ]
 
 

@@ -441,6 +441,37 @@ def ivfpq_topk(
     return pq_adc_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ serving (the production shape): ADC over codes
+    builds a SHORTLIST of ``shortlist`` candidates — the cheap,
+    compressed-domain pass that reads 2-byte codes — then ONLY those
+    rows are re-read at full precision and exactly re-ranked by
+    cosine. Quantization error costs recall only when a true neighbor
+    falls outside the shortlist, so the knob is shortlist size, not
+    code length — the same recall/cost dial as IVF's nprobe. The
+    re-rank join is a ``shortlist``-row build side against the corpus
+    (broadcast hash join; at 100 TB the full-precision re-read is an
+    id-keyed point lookup against the vector store, not a scan).
+    Output schema matches brute_force_topk, so recall is directly
+    comparable."""
+    short = pq_adc_topk(
+        df, query, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    exact = df.join(F.broadcast(short), id_col).select(
+        id_col, F.col(vec_col)
+    )
+    return brute_force_topk(
+        exact, query, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def pca_loadings(
     df: DataFrame, vec_col: str = "embedding", k: int = 4
 ) -> list[list[float]]:

@@ -136,6 +136,48 @@ class TestADC:
         assert got == expect
         assert 0 < len(got) <= 10
 
+    def test_rerank_recall_curve_is_monotone_to_ten(self, spark):
+        """The serving dial's contract: rerank recall@10 must be
+        non-decreasing in shortlist size and reach 10/10 once the
+        shortlist covers the corpus — if growing the candidate set
+        ever LOST a true neighbor, the two-stage composition would be
+        re-ranking something other than the shortlist."""
+        from sales_data_pipeline_spark.queries.llm import pq_recall_eval
+
+        rows = sorted(
+            (r["shortlist"], r["rerank_hits_at_10"])
+            for r in pq_recall_eval(spark, SF_DIR).collect()
+        )
+        hits = [h for _, h in rows]
+        assert hits == sorted(hits)
+        assert all(0 <= h <= 10 for h in hits)
+        # sf0.001 corpus is ~200 vectors: the 800 shortlist is the
+        # whole corpus, so the exact top-10 must fully survive
+        assert hits[-1] == 10
+
+    def test_rerank_equals_exact_when_shortlist_covers_corpus(
+        self, spark
+    ):
+        """shortlist >= corpus makes the two-stage path degenerate to
+        brute force exactly — the zero-quantization-loss endpoint of
+        the dial."""
+        q = similarity.query_vector()
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = e.count()
+        exact = [
+            tuple(r)
+            for r in similarity.brute_force_topk(e, q, k=10).collect()
+        ]
+        rr = [
+            tuple(r)
+            for r in similarity.pq_rerank_topk(
+                e, q, k=10, shortlist=n
+            ).collect()
+        ]
+        assert rr == exact
+
     def test_topk_total_order(self, spark):
         """Rounded score + id tie-break: the top-10 is sorted, unique,
         and stable across runs."""
