@@ -189,6 +189,7 @@ HEADLINE = [
     "knn_ivfpq",
     "knn_pq_rerank",
     "pq_recall_eval",
+    "knn_pq_adc_stored",
 ]
 
 

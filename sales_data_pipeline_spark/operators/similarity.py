@@ -441,6 +441,39 @@ def ivfpq_topk(
     return pq_adc_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def pq_adc_topk_codes(
+    codes: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC top-k over a STORED code table (pq_encode's output read
+    back from parquet) — the literal serving shape: the scan touches
+    m small ints per row and never sees a raw vector. Identical
+    values to pq_adc_topk over the original vectors (ADC depends only
+    on the codes), so the same oracle certifies both; what changes is
+    the physical read — 2 bytes/vector instead of 256 — which is the
+    entire point of PQ at 100 TB."""
+    lut = pq_lut(query, m, subdim, ksub)
+    s = 10**round_digits
+    score: Column | None = None
+    for j in range(m):
+        lut_arr = F.array(*[F.lit(float(v)) for v in lut[j]])
+        term = F.element_at(lut_arr, F.col(f"code_{j}").cast("int") + 1)
+        score = term if score is None else score + term
+    scored = codes.select(
+        F.col(id_col),
+        (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
+            "adc_dist"
+        ),
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
+
+
 def pq_rerank_topk(
     df: DataFrame,
     query: list[float],

@@ -2012,6 +2012,36 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_pq_adc_stored",
+    oracle=_pq_adc_oracle(),  # same values as knn_pq_adc: ADC depends
+    # only on the codes, and the stored table IS pq_encode's output
+    survey="LLM-ext: ADC search over a STORED code table "
+    "(operators/similarity.py pq_adc_topk_codes — the literal "
+    "2-bytes-per-vector serving read)",
+    doc="The PQ serving path as it actually runs: pq_encode's code "
+    "table is materialized to parquet ONCE (the index build), then "
+    "search scans ONLY the stored codes — m small ints per row, "
+    "never a raw vector; scoring is m literal-array LUT lookups. "
+    "Identical values to knn_pq_adc (ADC is a pure function of the "
+    "codes), so the same DuckDB oracle certifies both; what this "
+    "query adds is the read shape — at 100 TB the difference between "
+    "scanning a 256-byte vector column and its 2-byte code column is "
+    "the difference between an hour and seconds.",
+    tags=("llm",),
+)
+def knn_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="pq_codes_")
+    similarity.pq_encode(e).write.parquet(f"{work}/codes")
+    codes = spark.read.parquet(f"{work}/codes")
+    return similarity.pq_adc_topk_codes(
+        codes, similarity.query_vector(), k=10
+    )
+
+
 _PQ_EVAL_SHORTLISTS = (50, 200, 800)
 
 

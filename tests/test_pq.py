@@ -178,6 +178,26 @@ class TestADC:
         ]
         assert rr == exact
 
+    def test_stored_codes_equal_inline_adc(self, spark, tmp_path):
+        """ADC over a stored code table must be row-identical to ADC
+        over the raw vectors — the property that lets the same oracle
+        certify both and makes the 2-byte serving read safe."""
+        q = similarity.query_vector()
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        path = str(tmp_path / "codes")
+        similarity.pq_encode(e).write.parquet(path)
+        codes = spark.read.parquet(path)
+        inline = [
+            tuple(r) for r in similarity.pq_adc_topk(e, q, k=10).collect()
+        ]
+        stored = [
+            tuple(r)
+            for r in similarity.pq_adc_topk_codes(codes, q, k=10).collect()
+        ]
+        assert stored == inline
+
     def test_topk_total_order(self, spark):
         """Rounded score + id tie-break: the top-10 is sorted, unique,
         and stable across runs."""
