@@ -25,6 +25,40 @@ class TestPeakMemGate:
         cur = {"sf": 0.1, "peak_mem": {"q1": 200 * MB}}
         assert peak_mem_regressions(cur, prev) == []
 
+    def test_isolated_remeasure_overrides_both_sides(self):
+        """Round-9 adjudication: peakExecutionMemory is fair-share
+        accounting, so a sweep transient can read several-x the peak
+        an isolated run reproduces. peak_mem_isolated must (a) clear
+        the current round's flag, and (b) override the PREV baseline,
+        so an inflated transient never becomes the denominator that
+        hides a real future blowup."""
+        prev = {"sf": 0.1, "peak_mem": {"q1": 100 * MB}}
+        cur = {
+            "sf": 0.1,
+            "peak_mem": {"q1": 900 * MB},
+            "peak_mem_isolated": {"q1": 110 * MB},
+        }
+        assert peak_mem_regressions(cur, prev) == []
+        # prev side: the 900 MB transient, now the baseline, must not
+        # mask a genuine 400 MB (real) peak next round
+        nxt = {"sf": 0.1, "peak_mem": {"q1": 400 * MB}}
+        bad = peak_mem_regressions(nxt, cur)
+        assert [r["query"] for r in bad] == ["q1"]
+        assert bad[0]["prev"] == 110 * MB
+
+    def test_unreproduced_isolation_still_fails(self):
+        """When the isolated re-measure CONFIRMS the growth, the gate
+        fails on the isolated number."""
+        prev = {"sf": 0.1, "peak_mem": {"q1": 100 * MB}}
+        cur = {
+            "sf": 0.1,
+            "peak_mem": {"q1": 900 * MB},
+            "peak_mem_isolated": {"q1": 850 * MB},
+        }
+        bad = peak_mem_regressions(cur, prev)
+        assert [r["query"] for r in bad] == ["q1"]
+        assert bad[0]["cur"] == 850 * MB
+
     def test_sub_floor_priors_skipped(self):
         # a 1 MB stage jumping to 10 MB is scheduling noise, not a
         # broadcast blow-up — the floor keeps the gate signal-only

@@ -155,6 +155,25 @@ PEAK_GROWTH_LIMIT = 2.0
 PEAK_NOISE_FLOOR = 16 << 20
 
 
+def _merged_peaks(art: dict) -> dict:
+    """peak_mem with any adjudicated isolated re-measures laid over it.
+
+    peakExecutionMemory is fair-share accounting, not a footprint: the
+    same plan's hash maps expand further before spilling when the
+    UnifiedMemoryManager pool happens to be uncontended, so a long
+    sweep session can legitimately report several-x the peak an
+    isolated run reproduces (round 9's first real firing:
+    semantic_dedup_eval 218 MB across three sweeps, 931 MB in one, 218
+    again in isolation — code untouched, wall time identical). When
+    the gate re-measures a flagged grower in isolation it records the
+    result under ``peak_mem_isolated``; BOTH comparison sides prefer
+    that value, so a transient neither fails this round nor inflates
+    the baseline a real future blowup would be diffed against."""
+    pk = dict(art.get("peak_mem") or {})
+    pk.update(art.get("peak_mem_isolated") or {})
+    return pk
+
+
 def peak_mem_regressions(
     cur: dict,
     prev: dict,
@@ -169,8 +188,8 @@ def peak_mem_regressions(
     if cur.get("sf") != prev.get("sf"):
         return []
     out: list[dict] = []
-    prev_pk = prev.get("peak_mem") or {}
-    for name, pk in sorted((cur.get("peak_mem") or {}).items()):
+    prev_pk = _merged_peaks(prev)
+    for name, pk in sorted(_merged_peaks(cur).items()):
         old = prev_pk.get(name)
         if not isinstance(old, (int, float)) or old < floor:
             continue
@@ -221,6 +240,35 @@ def _prev_bench_full() -> dict | None:
     return json.loads(prev_text) if prev_text else None
 
 
+def _isolated_peaks(names: list[str]) -> dict:
+    """Re-measure the named queries' peak execution memory in a fresh
+    session on otherwise-idle hardware (bench's own StagePeak REST
+    telemetry, max over run_names' two passes). Telemetry failure
+    yields no entry — the flagged sweep value then stands and the
+    gate still fails loudly."""
+    from sales_data_pipeline_spark.queries.base import load_all
+    from sales_data_pipeline_spark.session import build_session
+
+    from bench import StagePeak, run_names
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR",
+        os.path.join("/root", "testdata", "sf0.1"),
+    )
+    reg = load_all()
+    spark = build_session(
+        "peak_adjudicate", extra_conf={"spark.ui.enabled": "true"}
+    )
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+        peek = StagePeak(spark)
+        peaks: dict = {}
+        run_names(spark, reg, names, sf_dir, peek, peaks)
+        return peaks
+    finally:
+        spark.stop()
+
+
 def _peak_mem_trend() -> bool:
     import json
 
@@ -240,14 +288,38 @@ def _peak_mem_trend() -> bool:
         return True
     bad = peak_mem_regressions(cur, prev)
     if bad:
+        # Adjudicate before failing: re-measure each flagged grower in
+        # a fresh, idle session. peakExecutionMemory is fair-share
+        # accounting (see _merged_peaks) — a REAL blowup (broadcast of
+        # a scaling side, state growth) reproduces in isolation; a
+        # pool-contention transient does not. The isolated numbers are
+        # written into BENCH_FULL.json under ``peak_mem_isolated`` so
+        # the committed artifact explains itself and next round's
+        # baseline uses the reproducible value.
+        iso = _isolated_peaks([row["query"] for row in bad])
+        cur.setdefault("peak_mem_isolated", {}).update(
+            {q: v for q, v in iso.items() if isinstance(v, int)}
+        )
+        with open(path, "w") as f:
+            json.dump(cur, f, indent=1)
+            f.write("\n")
+        print("   | flagged query | prev MB | sweep MB | isolated MB |")
+        for row in bad:
+            v = iso.get(row["query"])
+            print(f"   | {row['query']} | {row['prev'] >> 20} "
+                  f"| {row['cur'] >> 20} "
+                  f"| {(v >> 20) if isinstance(v, int) else 'n/a'} |")
+        bad = peak_mem_regressions(cur, prev)
+    if bad:
         print("== peak-mem trend: FAIL — peaks grew >"
-              f"{PEAK_GROWTH_LIMIT}x at unchanged sf:")
+              f"{PEAK_GROWTH_LIMIT}x at unchanged sf AND reproduce "
+              "in isolation:")
         print(f"   | query | prev MB | cur MB | ratio |")
         for row in bad:
             print(f"   | {row['query']} | {row['prev'] >> 20} "
                   f"| {row['cur'] >> 20} | {row['ratio']}x |")
         return False
-    n = len(cur.get("peak_mem") or {})
+    n = len(_merged_peaks(cur))
     print(f"== peak-mem trend: PASS ({n} queries, no >"
           f"{PEAK_GROWTH_LIMIT}x grower vs prior round)")
     return True
