@@ -507,16 +507,24 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sales_data_pipeline_spark.workdir import materialized, run_dir
 
-    work = tempfile.mkdtemp(prefix="febatch_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "value"
     )
-    stage = f"{work}/stage"
-    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
-    src.repartition(4).write.parquet(stage)
+    # the staged source is a pure function of the input table — built
+    # once, reused (round-9 advisor /tmp-growth fix); the checkpoint /
+    # ping-pong gold versions are per-invocation state and live in a
+    # fresh run_dir (previous invocation's dir is reclaimed)
+    stage_root = materialized(
+        "febatch_stage",
+        sf_dir,
+        # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+        lambda path: src.repartition(4).write.parquet(f"{path}/stage"),
+    )
+    stage = f"{stage_root}/stage"
+    work = run_dir("febatch", sf_dir)
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
@@ -601,16 +609,14 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
 def streaming_semantic_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
-
     from sales_data_pipeline_spark.operators import similarity
     from sales_data_pipeline_spark.queries.llm import (
         _emb_corpus,
         _flat_oracle_depth_guard,
         _semdedup_probe_batch,
     )
+    from sales_data_pipeline_spark.workdir import materialized, run_dir
 
-    work = tempfile.mkdtemp(prefix="sem_stream_")
     # stored state: the SCALED hierarchical assignment production
     # persists between batches — labels WITH precomputed norms plus the
     # k*dim-row centroid component sums (semdedup_state_sums), so a
@@ -619,25 +625,37 @@ def streaming_semantic_dedup(
     # auto_depth==1 at the driver's certification scale, where it
     # provably equals the flat k=8 clustering the shared oracle
     # encodes (llm._flat_oracle_depth_guard logs the same warning
-    # there when a run outgrows that)
+    # there when a run outgrows that).
+    # State, state sums, and the staged batch are pure functions of the
+    # immutable input tables — built ONCE per (query, sf) and reused
+    # (that's also the production shape: state persists between ingest
+    # runs; the round-9 advisor's /tmp-growth fix). The stream's
+    # checkpoint and append sink are per-invocation and start empty.
     base = _emb_corpus(spark, sf_dir)
     depth = _flat_oracle_depth_guard(
         "streaming_semantic_dedup", base.count(), branch=8, target=400
     )
-    similarity.kmeans_assign_hierarchical(
-        base, depth=depth, branch=8
-    ).withColumn(
-        "nrm", similarity.norm(F.col("embedding"), similarity.DIM)
-    ).write.parquet(f"{work}/state")
-    stored = spark.read.parquet(f"{work}/state")
-    similarity.semdedup_state_sums(stored).write.parquet(
-        f"{work}/state_sums"
-    )
-    stored_sums = spark.read.parquet(f"{work}/state_sums")
+
+    def _build_state(path: str) -> None:
+        similarity.kmeans_assign_hierarchical(
+            base, depth=depth, branch=8
+        ).withColumn(
+            "nrm", similarity.norm(F.col("embedding"), similarity.DIM)
+        ).write.parquet(f"{path}/state")
+        similarity.semdedup_state_sums(
+            spark.read.parquet(f"{path}/state")
+        ).write.parquet(f"{path}/state_sums")
+        # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+        _semdedup_probe_batch(spark, sf_dir).repartition(
+            4
+        ).write.parquet(f"{path}/stage")
+
+    state_root = materialized("sem_stream_state", sf_dir, _build_state)
+    stored = spark.read.parquet(f"{state_root}/state")
+    stored_sums = spark.read.parquet(f"{state_root}/state_sums")
     batch = _semdedup_probe_batch(spark, sf_dir)
-    stage = f"{work}/stage"
-    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
-    batch.repartition(4).write.parquet(stage)
+    stage = f"{state_root}/stage"
+    work = run_dir("sem_stream", sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")

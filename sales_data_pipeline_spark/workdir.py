@@ -1,0 +1,87 @@
+"""Deterministic local work directories for queries that materialize
+intermediate tables (PQ code tables, streaming cluster state).
+
+Round-9 advisor finding: ``knn_pq_adc_stored`` and the streaming
+queries created a fresh ``tempfile.mkdtemp`` on EVERY invocation with
+no cleanup — bench's min-of-N passes and repeated certification runs
+accumulated unbounded parquet dirs in /tmp and re-paid the encode each
+pass. Two regimes fix it:
+
+ - :func:`materialized` — for intermediates that are a PURE function of
+   the input data (PQ codes of an immutable testdata table, semantic
+   cluster state): key the dir on (name, sf-dir basename), build once
+   into a temp sibling, atomically rename into place, and REUSE it on
+   every later invocation. Concurrent builders race benignly: rename
+   fails for the loser, who deletes its copy and reads the winner's
+   (both built the same deterministic bytes). At 100 TB this is just
+   "an index build runs once, serving reads the stored table" — the
+   reuse IS the production semantics, not a bench shortcut.
+ - :func:`run_dir` — for per-invocation state that must start EMPTY
+   (stream checkpoints, append sinks, ping-pong gold versions): same
+   deterministic key, but the previous invocation's dir is DELETED and
+   recreated fresh. Growth is bounded to one live dir per (name, sf)
+   instead of one per invocation; the prior invocation's returned
+   DataFrame has necessarily been consumed by the time the same query
+   runs again (the driver/bench fully materialize each result before
+   the next call), so deleting its backing files is safe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+_MAT_ROOT = "/tmp/spark_graft_mat"
+_RUN_ROOT = "/tmp/spark_graft_run"
+_DONE = "_COMPLETE"  # our marker, written AFTER build() returns — a
+# crashed half-build (no marker) is rebuilt, never reused
+
+
+def _key(name: str, sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"{name}_{base}"
+
+
+def materialized(
+    name: str, sf_dir: str, build: Callable[[str], None]
+) -> str:
+    """Path of a reusable materialization keyed on (name, sf basename).
+
+    ``build(path)`` is invoked only when no completed materialization
+    exists; it must write everything under ``path``. Completion is
+    marked by a ``_COMPLETE`` file; publication is an atomic
+    ``os.rename`` so readers never observe a half-built dir."""
+    final = os.path.join(_MAT_ROOT, _key(name, sf_dir))
+    if os.path.exists(os.path.join(final, _DONE)):
+        return final
+    if os.path.exists(final):
+        # a crashed build's husk (publication is atomic rename with the
+        # marker already inside, so a published dir ALWAYS has it) —
+        # clear it so the rebuild's rename can land
+        shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(_MAT_ROOT, exist_ok=True)
+    tmp = f"{final}.build-{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    with open(os.path.join(tmp, _DONE), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # a concurrent builder won the rename; both built the same
+        # deterministic bytes — drop ours, read theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, _DONE)):
+            raise
+    return final
+
+
+def run_dir(name: str, sf_dir: str) -> str:
+    """Fresh per-invocation dir at a deterministic path: the previous
+    invocation's contents are deleted (bounding /tmp growth to one live
+    dir per (name, sf)) and an empty dir is returned."""
+    path = os.path.join(_RUN_ROOT, _key(name, sf_dir))
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path

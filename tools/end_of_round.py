@@ -134,17 +134,33 @@ def _broadcast_audit_coverage() -> bool:
         print("== broadcast-audit coverage: FAIL (no BROADCAST_AUDIT.json)")
         return False
     with open(path) as f:
-        audited = json.load(f).get("queries_audited")
+        audit = json.load(f)
     # the audit skips streaming-tagged queries by design; mirror its
     # exact filter (tools/broadcast_audit.py: `"streaming" not in tags`)
     reg = load_all()
-    eligible = sum(1 for s in reg.values() if "streaming" not in s.tags)
-    ok = audited == eligible
+    eligible = {n for n, s in reg.items() if "streaming" not in s.tags}
+    # round-10 (round-9 advisor): compare NAME SETS, not counts —
+    # equal-size churn (one query added, one removed since the audit
+    # ran) passed the count gate with the new query unaudited, the
+    # exact silent-exclusion failure the gate exists to catch
+    audited_names = audit.get("queries_audited_names")
+    if not isinstance(audited_names, list):
+        print(
+            "== broadcast-audit coverage: FAIL (artifact lacks "
+            "queries_audited_names — re-run PYTHONPATH=. python "
+            "tools/broadcast_audit.py)"
+        )
+        return False
+    missing = sorted(eligible - set(audited_names))
+    extra = sorted(set(audited_names) - eligible)
+    ok = not missing and not extra
     print(
         f"== broadcast-audit coverage: {'PASS' if ok else 'FAIL'} "
-        f"(audited {audited}, eligible non-streaming {eligible}"
-        + ("" if ok else " — re-run PYTHONPATH=. python "
-           "tools/broadcast_audit.py")
+        f"(audited {len(audited_names)}, eligible non-streaming "
+        f"{len(eligible)}"
+        + ("" if ok else
+           f"; unaudited={missing} stale={extra} — re-run "
+           "PYTHONPATH=. python tools/broadcast_audit.py")
         + ")"
     )
     return ok
@@ -240,6 +256,24 @@ def _prev_bench_full() -> dict | None:
     return json.loads(prev_text) if prev_text else None
 
 
+def _adjudication_sf() -> float | None:
+    """sf the isolated re-measure WOULD run at ($SPARK_GRAFT_SF_DIR) —
+    parsed from the dir basename so the caller can refuse to adjudicate
+    a sweep recorded at a different scale (round-9 advisor: a mismatch
+    would silently clear a real regression with a wrong-scale floor AND
+    commit that wrong-scale value as next round's baseline)."""
+    import re
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR",
+        os.path.join("/root", "testdata", "sf0.1"),
+    )
+    m = re.fullmatch(
+        r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir))
+    )
+    return float(m.group(1)) if m else None
+
+
 def _isolated_peaks(names: list[str], passes: int = 3) -> dict:
     """Re-measure the named queries' peak execution memory in a fresh
     session on otherwise-idle hardware — MIN over ``passes``
@@ -312,7 +346,18 @@ def _peak_mem_trend() -> bool:
               f"{prev.get('sf')} -> {cur.get('sf')})")
         return True
     bad = peak_mem_regressions(cur, prev)
-    if bad:
+    if bad and _adjudication_sf() != cur.get("sf"):
+        # round-9 advisor: adjudicating at a different sf than the
+        # sweep would silently clear a real regression with a
+        # wrong-scale floor and poison next round's baseline — let the
+        # sweep flag stand and fail loudly instead (mirrors the sf
+        # guard peak_mem_regressions itself has).
+        print(
+            f"== peak-mem trend: adjudication SKIPPED — "
+            f"$SPARK_GRAFT_SF_DIR sf {_adjudication_sf()} != sweep sf "
+            f"{cur.get('sf')}; re-run with a matching sf dir"
+        )
+    elif bad:
         # Adjudicate before failing: re-measure each flagged grower in
         # a fresh, idle session. peakExecutionMemory is fair-share
         # accounting (see _merged_peaks) — a REAL blowup (broadcast of
@@ -347,7 +392,47 @@ def _peak_mem_trend() -> bool:
     n = len(_merged_peaks(cur))
     print(f"== peak-mem trend: PASS ({n} queries, no >"
           f"{PEAK_GROWTH_LIMIT}x grower vs prior round)")
+    _proactive_floors(cur, path)
     return True
+
+
+PROACTIVE_FLOOR_TOP_N = 10
+
+
+def _proactive_floors(cur: dict, path: str, top_n: int = PROACTIVE_FLOOR_TOP_N) -> None:
+    """Round-10 (round-9 judge ask #6): record min-of-3 isolated peak
+    floors for the heaviest queries EVERY round, not just for flagged
+    growers — the metric is bimodal (see _merged_peaks), so a sweep
+    sample is a noisy baseline; with floors pre-recorded, the next real
+    blowup is a one-diff detection instead of an adjudication session.
+    Floors overlay the sweep values on both diff sides via
+    _merged_peaks. Never runs at a mismatched sf (same guard as
+    adjudication); telemetry failure just leaves the sweep values."""
+    import json
+
+    if _adjudication_sf() != cur.get("sf"):
+        print("== proactive peak floors: SKIP (sf mismatch vs sweep)")
+        return
+    peaks = _merged_peaks(cur)
+    heaviest = sorted(
+        (q for q, v in peaks.items() if isinstance(v, (int, float))),
+        key=lambda q: -peaks[q],
+    )[:top_n]
+    if not heaviest:
+        print("== proactive peak floors: SKIP (no peak telemetry)")
+        return
+    iso = _isolated_peaks(heaviest)
+    got = {q: v for q, v in iso.items() if isinstance(v, int)}
+    cur.setdefault("peak_mem_isolated", {}).update(got)
+    with open(path, "w") as f:
+        json.dump(cur, f, indent=1)
+        f.write("\n")
+    print(f"== proactive peak floors: recorded {len(got)}/"
+          f"{len(heaviest)} heaviest-query isolated floors")
+    for q in heaviest:
+        v = got.get(q)
+        print(f"   | {q} | sweep {int(peaks[q]) >> 20} MB | floor "
+              f"{(v >> 20) if isinstance(v, int) else 'n/a'} MB |")
 
 
 def main() -> int:

@@ -62,6 +62,23 @@ def record(
         for n, f in existing.items()
         if n in current and current[n] == f
     }
+    # Round-10 (round-9 advisor): a stamp must never outlive its actual
+    # window slot. If the registry grew after the previous record, the
+    # rotation fronts the new names BEFORE the committed window,
+    # displacing the window's tail out of the driver's slots — those
+    # names kept stamps asserting a re-check that never happened. Drop
+    # them from ``kept`` so the stamp file stays honest (they re-front
+    # by row age; staleness breaks ties within their cohort).
+    old_window = fp.load_window(_REPO_ROOT)
+    if old_window:
+        rot_old = set(
+            entry_mod._rotated(
+                registry, checked_fps=kept, committed_window=old_window
+            )[:window]
+        )
+        for n in old_window:
+            if n in registry and n not in rot_old:
+                kept.pop(n, None)
     window_names = entry_mod._rotated(
         registry, checked_fps=kept, committed_window=[]
     )[:window]
@@ -88,28 +105,40 @@ def record(
     return stamps
 
 
-def check(registry: dict | None = None) -> list[str]:
-    """Registry-growth tripwire (round-9, judge ask #8): names that have
-    NEVER had a driver CORRECTNESS row and are NOT in the committed
-    window — i.e. queries the upcoming driver run will not certify.
+def check(registry: dict | None = None, window_size: int = 50) -> list[str]:
+    """Registry-growth tripwire (round-9, judge ask #8), two failure
+    classes, both meaning "the stamp file no longer describes what the
+    driver will actually do — re-run ``record``":
 
-    Round 8 shipped exactly this state (4 new queries behind a stale
-    full window) and it surfaced only at judging. After a fresh
-    ``record`` the list is empty by construction (unchecked names front
-    before the committed window since round 9), so a non-empty result
-    means the registry grew after the last record. Returns the offending
-    names; the CLI and tools/end_of_round.py fail on any."""
+     - names that have NEVER had a driver CORRECTNESS row and are NOT
+       in the committed window (the upcoming driver run won't certify
+       them — round 8 shipped exactly this for 4 queries and it
+       surfaced only at judging);
+     - committed-window names the CURRENT rotation pushes out of the
+       driver's first ``window_size`` slots (round-9 advisor: when the
+       registry grows after record, unchecked names front BEFORE the
+       window and displace its tail — the displaced names keep fresh
+       stamps asserting a re-check that will not happen).
+
+    After a fresh ``record`` both lists are empty by construction.
+    Returns the offending names; the CLI and tools/end_of_round.py
+    fail on any."""
     import __spark_entry__ as entry_mod
     from sales_data_pipeline_spark import fingerprints as fp
     from sales_data_pipeline_spark.queries.base import load_all
 
     if registry is None:
         registry = load_all()
-    window = set(fp.load_window(_REPO_ROOT))
+    window = fp.load_window(_REPO_ROOT)
     with_rows = set(entry_mod._row_rounds())
-    return sorted(
+    missing = [
         n for n in registry if n not in with_rows and n not in window
-    )
+    ]
+    actual_head = set(entry_mod._rotated(registry)[:window_size])
+    displaced = [
+        n for n in window if n in registry and n not in actual_head
+    ]
+    return sorted(set(missing) | set(displaced))
 
 
 def main() -> None:
@@ -123,11 +152,13 @@ def main() -> None:
         if missing:
             print(
                 "FAIL: registry grew since the last record — these "
-                "queries have no driver row and no window slot: "
-                + ", ".join(missing)
+                "queries have no driver row and no window slot, or "
+                "hold a stamp for a window slot the current rotation "
+                "displaces: " + ", ".join(missing)
             )
             raise SystemExit(1)
-        print("OK: every registered query has a driver row or a window slot")
+        print("OK: every registered query has a driver row or a window "
+              "slot, and no stamp outlives its slot")
         return
     stamps = record(args.window, args.also_stamp_green)
     print(f"recorded {len(stamps)} fingerprints")
