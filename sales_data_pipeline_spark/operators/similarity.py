@@ -246,6 +246,21 @@ def ivf_probe_centroid(query: list[float], n: int = N_IVF_CENTROIDS) -> int:
     return best_i
 
 
+def ivf_probe_centroids(
+    query: list[float], nprobe: int = 1, n: int = N_IVF_CENTROIDS
+) -> list[int]:
+    """The ``nprobe`` nearest coarse centroids to the query, ascending
+    by distance (ties to the lower id) — IVF's recall/cost dial: a
+    query near a cell boundary finds boundary-crossing neighbors only
+    when the adjacent cells are probed too. Driver-side plain Python
+    (centroids are literals); nprobe=1 reproduces ivf_probe_centroid."""
+    dists = sorted(
+        (sum((a - b) ** 2 for a, b in zip(query, ivf_centroid(i))), i)
+        for i in range(n)
+    )
+    return [i for _d, i in dists[:nprobe]]
+
+
 def ivf_probe_topk(
     df: DataFrame,
     query: list[float],
@@ -424,21 +439,25 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = N_IVF_CENTROIDS,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ (the FAISS IVFADC composition): coarse-quantize the query
-    on the driver, scan ONLY that centroid's inverted list, and score
-    it through PQ codes with the ADC lookup table — IVF prunes WHICH
-    rows are read (~1/n_centroids, partition-pruned when the corpus is
-    stored partitioned by centroid id), PQ shrinks WHAT scoring reads
-    (2-byte codes vs 256-byte vectors). Together they are the standard
-    billion-scale ANN serving shape: both knobs compose because they
-    cut different costs. Same total order as pq_adc_topk (rounded
-    score, id tie-break)."""
-    probe = ivf_probe_centroid(query, n_centroids)
-    in_cell = df.select(id_col, vec_col).filter(
-        ivf_assign(F.col(vec_col), n_centroids) == probe
+    on the driver, scan ONLY the ``nprobe`` nearest centroids' inverted
+    lists, and score them through PQ codes with the ADC lookup table —
+    IVF prunes WHICH rows are read (~nprobe/n_centroids,
+    partition-pruned when the corpus is stored partitioned by centroid
+    id), PQ shrinks WHAT scoring reads (2-byte codes vs 256-byte
+    vectors). Together they are the standard billion-scale ANN serving
+    shape: both knobs compose because they cut different costs, and
+    each has its own recall dial — nprobe here (certified by
+    ivfpq_nprobe_recall), shortlist size on the PQ side (certified by
+    pq_recall_eval). Same total order as pq_adc_topk (rounded score,
+    id tie-break)."""
+    probes = ivf_probe_centroids(query, nprobe, n_centroids)
+    in_cells = df.select(id_col, vec_col).filter(
+        ivf_assign(F.col(vec_col), n_centroids).isin(probes)
     )
-    return pq_adc_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(in_cells, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def pq_adc_topk_codes(
@@ -466,6 +485,177 @@ def pq_adc_topk_codes(
         term = F.element_at(lut_arr, F.col(f"code_{j}").cast("int") + 1)
         score = term if score is None else score + term
     scored = codes.select(
+        F.col(id_col),
+        (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
+            "adc_dist"
+        ),
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Train per-subspace PQ sub-codebooks with one Lloyd E+M step —
+    the data-dependent codebook the literal ``pq_codeword`` stands in
+    for. Returns (sub, code, t, cval, n): component t of trained
+    codeword ``code`` of sub-codebook ``sub``, plus the cell occupancy.
+
+    Training = k-means per subspace, exactly the kmeans_assign_one_iter
+    determinism recipe applied to PQ (Jegou et al. 2011 train each
+    sub-codebook by independent k-means over the subvectors):
+     - Forgy seeds are DATA POINTS: the ksub lowest-id vectors'
+       subvectors (one TakeOrderedAndProject, packed into a one-row
+       array — the scalar-BNLJ broadcast idiom; seeds never shuffle
+       the corpus side);
+     - the E-step argmin is a per-row left-fold L2 chain against the
+       packed seeds with array_position first-match tie-break;
+     - the M-step mean is the integer-scaled exact-sum pattern:
+       components scale to micro-unit int64 (associative in any shard
+       order), and the mean is two deterministic double divisions —
+       no float sum ever crosses a shuffle.
+
+    One pass over the corpus: the E-step is a narrow codegen
+    projection; the only shuffle is the (m*ksub*subdim)-group integer
+    aggregation — aggregate-sized at any corpus size. A cell that wins
+    no assignments yields no rows (consumers read the cells that
+    exist, mirroring FAISS's empty-cell handling)."""
+    seeds_row = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(ksub)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("i"),
+                            F.col(vec_col).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("s")
+        )
+    )
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * subdim + 1, subdim)
+        d = F.array(
+            *[
+                _fold_l2sq(
+                    sub,
+                    F.slice(F.col("s")[i], j * subdim + 1, subdim),
+                    subdim,
+                )
+                for i in range(ksub)
+            ]
+        )
+        code_cols.append(
+            (F.array_position(d, F.array_min(d)) - 1)
+            .cast("int")
+            .alias(f"code_{j}")
+        )
+    assigned = df.crossJoin(F.broadcast(seeds_row)).select(
+        F.col(vec_col), *code_cols
+    )
+    comp = assigned.select(
+        F.posexplode(vec_col).alias("pos0", "val"),
+        *[F.col(f"code_{j}") for j in range(m)],
+    ).select(
+        F.floor(F.col("pos0") / subdim).cast("int").alias("sub"),
+        F.element_at(
+            F.array(*[F.col(f"code_{j}") for j in range(m)]),
+            F.floor(F.col("pos0") / subdim).cast("int") + 1,
+        ).alias("code"),
+        (F.col("pos0") % subdim).cast("int").alias("t"),
+        F.floor(
+            F.col("val").cast("double") * scale
+            + F.when(F.col("val") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        )
+        .cast("long")
+        .alias("scaled"),
+    )
+    return comp.groupBy("sub", "code", "t").agg(
+        (F.sum("scaled") / float(scale) / F.count("*")).alias("cval"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+def collect_codebook(
+    cb: DataFrame,
+) -> dict[tuple[int, int], list[float]]:
+    """Assemble a stored codebook table (pq_train_codebooks' output,
+    typically read back from parquet) into {(sub, code): codeword}.
+    The table is aggregate-sized (m*ksub*subdim rows at most) — this
+    is the sanctioned driver-side collect of a tiny aggregate, the
+    pca_loadings pattern: the codewords then feed the search plan as
+    literals, keeping scoring whole-stage codegen."""
+    acc: dict[tuple[int, int], dict[int, float]] = {}
+    for row in cb.select("sub", "code", "t", "cval").collect():
+        acc.setdefault((int(row["sub"]), int(row["code"])), {})[
+            int(row["t"])
+        ] = float(row["cval"])
+    return {
+        key: [comps[t] for t in sorted(comps)]
+        for key, comps in acc.items()
+    }
+
+
+def pq_adc_topk_trained(
+    df: DataFrame,
+    query: list[float],
+    codebook: dict[tuple[int, int], list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC top-k over a TRAINED (data-dependent) codebook — the same
+    plan shape as pq_adc_topk, with the codeword literals sourced from
+    ``codebook`` (collect_codebook over the stored table) instead of
+    the deterministic pq_codeword stand-in. This is the demonstration
+    that the PQ operators are codebook-agnostic: encode is still one
+    narrow projection of left-fold distance chains, the ADC LUT is
+    still computed driver-side (query literal x collected codewords,
+    plain Python left folds), and scoring is literal-array lookups in
+    whole-stage codegen. Cells the training left empty simply don't
+    appear in the distance arrays: entries are ordered by code id, so
+    the argmin's first-match position selects the LOWEST code id among
+    distance ties — the tie-break the oracle mirrors with MIN(code)."""
+    s = 10**round_digits
+    score: Column | None = None
+    for j in range(m):
+        entries = sorted(
+            (code, cw) for (sub, code), cw in codebook.items() if sub == j
+        )
+        if not entries:
+            raise ValueError(f"codebook has no cells for subspace {j}")
+        sub = F.slice(F.col(vec_col), j * subdim + 1, subdim)
+        d = F.array(
+            *[l2sq_to_literal(sub, cw) for _code, cw in entries]
+        )
+        lut_vals = []
+        for _code, cw in entries:
+            qsub = query[j * subdim : (j + 1) * subdim]
+            acc = 0.0
+            for a, b in zip(qsub, cw):
+                acc = acc + (a - b) * (a - b)
+            lut_vals.append(acc)
+        lut_arr = F.array(*[F.lit(float(v)) for v in lut_vals])
+        term = F.element_at(
+            lut_arr, F.array_position(d, F.array_min(d)).cast("int")
+        )
+        score = term if score is None else score + term
+    scored = df.select(
         F.col(id_col),
         (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
             "adc_dist"
