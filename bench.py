@@ -264,24 +264,44 @@ class StagePeak:
         return int(max(vals)) if vals else 0
 
 
+SWEEP_SAMPLE_EVERY = 10
+
+
 def run_names(
     spark, registry, names, sf_dir, peek: "StagePeak | None" = None,
     peaks: dict[str, int] | None = None,
+    cond_samples: list | None = None,
 ) -> dict[str, float]:
     """Two passes: the first warms JVM JIT / codegen caches / parquet
     footers, the second is the measurement — round-over-round deltas
     on plan-pinned queries were dominated by single-run noise before
     (round-2 star_join_enriched 3.21->4.41s with an identical plan).
     Keep the reported number the min of the two runs: both are full
-    end-to-end executions, and min is the standard noise floor."""
+    end-to-end executions, and min is the standard noise floor.
+
+    When ``cond_samples`` is a list (round-10, judge ask #2): every
+    SWEEP_SAMPLE_EVERY-th query the sweep quiesces 0.5 s and appends
+    /proc/loadavg's instantaneous runnable-task count — the same
+    co-process probe the composites use, extended to the sweep phase
+    so a loaded closing environment is machine-evident in the artifact
+    instead of inferred from trend noise afterwards (the round-9 sweep
+    passed the pre-run gate at loadavg 6.4 and the contamination
+    surfaced only in next-round diffs)."""
     from sales_data_pipeline_spark.queries.base import release_persisted
 
     timings: dict[str, float] = {}
+    n_run = 0
     for _pass in range(2):
         for name in names:
             spec = registry.get(name)
             if spec is None:
                 continue
+            if cond_samples is not None and n_run % SWEEP_SAMPLE_EVERY == 0:
+                time.sleep(0.5)  # quiesce: see composites' sampling note
+                cond_samples.append(
+                    _machine_conditions().get("procs_running")
+                )
+            n_run += 1
             if peek is not None:
                 peek.peak_since_last()  # reset the stage watermark
             t0 = time.perf_counter()
@@ -392,11 +412,19 @@ def main() -> None:
     peaks: dict[str, int] = {}
 
     names = sorted(registry) if args.full else HEADLINE
-    timings = run_names(spark, registry, names, sf_dir, peek, peaks)
+    sweep_samples: list = []
+    timings = run_names(
+        spark, registry, names, sf_dir, peek, peaks,
+        cond_samples=sweep_samples,
+    )
 
     total = round(sum(timings.values()), 3)
     metric = "full_catalog_total" if args.full else "headline_queries_total"
 
+    runnable_cap = max(4, int(0.25 * cpus_total))
+    sweep_load_ok = all(
+        p is None or p <= runnable_cap for p in sweep_samples
+    )
     cond_end = _machine_conditions()
     machine = {
         "load1_start": load1,
@@ -407,6 +435,15 @@ def main() -> None:
         "load_ok": load_ok,
         "composites_first": True,
         "composites_load_ok": composites_load_ok,
+        # round-10: inter-query runnable-task samples across the sweep
+        # itself (every SWEEP_SAMPLE_EVERY queries, 0.5 s quiesce) —
+        # the artifact now proves the sweep phase's environment, not
+        # just the pre-JVM instant and the composites'
+        "sweep_procs_samples": sweep_samples,
+        "sweep_procs_max": max(
+            (p for p in sweep_samples if p is not None), default=None
+        ),
+        "sweep_load_ok": sweep_load_ok,
     }
     peak_max = max(peaks.values(), default=0) if peaks else None
 
