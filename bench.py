@@ -190,6 +190,21 @@ HEADLINE = [
     "knn_pq_rerank",
     "pq_recall_eval",
     "knn_pq_adc_stored",
+    # round-10: trained PQ codebooks through storage, the nprobe dial's
+    # certified recall curve, and residual-encoded IVFADC (the full
+    # published scheme; per-cell ADC tables)
+    "pq_trained_codebook",
+    "knn_pq_trained_adc",
+    "ivfpq_nprobe_recall",
+    "knn_ivfpq_residual",
+    # round-10: BPE trainer steps (vocab-sized pair stats + greedy
+    # merge), cross-doc duplicated-substring spans, and the bigram-LM
+    # perplexity filter (three explode-heavy text shapes — benched so
+    # shingle-volume regressions surface)
+    "bpe_pair_counts",
+    "bpe_merge_step",
+    "dedup_substring_spans",
+    "bigram_perplexity_scores",
 ]
 
 

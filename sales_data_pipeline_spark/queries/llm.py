@@ -5349,6 +5349,196 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fastText-style linear quality classifier: hashed bag-of-words into
+# NBUCKETS weight slots, document score = mean bucket weight through a
+# sigmoid. Weights are deterministic literals in micro-units (the
+# ivf_centroid trade: the operator is weight-agnostic — a trained
+# model ships as the same integer array — and literals keep both
+# engines bit-identical; integer micro-weights make the per-doc sum
+# associative regardless of shard order).
+_QC_NBUCKETS = 256
+
+
+def _qc_weight_micro(k: int) -> int:
+    return ((k * 37 + 11) % 41 - 20) * 25000
+
+
+_QC_WEIGHTS = [_qc_weight_micro(k) for k in range(_QC_NBUCKETS)]
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 ([{", ".join(str(v) for v in _QC_WEIGHTS)}])[
+                   CAST(CAST('0x' || substr(md5(word), 1, 6) AS BIGINT)
+                        % {_QC_NBUCKETS} AS INTEGER) + 1] AS wm
+          FROM w
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 sum(wm) / 1000000.0 / count(*) AS logit
+          FROM f GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               FLOOR(logit * 10000 + 0.5) / 10000.0 AS logit,
+               FLOOR(1.0 / (1.0 + exp(-logit)) * 10000 + 0.5) / 10000.0
+                 AS prob,
+               (1.0 / (1.0 + exp(-logit))) >= 0.5 AS keep
+        FROM s
+    """,
+    survey="LLM-ext: hashed linear quality classifier (the fastText-"
+    "style keep/drop filter GPT-3/LLaMA-class pipelines run after "
+    "heuristic quality scoring)",
+    doc="Per-document quality probability from a hashed bag-of-words "
+    "linear model: each token hashes (md5, engine-portable) into one "
+    "of 256 weight buckets, the document logit is the mean bucket "
+    "weight, and the probability is its sigmoid — fastText's "
+    "architecture with hashing-trick features, which is exactly what "
+    "the published curation pipelines deploy at corpus scale because "
+    "scoring is embarrassingly parallel: one explode + one broadcast-"
+    "free projection (weights are a literal array, element_at by "
+    "hash) + one partial-agg shuffle on doc_id. Weights are integer "
+    "micro-units so the sum is associative; only the final logit/"
+    "sigmoid round to 4dp. Weights here are deterministic stand-ins "
+    "(the operator is weight-agnostic; a trained model ships as the "
+    "same 256-int array).",
+    tags=("llm",),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
+    warr = F.array(*[F.lit(v) for v in _QC_WEIGHTS])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 6), 16, 10).cast("long")
+        % _QC_NBUCKETS
+    ).cast("int")
+    wm = F.element_at(warr, bucket + 1)
+    logit = F.sum("wm") / 1000000.0 / F.count("*")
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    return (
+        d.select("doc_id", F.explode(tx.words(F.col("text"))).alias("word"))
+        .select("doc_id", wm.alias("wm"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            det_round(logit, 4).alias("logit"),
+            det_round(prob, 4).alias("prob"),
+            (prob >= 0.5).alias("keep"),
+        )
+    )
+
+
+def _sql_sq8_query_literal() -> str:
+    q = similarity.query_vector()
+    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in q) + "]"
+
+
+@query(
+    "knn_sq8_adc",
+    oracle=f"""
+        WITH x AS (
+          SELECT vec_id, j AS dim, CAST(embedding[j] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN generate_series(1, 64) t(j)
+        ),
+        p AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim),
+        pa AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM p
+        ),
+        s AS (
+          SELECT vec_id,
+                 list_reduce(list_transform(
+                   list_transform(generate_series(1, 64), i ->
+                     {_sql_sq8_query_literal()}[i]
+                     - (los[i]
+                        + LEAST(255, GREATEST(0,
+                            floor((CAST(embedding[i] AS DOUBLE) - los[i])
+                                  / (his[i] - los[i]) * 255 + 0.5)))
+                          * (his[i] - los[i]) / 255)),
+                   d -> d * d), (acc, t) -> acc + t) AS dist
+          FROM embeddings CROSS JOIN pa
+        )
+        SELECT vec_id,
+               FLOOR(dist * 1000000 + 0.5) / 1000000.0 AS sq8_dist
+        FROM s
+        ORDER BY sq8_dist ASC, vec_id
+        LIMIT 10
+    """,
+    survey="LLM-ext: scalar-quantization (SQ8) ADC ANN search — the "
+    "4x-compression serving path between raw floats and PQ's 128x "
+    "(operators: per-dim affine quantizer + asymmetric top-k)",
+    doc="SQ8 asymmetric search: each dimension affine-quantizes to "
+    "8 bits against corpus per-dim min/max (the same quantizer "
+    "embedding_int8_quant_error audits), and the full-precision "
+    "query scores against the RECONSTRUCTED corpus — the standard "
+    "middle point of the compression/recall spectrum (FAISS "
+    "IndexScalarQuantizer): 4x smaller scans than raw with near-"
+    "exact recall, vs PQ's 128x with coarser scores. Params are one "
+    "explode + partial agg (64 rows out per partition before the "
+    "shuffle; at 100 TB they come from a sample or incremental "
+    "stats) packed into a 1-row broadcast; scoring is a single "
+    "narrow projection of JVM HOF folds over the literal query; "
+    "top-k is TakeOrderedAndProject. Rounded score + id tie-break.",
+    tags=("llm",),
+)
+def knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim0", "v"))
+    params = x.groupBy("dim0").agg(
+        F.min(F.col("v").cast("double")).alias("lo"),
+        F.max(F.col("v").cast("double")).alias("hi"),
+    )
+    pa = params.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "lo"))),
+            lambda s: s.lo,
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "hi"))),
+            lambda s: s.hi,
+        ).alias("his"),
+    )
+    q = similarity.query_vector()
+    qarr = F.array(*[F.lit(float(v)) for v in q])
+
+    def _term(i: Column) -> Column:
+        lo = F.element_at(F.col("los"), i)
+        hi = F.element_at(F.col("his"), i)
+        v = F.element_at(F.col("embedding"), i).cast("double")
+        code = F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0), F.floor((v - lo) / (hi - lo) * 255 + F.lit(0.5))
+            ),
+        )
+        d = F.element_at(qarr, i) - (lo + code * (hi - lo) / 255)
+        return d * d
+
+    dist = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(similarity.DIM)), _term),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        e.crossJoin(F.broadcast(pa))
+        .select(
+            "vec_id",
+            (F.floor(dist * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+                "sq8_dist"
+            ),
+        )
+        .orderBy(F.asc("sq8_dist"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 @query(
     "embedding_int8_quant_error",
     oracle="""

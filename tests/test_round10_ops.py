@@ -147,6 +147,89 @@ class TestBigramPerplexity:
         }
 
 
+class TestQualityClassifier:
+    def test_matches_hand_model(self, spark, tmp_path):
+        import hashlib
+
+        from sales_data_pipeline_spark.queries.llm import (
+            _QC_NBUCKETS,
+            _qc_weight_micro,
+        )
+
+        rows = [(1, "alpha beta gamma"), (2, "delta alpha")]
+        sf = _docs_dir(spark, tmp_path, rows)
+        expected = {}
+        for i, t in rows:
+            ws = t.split()
+            s = 0
+            for w in ws:
+                b = (
+                    int(hashlib.md5(w.encode()).hexdigest()[:6], 16)
+                    % _QC_NBUCKETS
+                )
+                s += _qc_weight_micro(b)
+            logit = s / 1e6 / len(ws)
+            prob = 1.0 / (1.0 + math.exp(-logit))
+            expected[i] = (
+                len(ws),
+                math.floor(logit * 10000 + 0.5) / 10000.0,
+                math.floor(prob * 10000 + 0.5) / 10000.0,
+                prob >= 0.5,
+            )
+        out = (
+            _registry()["quality_classifier_scores"].fn(spark, sf).collect()
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.logit, r.prob, r.keep) for r in out
+        }
+        assert got == expected
+
+
+class TestSq8Adc:
+    def test_matches_numpy_reimplementation(self, spark):
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        ids = np.array([r.vec_id for r in e])
+        vecs = np.array([list(r.embedding) for r in e], dtype=np.float64)
+        q = np.array(similarity.query_vector())
+        lo, hi = vecs.min(axis=0), vecs.max(axis=0)
+        code = np.clip(
+            np.floor((vecs - lo) / (hi - lo) * 255 + 0.5), 0, 255
+        )
+        recon = lo + code * (hi - lo) / 255
+        dist = ((q - recon) ** 2).sum(axis=1)
+        scored = sorted(
+            (math.floor(d * 1e6 + 0.5) / 1e6, int(i))
+            for d, i in zip(dist, ids)
+        )
+        expected = [(i, d) for d, i in scored[:10]]
+        got = [
+            (r.vec_id, r.sq8_dist)
+            for r in _registry()["knn_sq8_adc"].fn(spark, SF_DIR).collect()
+        ]
+        assert got == expected
+
+    def test_sq8_tracks_exact_neighbors(self, spark):
+        """8-bit scalar quantization is near-exact: its top-10 must
+        share most members with the exact L2 top-10 (sanity that the
+        quantizer is a refinement, not noise)."""
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        ids = np.array([r.vec_id for r in e])
+        vecs = np.array([list(r.embedding) for r in e], dtype=np.float64)
+        q = np.array(similarity.query_vector())
+        exact = ((vecs - q) ** 2).sum(axis=1)
+        top_exact = {
+            int(i)
+            for _d, i in sorted(zip(exact, ids), key=lambda t: (t[0], t[1]))[
+                :10
+            ]
+        }
+        got = {
+            r.vec_id
+            for r in _registry()["knn_sq8_adc"].fn(spark, SF_DIR).collect()
+        }
+        assert len(got & top_exact) >= 8
+
+
 class TestResidualIvfpq:
     def _numpy_reference(self, ids, vecs, query, nprobe=2, k=10):
         """Plain-numpy residual IVFADC: assign cells, residual-encode,
