@@ -9,6 +9,8 @@ import math
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from sales_data_pipeline_spark.operators import similarity
 from sales_data_pipeline_spark.queries.base import load_all
@@ -73,6 +75,69 @@ class TestBpeTrainerSteps:
         assert (row.a, row.b) == ("a", "a")
         assert row.pair_count == 6  # 2 positions x weight 3
         assert row.merge_occurrences == 3  # floor(3/2)=1 merge x 3
+
+
+class TestBpeMergeProperty:
+    """Randomized cross-check of the gaps-and-islands merge count
+    against a DIRECT greedy left-to-right merger — the strongest pin
+    on the ceil(C/2)-per-chain reasoning, over the adversarial
+    two-letter alphabet where runs and overlaps dominate."""
+
+    @staticmethod
+    def _greedy_merges(word: str, a: str, b: str) -> int:
+        i, n, cnt = 0, len(word), 0
+        while i < n - 1:
+            if word[i] == a and word[i + 1] == b:
+                cnt += 1
+                i += 2
+            else:
+                i += 1
+        return cnt
+
+    @classmethod
+    def _reference(cls, words: list[str]):
+        vocab: dict[str, int] = {}
+        for w in words:
+            vocab[w] = vocab.get(w, 0) + 1
+        pairs: dict[tuple[str, str], int] = {}
+        for w, wf in vocab.items():
+            for x, y in zip(w, w[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + wf
+        if not pairs:
+            return None
+        (a, b), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges = sum(
+            cls._greedy_merges(w, a, b) * wf for w, wf in vocab.items()
+        )
+        before = sum(len(w) * wf for w, wf in vocab.items())
+        return (a, b, pc, merges, before, before - merges)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=7),
+            min_size=1,
+            max_size=5,
+        ).filter(lambda ws: any(len(w) >= 2 for w in ws))
+    )
+    def test_matches_direct_greedy(self, spark, tmp_path, words):
+        sf = _docs_dir(spark, tmp_path, [(1, " ".join(words))])
+        row = _registry()["bpe_merge_step"].fn(spark, sf).collect()[0]
+        got = (
+            row.a,
+            row.b,
+            row.pair_count,
+            row.merge_occurrences,
+            row.symbols_before,
+            row.symbols_after,
+        )
+        assert got == self._reference(words)
 
 
 class TestSubstringSpans:
