@@ -205,6 +205,11 @@ HEADLINE = [
     "bpe_merge_step",
     "dedup_substring_spans",
     "bigram_perplexity_scores",
+    # round-11 (advisor): the two round-10 queries HEADLINE omitted —
+    # regressions in the hashed classifier and the SQ8 scorer must
+    # surface per-round, not only under --full
+    "quality_classifier_scores",
+    "knn_sq8_adc",
 ]
 
 

@@ -677,6 +677,65 @@ def simhash_pairs(
     )
 
 
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 14,
+    max_hamming: int = 6,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Near-dup pairs from arbitrary-width integer signatures (up to 62
+    bits) by banded Hamming blocking — the generalization of
+    ``simhash_pairs``'s two-band scheme to wider perceptual hashes
+    (image dHash, 56-bit fingerprints). Pigeonhole: a pair within
+    Hamming distance n_bands-1 shares at least one exact band, so
+    recall is guaranteed at distance < n_bands and partial beyond.
+    Candidates come from the band-key equi-self-join (the only
+    shuffle; candidate volume is bounded by band-bucket sizes, never
+    n²), then exact bit_count(xor) verifies. Returns
+    (id_a, id_b, hamming) with id_a < id_b. All integer ops —
+    bit-identical cross-engine."""
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftright(F.col(sig_col), band_bits * b)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(bands).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def contamination_ratios(
     train: DataFrame,
     bench: DataFrame,

@@ -344,6 +344,65 @@ def frame_energy(
     )
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+DHASH_GRID = 8  # 8x8 grayscale thumbnail grid
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)  # 56: 7 comparisons x 8 rows
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of each media payload — the
+    image near-duplicate signature every multimodal curation pipeline
+    computes after decode+thumbnail (Krawetz's classic dHash: resize to
+    a tiny grayscale grid, hash the sign of horizontal gradients; near-
+    identical images differ in a few bits, so banded Hamming blocking
+    finds dup pairs without an all-pairs join — see
+    operators/dedup.py banded_hamming_pairs).
+
+    The decode+resize step here is the deterministic stand-in the rest
+    of this module uses (a real deployment swaps in the PIL path of
+    ``resize_media``): the "thumbnail" is the first 64 payload bytes
+    zero-padded, read as an 8x8 grayscale grid. The hash itself is the
+    real algorithm: bit k (k = r*7+c) is set iff grid[r][c] >
+    grid[r][c+1] — 56 bits, so the int64 signature stays positive and
+    both engines' BIGINT arithmetic agrees exactly. Vectorized numpy
+    over Arrow batches; payload bytes never hit the driver."""
+    import numpy as np
+
+    n_cells = DHASH_GRID * DHASH_GRID
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pay = pdf[bytes_col].tolist()
+            grid = np.zeros((len(pay), n_cells), dtype=np.int64)
+            for i, p in enumerate(pay):
+                b = np.frombuffer((p or b"")[:n_cells], dtype=np.uint8)
+                grid[i, : b.size] = b
+            g = grid.reshape(-1, DHASH_GRID, DHASH_GRID)
+            bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(-1, DHASH_BITS)
+            powers = np.left_shift(
+                np.int64(1), np.arange(DHASH_BITS, dtype=np.int64)
+            )
+            dh = (bits * powers).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "dhash": pd.Series(dh, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, DHASH_SCHEMA)
+
+
 WAV_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

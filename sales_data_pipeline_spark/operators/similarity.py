@@ -498,6 +498,11 @@ def ivfpq_residual_topk(
     union and the global top-k is one TakeOrderedAndProject — no
     shuffle anywhere before it. Rounded score + id tie-break = total
     order, as every ANN query here."""
+    if nprobe < 1:
+        raise ValueError(
+            f"nprobe must be >= 1 (got {nprobe}): IVF search scans the "
+            "nprobe nearest cells, and probing zero cells has no result"
+        )
     parts: list[DataFrame] = []
     s = 10**round_digits
     for c in ivf_probe_centroids(query, nprobe, n_centroids):

@@ -5458,9 +5458,10 @@ def _sql_sq8_query_literal() -> str:
                    list_transform(generate_series(1, 64), i ->
                      {_sql_sq8_query_literal()}[i]
                      - (los[i]
-                        + LEAST(255, GREATEST(0,
+                        + CASE WHEN his[i] = los[i] THEN 0
+                          ELSE LEAST(255, GREATEST(0,
                             floor((CAST(embedding[i] AS DOUBLE) - los[i])
-                                  / (his[i] - los[i]) * 255 + 0.5)))
+                                  / (his[i] - los[i]) * 255 + 0.5))) END
                           * (his[i] - los[i]) / 255)),
                    d -> d * d), (acc, t) -> acc + t) AS dist
           FROM embeddings CROSS JOIN pa
@@ -5512,11 +5513,17 @@ def knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = F.element_at(F.col("los"), i)
         hi = F.element_at(F.col("his"), i)
         v = F.element_at(F.col("embedding"), i).cast("double")
-        code = F.least(
-            F.lit(255.0),
-            F.greatest(
-                F.lit(0.0), F.floor((v - lo) / (hi - lo) * 255 + F.lit(0.5))
-            ),
+        # degenerate dimension (hi == lo): every value reconstructs to
+        # lo exactly, so the code is DEFINED as 0 rather than resting on
+        # both engines clamping the 0/0 NaN the same way (advisor r10)
+        code = F.when(hi == lo, F.lit(0.0)).otherwise(
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor((v - lo) / (hi - lo) * 255 + F.lit(0.5)),
+                ),
+            )
         )
         d = F.element_at(qarr, i) - (lo + code * (hi - lo) / 255)
         return d * d

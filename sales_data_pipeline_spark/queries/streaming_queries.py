@@ -679,6 +679,65 @@ def streaming_semantic_dedup(
     return spark.read.parquet(f"{work}/verdicts")
 
 
+def _throttle_oracle() -> str:
+    from sales_data_pipeline_spark.queries import timeseries_queries
+
+    return timeseries_queries.THROTTLE_24H_ORACLE
+
+
+@query(
+    "streaming_throttle_events",
+    oracle=_throttle_oracle(),
+    survey="streaming-ext: transformWithState rate limiting "
+    "(streaming/stateful.py throttle_stream — the Spark 4.x "
+    "arbitrary-state API; the streaming twin throttle_events_24h's "
+    "doc promises)",
+    doc="Per-user emit-then-suppress-24h throttling as a STREAM: "
+    "events flow through the stateful throttler with the chain "
+    "position (last emitted timestamp + counters) in per-key state, "
+    "one summary row per user out — rate-limit semantics identical "
+    "to the batch twin throttle_events_24h on the same fixture, "
+    "certified by the SAME recursive-CTE oracle. The operator "
+    "prefers the Spark 4 arbitrary-state API "
+    "(transformWithStateInPandas: RocksDB-backed ValueState + append "
+    "mode + timeMode none) and capability-probes its protobuf "
+    "runtime — absent in this container, so execution here runs the "
+    "IDENTICAL fold through applyInPandasWithState (both paths share "
+    "stateful._fold_throttle; the TWS processor's fold is "
+    "unit-pinned in tests/test_round11_ops.py, the multimodal-codec "
+    "probe pattern). State is one tuple per user (bounded by key "
+    "cardinality, not stream length); within-batch rows sort by "
+    "timestamp before the fold, and cross-batch order carries the "
+    "same per-key-ordered-source contract every sequential-state "
+    "operator has (here: one availableNow file batch).",
+    tags=("streaming",),
+)
+def streaming_throttle_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = ingest.read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = stateful.throttle_stream(ev, gap_us=86_400_000_000)
+    name = ingest.unique_sink_name("throttle_stream")
+    # full-core parallelism for the same reason as the sessionizer:
+    # the per-key Python fold is compute-bound, and transformWithState
+    # requires the RocksDB provider (large_state=True supplies it)
+    with ingest.bounded_state_partitions(
+        spark, n=spark.sparkContext.defaultParallelism
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 # late-bind the oracle: the final table is row-identical to
 # semantic_dedup_incremental's (batch-boundary invariance, see doc),
 # so the streaming run certifies against the same SQL

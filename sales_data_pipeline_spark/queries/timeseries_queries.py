@@ -829,9 +829,12 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "throttle_events_24h",
-    oracle="""
+# Shared by the batch operator below and its streaming twin
+# (queries/streaming_queries.py streaming_throttle_events): both
+# implement the same emit-then-suppress chain, so one oracle certifies
+# both. Extracted verbatim — the string (and thus the batch query's
+# fingerprint) is byte-identical to its pre-extraction form.
+THROTTLE_24H_ORACLE = """
         WITH RECURSIVE ev AS (
           SELECT user_id, CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)
                    * 1000000
@@ -863,7 +866,12 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                      MAX(ts_us) AS last_emit_us
               FROM em GROUP BY user_id) em_agg USING (user_id)
         GROUP BY ev.user_id
-    """,
+    """
+
+
+@query(
+    "throttle_events_24h",
+    oracle=THROTTLE_24H_ORACLE,
     survey="timeseries-ext: event throttling (emit-then-suppress-24h "
     "per key — sequential state no window function expresses; the "
     "alert-dedup / notification-rate-limit operator), via grouped "

