@@ -701,11 +701,16 @@ def _throttle_oracle() -> str:
     "prefers the Spark 4 arbitrary-state API "
     "(transformWithStateInPandas: RocksDB-backed ValueState + append "
     "mode + timeMode none) and capability-probes its protobuf "
-    "runtime — absent in this container, so execution here runs the "
-    "IDENTICAL fold through applyInPandasWithState (both paths share "
-    "stateful._fold_throttle; the TWS processor's fold is "
-    "unit-pinned in tests/test_round11_ops.py, the multimodal-codec "
-    "probe pattern). State is one tuple per user (bounded by key "
+    "runtime AS THE WORKERS WILL SEE IT (the JVM env, not just the "
+    "driver process): under pytest the conftest injects the "
+    "container's standalone protobuf pre-JVM and the REAL "
+    "transformWithState path executes end-to-end "
+    "(tests/test_round11_ops.py pins both the path taken and the "
+    "rows); under a vanilla driver session the probe fails closed "
+    "and the IDENTICAL fold runs through applyInPandasWithState — "
+    "both paths share stateful._fold_throttle, so the oracle "
+    "certifies the same rows either way. State is one tuple per "
+    "user (bounded by key "
     "cardinality, not stream length); within-batch rows sort by "
     "timestamp before the fold, and cross-batch order carries the "
     "same per-key-ordered-source contract every sequential-state "

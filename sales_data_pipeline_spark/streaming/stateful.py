@@ -156,19 +156,86 @@ def _throttle_summary_pdf(user_id: int, chain: tuple) -> pd.DataFrame:
     )
 
 
-def have_transform_with_state() -> bool:
-    """Runtime capability probe for transformWithStateInPandas: the
-    Python-side state client speaks protobuf to the JVM state server,
-    so the API needs the ``google.protobuf`` runtime — absent in some
-    containers (this one). Probed like the PIL codec path
-    (operators/multimodal.py): the operator prefers the real Spark 4
-    API and degrades loudly-documented, never silently wrong."""
-    try:
-        import google.protobuf  # noqa: F401
+# Standalone protobuf runtime locations (shared contract with
+# tests/conftest.py, which injects the same path BEFORE the JVM starts
+# so Python workers inherit it): pip never installed protobuf here, but
+# the container's google-cloud-sdk platform dir ships a plain
+# `google.protobuf` package.
+_PROTOBUF_FALLBACKS = [
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
 
-        return True
+
+def _protobuf_mode() -> str:
+    """'installed' (site-packages, visible to any worker), 'fallback'
+    (importable only through an injected path — workers see it only if
+    the JVM inherited that path pre-launch), or 'none'."""
+    import importlib
+    import os
+    import sys
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        f = getattr(sys.modules.get("google.protobuf"), "__file__", "") or ""
+        in_fallback = any(
+            f.startswith(c + os.sep) for c in _PROTOBUF_FALLBACKS
+        )
+        return "fallback" if in_fallback else "installed"
     except ImportError:
+        pass
+    for cand in _PROTOBUF_FALLBACKS:
+        if os.path.isfile(
+            os.path.join(cand, "google", "protobuf", "__init__.py")
+        ):
+            sys.path.insert(0, cand)
+            # the fallback runtime may trail pyspark's gencode by one
+            # minor version; safe — dependents assert exact values
+            os.environ.setdefault(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+            )
+            importlib.invalidate_caches()
+            try:
+                import google.protobuf.descriptor  # noqa: F401
+
+                return "fallback"
+            except ImportError:
+                return "none"
+    return "none"
+
+
+def have_transform_with_state(spark=None) -> bool:
+    """Runtime capability probe for transformWithStateInPandas: the
+    Python-side state client speaks protobuf to the JVM's state
+    server, and the JVM launches those Python processes with ITS OWN
+    environment — so the probe must answer for the workers, not just
+    this driver process. 'installed' protobuf is visible everywhere;
+    the standalone fallback copy only reaches workers when the running
+    JVM inherited its path in PYTHONPATH before launch (what
+    tests/conftest.py arranges; a vanilla driver session won't have
+    it, and the operator then runs the identical
+    applyInPandasWithState fold instead — same rows, certified by the
+    same oracle). Probed like the PIL codec path
+    (operators/multimodal.py): prefer the real Spark 4 API, degrade
+    loudly-documented, never silently wrong."""
+    import os
+
+    mode = _protobuf_mode()
+    if mode == "installed":
+        return True
+    if mode == "none" or spark is None:
         return False
+    try:
+        jvm_pp = spark._jvm.java.lang.System.getenv("PYTHONPATH") or ""
+    except Exception:
+        return False
+    return any(
+        p
+        and os.path.isfile(
+            os.path.join(p, "google", "protobuf", "__init__.py")
+        )
+        for p in jvm_pp.split(os.pathsep)
+    )
 
 
 def make_throttle_processor(gap_us: int = 86_400_000_000):
@@ -249,7 +316,7 @@ def throttle_stream(
     where the probe fails it runs the identical fold through
     ``applyInPandasWithState``. Both paths share _fold_throttle, so
     the emitted rows are the same either way."""
-    if have_transform_with_state():
+    if have_transform_with_state(events.sparkSession):
         return events.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=make_throttle_processor(gap_us),
             outputStructType=THROTTLE_SUMMARY_SCHEMA,

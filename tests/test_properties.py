@@ -345,3 +345,161 @@ def test_minhash_lsh_finds_exact_duplicates(spark, words, extra):
         for r in dedup.minhash_lsh_pairs(df).collect()
     }
     assert pairs.get((1, 2)) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round 11: multi-merge BPE training vs a direct greedy reference —
+# extends the round-10 single-step pin (tests/test_round10_ops.py
+# TestBpeMergeProperty) to the full N-iteration trainer.
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_train(words: list[str], n: int) -> list[tuple]:
+    """Direct reference BPE trainer: symbol-LIST state, overlapping
+    pair counts, argmax by (-count, a, b), greedy left-to-right apply —
+    the semantics bpe_train_merges encodes via the wrapped-separator
+    string replace."""
+    vocab: dict[str, int] = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + 1
+    state: dict[tuple, int] = {tuple(w): wf for w, wf in vocab.items()}
+    merges: list[tuple] = []
+    for k in range(1, n + 1):
+        pairs: dict[tuple, int] = {}
+        for syms, wf in state.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + wf
+        if not pairs:
+            break
+        (a, b), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k, a, b, pc))
+        new_state: dict[tuple, int] = {}
+        for syms, wf in state.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_state[t] = new_state.get(t, 0) + wf
+        state = new_state
+    return merges
+
+
+def _wrapped_replace_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """The engine's encoding: symbols as a separator-wrapped string,
+    merge = one leftmost-non-overlapping str.replace (Python's replace
+    has the same scan semantics as Spark's and DuckDB's)."""
+    sep = "\x1f"
+    rep = "".join(sep + s + sep for s in syms)
+    rep = rep.replace(sep + a + sep + sep + b + sep, sep + a + b + sep)
+    body = rep[1:-1]
+    return body.split(sep + sep) if body else []
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=4), min_size=1,
+        max_size=8,
+    ),
+    st.text(alphabet="ab", min_size=1, max_size=3),
+    st.text(alphabet="ab", min_size=1, max_size=3),
+)
+def test_wrapped_replace_is_greedy_merge(syms, a, b):
+    """Pure-encoding property (no engine): the wrapped-string replace
+    must equal the direct greedy left-to-right symbol merge for ANY
+    symbol sequence and pair — including runs ('aaa' with pair (a,a)
+    merges every other position) and symbols that are substrings or
+    concatenations of each other (where an unwrapped replace would
+    corrupt boundaries)."""
+    direct: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            direct.append(a + b)
+            i += 2
+        else:
+            direct.append(syms[i])
+            i += 1
+    assert _wrapped_replace_merge(syms, a, b) == direct
+
+
+def test_bpe_train_merges_matches_reference_on_fixture(spark):
+    """End-to-end semantic pin on the real sf0.001 corpus: the
+    registered query's full merge table equals the direct reference
+    trainer run over the same whitespace-token stream."""
+    import re
+
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    sf = "/root/testdata/sf0.001"
+    res = load_all()["bpe_train_merges"].fn(spark, sf).collect()
+    got = sorted(
+        (r.merge_rank, r.a, r.b, r.pair_count) for r in res
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("text")
+    words: list[str] = []
+    for row in docs.collect():
+        words.extend(re.split(r"\s+", row["text"].strip()))
+    assert got == _ref_bpe_train(words, 8)
+    assert len(got) == 8
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    ).filter(lambda ws: any(len(w) >= 2 for w in ws))
+)
+def test_bpe_train_merges_matches_reference_generated(
+    spark, tmp_path, words
+):
+    """The full trainer against the direct reference on generated
+    corpora (runs, overlaps, repeated words). Each example gets a
+    content-keyed sf_dir so workdir.materialized cannot replay a
+    previous example's merge table."""
+    import hashlib
+    import shutil
+
+    key = hashlib.md5(" ".join(words).encode()).hexdigest()[:12]
+    d = tmp_path / f"bpe_{key}"
+    d.mkdir(parents=True, exist_ok=True)
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "en", "crafted", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    try:
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        res = load_all()["bpe_train_merges"].fn(spark, str(d)).collect()
+        got = sorted(
+            (r.merge_rank, r.a, r.b, r.pair_count) for r in res
+        )
+        assert got == _ref_bpe_train(words, 8)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(
+            f"/tmp/spark_graft_mat/bpe_merges8_bpe_{key}",
+            ignore_errors=True,
+        )
