@@ -210,7 +210,55 @@ HEADLINE = [
     # surface per-round, not only under --full
     "quality_classifier_scores",
     "knn_sq8_adc",
+    # round-11: multi-merge BPE training (materialized-artifact read
+    # after the first build), clustered-corpus recall twins (the ANN
+    # dials' design-case curves), perceptual-hash image dedup, WAV
+    # metadata decode, and the transformWithState throttle stream
+    "bpe_train_merges",
+    "pq_recall_eval_clustered",
+    "ivfpq_nprobe_recall_clustered",
+    "image_phash_dedup",
+    "multimodal_wav_meta",
+    "streaming_throttle_events",
 ]
+
+
+# Pre-JVM idle wait (round-11, judge ask #1): BENCH_r10's per-query
+# values carried up to ~40% load noise because the driver launches the
+# bench while its previous step's processes are still draining
+# (load1_start 3.23). The sampling machinery only made that VISIBLE;
+# this makes the artifact CLEAN: before anything else, poll the 1-min
+# load until it falls to idle (or a bounded timeout passes — the
+# driver must always get a parsable line, so this never refuses). The
+# wait itself is recorded in the machine block.
+IDLE_LOAD1_TARGET = 1.5
+IDLE_WAIT_MAX_S = 600.0
+IDLE_POLL_S = 10.0
+
+
+def wait_for_idle(enabled: bool = True) -> dict:
+    t0 = time.monotonic()
+    first = last = None
+    while True:
+        try:
+            last = os.getloadavg()[0]
+        except OSError:
+            last = None
+        if first is None:
+            first = last
+        if (
+            not enabled
+            or last is None
+            or last <= IDLE_LOAD1_TARGET
+            or time.monotonic() - t0 >= IDLE_WAIT_MAX_S
+        ):
+            break
+        time.sleep(IDLE_POLL_S)
+    return {
+        "idle_wait_s": round(time.monotonic() - t0, 1),
+        "load1_before_wait": None if first is None else round(first, 2),
+        "idle_wait_enabled": enabled,
+    }
 
 
 def _machine_conditions() -> dict:
@@ -356,6 +404,11 @@ def main() -> None:
         default=os.path.join(_REPO_ROOT, "BENCH_FULL.json"),
         help="detail artifact path for --full",
     )
+    ap.add_argument(
+        "--no-idle-wait",
+        action="store_true",
+        help="skip the bounded pre-JVM wait for load1 to fall idle",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -365,8 +418,10 @@ def main() -> None:
     from sales_data_pipeline_spark.queries.base import load_all
     from sales_data_pipeline_spark.session import build_session
 
-    # Sample load BEFORE the JVM starts: once Spark is up the bench
-    # itself dominates the load average and the reading proves nothing.
+    # Quiesce, then sample load BEFORE the JVM starts: once Spark is up
+    # the bench itself dominates the load average and the reading
+    # proves nothing.
+    idle_info = wait_for_idle(enabled=not args.no_idle_wait)
     cond_start = _machine_conditions()
     load1 = (cond_start.get("loadavg") or [None])[0]
     cpus_total = cond_start.get("cpus") or 1
@@ -447,6 +502,7 @@ def main() -> None:
     )
     cond_end = _machine_conditions()
     machine = {
+        **idle_info,
         "load1_start": load1,
         "load1_end": (cond_end.get("loadavg") or [None])[0],
         "load1_composites": load1_composites,

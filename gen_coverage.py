@@ -38,6 +38,56 @@ def main() -> None:
         oracle = "✓" if spec.oracle else "rows-only"
         survey = (spec.survey or "—").replace("|", "\\|")
         lines.append(f"| `{name}` | {survey} | {oracle} |")
+    # Standing compensation note (round-10 verdict ask #7): the
+    # rows-only queries are engine-internal (HLL register layouts /
+    # eigensolvers / zlib — no DuckDB twin exists), and each carries
+    # dedicated LOCAL pins holding it to a semantic bar the driver's
+    # weaker rows-only check can't; permanently rows-only by design.
+    rows_only_pins = {
+        "approx_distinct_users": (
+            "HLL++ estimate within 5-sigma of the exact distinct "
+            "computed alongside — tests/test_llm_operators.py::"
+            "test_approx_distinct_within_hll_error_bounds, re-run at "
+            "sf1 in tests/test_multiscale_pins.py"
+        ),
+        "incremental_distinct_sketch": (
+            "per-batch sketches merged == global sketch + error bound "
+            "— tests/test_pipeline_operators.py::"
+            "test_merged_sketches_match_global_and_bound_error, re-run "
+            "at sf1 in tests/test_multiscale_pins.py"
+        ),
+        "embedding_pca_project": (
+            "loadings match numpy.linalg.eigh and projected variance "
+            "descends across components — tests/test_llm_operators.py, "
+            "re-run at sf1 in tests/test_multiscale_pins.py"
+        ),
+        "text_compression_ratio": (
+            "per-document output equals direct zlib level-6 calls — "
+            "tests/test_llm_operators.py::"
+            "test_compression_ratio_matches_zlib, re-run at sf1 in "
+            "tests/test_multiscale_pins.py"
+        ),
+    }
+    missing = {
+        n for n, s in registry.items() if not s.oracle
+    } - set(rows_only_pins)
+    lines += [
+        "",
+        "## Rows-only queries: compensating local pins",
+        "",
+        "These have no SQL-expressible twin, so the driver records a",
+        "weaker rows-only check — compensated by dedicated local tests",
+        "(every pin also re-runs at sf1 via tools/scale_data.py):",
+        "",
+    ]
+    for n in sorted(rows_only_pins):
+        if n in registry:
+            lines.append(f"- `{n}` — {rows_only_pins[n]}")
+    if missing:
+        lines.append(
+            f"- **UNPINNED rows-only queries: {sorted(missing)} — "
+            "add a pin or an oracle.**"
+        )
     lines.append("")
     out = os.path.join(_REPO_ROOT, "COVERAGE.md")
     with open(out, "w") as f:

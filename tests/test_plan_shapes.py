@@ -375,7 +375,11 @@ class TestNoPythonOnHotPath:
                     # sequential per-key state (emit-then-suppress chain)
                     # is the other sanctioned Arrow surface: a sorted
                     # per-partition mapInPandas fold
-                    "throttle_events_24h"}
+                    "throttle_events_24h",
+                    # round-11 codec-boundary additions: WAV header
+                    # decode and the dHash decode+hash pass (the
+                    # banded Hamming join downstream is pure JVM)
+                    "multimodal_wav_meta", "image_phash_dedup"}
         offenders, arrow_misuse = [], []
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags or name in skip:
