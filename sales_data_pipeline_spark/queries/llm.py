@@ -6045,8 +6045,15 @@ def _phash_oracle() -> str:
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _phash_corpus(spark, sf_dir)
     with_bytes = multimodal.attach_binary(corpus, "text", "media_bytes")
-    sigs = multimodal.image_dhash(with_bytes).select(
-        F.col("doc_id").alias("id"), F.col("dhash").alias("sig")
+    # persist the signatures: the banded pairing self-joins them, and
+    # without the cache BOTH join sides would re-run the codec pass
+    # (the expensive decode+hash) — observed as MapInPandas x2 in the
+    # executed plan; with it the second side reads the cached 16-byte
+    # rows (at 100 TB: decode once, join the hashes)
+    sigs = scoped_persist(
+        multimodal.image_dhash(with_bytes).select(
+            F.col("doc_id").alias("id"), F.col("dhash").alias("sig")
+        )
     )
     return dedup.banded_hamming_pairs(
         sigs, n_bands=4, band_bits=14, max_hamming=6
