@@ -6070,20 +6070,18 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-component noise. Every vector sits 0.03-tight around its
 # centroid, so coarse quantization is exact by construction and ADC
 # scores carry real structure.
-_EMB_CLUSTERED_SQL = f"""
-  corpus AS (
+_EMB_CLUSTERED_BODY = f"""
     SELECT vec_id,
            list_transform(generate_series(1, {similarity.DIM}), j ->
              ((((vec_id % 8) * 7 + (j - 1) * 3) % 11) - 5) / 10.0
              + CAST((vec_id * 31 + j * 17) % 7 - 3 AS DOUBLE) * 0.01)
              AS embedding
     FROM embeddings
-  )
 """
 
 
 def _emb_clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark mirror of _EMB_CLUSTERED_SQL: component j (1-based) of
+    """Spark mirror of _EMB_CLUSTERED_BODY: component j (1-based) of
     vector vec_id is ivf_centroid(vec_id % 8)[j-1] — written out as the
     same integer arithmetic both engines fold identically — plus the
     semantic_dedup_eval-family deterministic perturbation at 0.01
@@ -6127,15 +6125,20 @@ def _pq_recall_eval_clustered_oracle() -> str:
                  AS rerank_hits_at_10
         """)
     union = " UNION ALL ".join(branches)
+    # AS MATERIALIZED: each branch references scored/corpus repeatedly
+    # and DuckDB would otherwise INLINE the d-list computation once per
+    # reference — 7x the memory of evaluating it once, enough to OOM a
+    # shared long-lived oracle connection mid-catalog-sweep (observed;
+    # standalone it fits easily)
     return f"""
-        WITH {_EMB_CLUSTERED_SQL},
+        WITH corpus AS MATERIALIZED ({_EMB_CLUSTERED_BODY}),
         d AS (SELECT vec_id, {dl} FROM corpus),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT vec_id,
                  FLOOR(({score}) * 1000000 + 0.5) / 1000000.0 AS adc_dist
           FROM d
         ),
-        exact10 AS (
+        exact10 AS MATERIALIZED (
           SELECT vec_id FROM corpus
           ORDER BY FLOOR({cos} * 1000000 + 0.5) / 1000000.0 DESC, vec_id
           LIMIT 10
@@ -6203,20 +6206,23 @@ def _ivfpq_nprobe_clustered_oracle() -> str:
                  AS adc_hits_at_10
         """)
     union = " UNION ALL ".join(branches)
+    # AS MATERIALIZED: see _pq_recall_eval_clustered_oracle — sc is
+    # referenced twice per nprobe branch (6x total) plus full10; the
+    # inlined form OOM'd a shared oracle connection mid-sweep
     return f"""
-        WITH {_EMB_CLUSTERED_SQL},
+        WITH corpus AS MATERIALIZED ({_EMB_CLUSTERED_BODY}),
         d AS (
           SELECT vec_id, {_sql_ivf_cell_list()} AS cdl, {dl}
           FROM corpus
         ),
-        sc AS (
+        sc AS MATERIALIZED (
           SELECT vec_id,
                  FLOOR(({score}) * 1000000 + 0.5) / 1000000.0 AS adc_dist,
                  CAST(list_position(cdl, list_min(cdl)) - 1 AS INTEGER)
                    AS cell
           FROM d
         ),
-        full10 AS (
+        full10 AS MATERIALIZED (
           SELECT vec_id FROM sc ORDER BY adc_dist ASC, vec_id LIMIT 10
         )
         {union}
