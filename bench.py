@@ -215,6 +215,7 @@ HEADLINE = [
     # dials' design-case curves), perceptual-hash image dedup, WAV
     # metadata decode, and the transformWithState throttle stream
     "bpe_train_merges",
+    "bpe_encode_corpus",
     "pq_recall_eval_clustered",
     "ivfpq_nprobe_recall_clustered",
     "image_phash_dedup",

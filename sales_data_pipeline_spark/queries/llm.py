@@ -6295,6 +6295,19 @@ _BPE_SEP = "\x1f"
 
 
 def _bpe_train_oracle(n: int = _BPE_N_MERGES) -> str:
+    ctes = _bpe_chain_ctes(n)
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, a, b, pair_count "
+        f"FROM t{k}"
+        for k in range(1, n + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n        " + union
+
+
+def _bpe_chain_ctes(n: int = _BPE_N_MERGES) -> list[str]:
+    """The shared training-chain CTE list (uni, s0, then per iteration
+    p_k/t_k/s_k) both BPE oracles replay — the trainer emits t_1..t_n,
+    the encoder applies them to a per-source vocabulary."""
     sep = "chr(31)"
     ctes = [
         _BPE_UNI_SQL,
@@ -6331,12 +6344,7 @@ def _bpe_train_oracle(n: int = _BPE_N_MERGES) -> str:
                    {sep} || a || b || {sep}) AS rep, wf
     FROM s{k - 1} CROSS JOIN t{k}
   )""")
-    union = "\n        UNION ALL ".join(
-        f"SELECT CAST({k} AS INTEGER) AS merge_rank, a, b, pair_count "
-        f"FROM t{k}"
-        for k in range(1, n + 1)
-    )
-    return "WITH " + ",".join(ctes) + "\n        " + union
+    return ctes
 
 
 @query(
@@ -6365,6 +6373,15 @@ def _bpe_train_oracle(n: int = _BPE_N_MERGES) -> str:
     tags=("llm",),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(
+        f"{_bpe_merge_artifact(spark, sf_dir)}/merges"
+    )
+
+
+def _bpe_merge_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the trained merge-table materialization (built once per
+    (artifact, sf) by the training loop; read by bpe_train_merges and
+    applied by bpe_encode_corpus — train once, encode forever)."""
     from sales_data_pipeline_spark.workdir import materialized
 
     def build(path: str) -> None:
@@ -6427,5 +6444,119 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             merges, "merge_rank int, a string, b string, pair_count long"
         ).coalesce(1).write.parquet(f"{path}/merges")
 
-    work = materialized("bpe_merges8", sf_dir, build)
-    return spark.read.parquet(f"{work}/merges")
+    return materialized("bpe_merges8", sf_dir, build)
+
+
+def _bpe_encode_oracle(n: int = _BPE_N_MERGES) -> str:
+    """Replays the training chain (shared CTEs -> t_1..t_n), then
+    applies the same n merges to a per-source vocabulary and aggregates
+    token statistics. Every e_k materializes once (AS MATERIALIZED —
+    the clustered-oracle lesson: DuckDB inlines multiply-referenced
+    CTEs, and a 2n-deep inlined replace chain is quadratic text)."""
+    sep = "chr(31)"
+    ctes = list(_bpe_chain_ctes(n))
+    ctes.append(f"""
+  usrc AS MATERIALIZED (
+    SELECT source, word, count(*) AS wf FROM (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+'))
+               AS word
+      FROM documents
+    ) WHERE length(word) >= 1
+    GROUP BY source, word
+  )""")
+    ctes.append(f"""
+  e0 AS MATERIALIZED (
+    SELECT source, word, wf,
+           array_to_string(list_transform(
+             generate_series(1, length(word)),
+             i -> {sep} || substr(word, CAST(i AS INTEGER), 1) || {sep}),
+             '') AS rep
+    FROM usrc
+  )""")
+    for k in range(1, n + 1):
+        ctes.append(f"""
+  e{k} AS MATERIALIZED (
+    SELECT source, word, wf,
+           replace(rep, {sep} || a || {sep} || {sep} || b || {sep},
+                   {sep} || a || b || {sep}) AS rep
+    FROM e{k - 1} CROSS JOIN t{k}
+  )""")
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT source,
+               CAST(sum(wf) AS BIGINT) AS n_words,
+               CAST(sum(wf * len(string_split(
+                 substr(rep, 2, length(rep) - 2), {sep} || {sep})))
+                 AS BIGINT) AS n_tokens,
+               CAST(sum(wf * length(word)) AS BIGINT) AS n_chars
+        FROM e{n}
+        GROUP BY source
+    """
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    survey="LLM-ext: BPE ENCODING with the trained merge table — the "
+    "apply side of the tokenizer (train bpe_train_merges -> encode "
+    "here), reporting per-source token statistics",
+    doc=f"Applies the stored {_BPE_N_MERGES}-merge table to the corpus "
+    "and reports per-source words / BPE tokens / characters — the "
+    "token-count accounting every training-data pipeline runs after "
+    "training its tokenizer (tokens-per-word falls as merges absorb "
+    "frequent pairs; chars bound the no-merge worst case). Encoding "
+    "runs on the per-(source, word) DISTINCT vocabulary (Heaps-law "
+    "sublinear, the same trick the trainer uses) with the merge table "
+    "read from the materialized training artifact and applied as "
+    f"{_BPE_N_MERGES} chained literal string replaces over the "
+    "separator-wrapped symbol form — the same greedy-equals-replace "
+    "encoding the trainer certifies, so train and encode CANNOT "
+    "disagree on merge semantics. One narrow projection per merge, "
+    "one vocab-sized aggregate; the merge-table collect is 8 rows "
+    "(the sanctioned aggregate-sized artifact read). The oracle "
+    "replays training AND encoding in one CTE chain.",
+    tags=("llm",),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _bpe_merge_artifact(spark, sf_dir)
+    merges = sorted(
+        (r["merge_rank"], r["a"], r["b"])
+        for r in spark.read.parquet(f"{path}/merges").collect()
+    )
+    sep = _BPE_SEP
+    d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
+    sw = (
+        d.select(
+            "source", F.explode(tx.words(F.col("text"))).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("wf"))
+    )
+    rep = F.expr(
+        "concat_ws('', transform(sequence(1, length(word)), "
+        "i -> concat(chr(31), substring(word, i, 1), chr(31))))"
+    )
+    for _k, a, b in merges:
+        rep = F.replace(
+            rep,
+            F.lit(sep + a + sep + sep + b + sep),
+            F.lit(sep + a + b + sep),
+        )
+    n_tok = F.size(
+        F.split(F.expr("substring(r, 2, length(r) - 2)"), sep + sep)
+    )
+    return (
+        sw.withColumn("r", rep)
+        .withColumn("n_tok", n_tok)
+        .groupBy("source")
+        .agg(
+            F.sum("wf").cast("long").alias("n_words"),
+            F.sum(F.col("wf") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.col("wf") * F.length("word"))
+            .cast("long")
+            .alias("n_chars"),
+        )
+    )

@@ -503,3 +503,63 @@ def test_bpe_train_merges_matches_reference_generated(
             f"/tmp/spark_graft_mat/bpe_merges8_bpe_{key}",
             ignore_errors=True,
         )
+
+
+def _ref_bpe_encode(words: list[str], merges: list[tuple]) -> int:
+    """Direct reference encode: apply the merge list in rank order to
+    each word (greedy left-to-right per merge), return total tokens."""
+    total = 0
+    for w in words:
+        syms = list(w)
+        for _k, a, b, _pc in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
+def test_bpe_encode_matches_reference_on_fixture(spark):
+    """Train+encode end-to-end semantic pin: the per-source token
+    totals equal the direct reference (reference trainer's merges
+    applied word-by-word, greedy per rank)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    sf = "/root/testdata/sf0.001"
+    res = {
+        r["source"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in load_all()["bpe_encode_corpus"].fn(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", "text"
+    )
+    all_words: list[str] = []
+    per_source: dict[str, list[str]] = {}
+    for row in docs.collect():
+        ws = [w for w in re.split(r"\s+", row["text"].strip()) if w]
+        all_words.extend(ws)
+        per_source.setdefault(row["source"], []).extend(ws)
+    merges = _ref_bpe_train(all_words, 8)
+    assert set(res) == set(per_source)
+    for src, ws in per_source.items():
+        n_words, n_tokens, n_chars = res[src]
+        assert n_words == len(ws)
+        assert n_chars == sum(len(w) for w in ws)
+        assert n_tokens == _ref_bpe_encode(ws, merges), src
+        # merges strictly shrink the token stream on this corpus
+        assert n_tokens < n_chars
