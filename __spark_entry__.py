@@ -31,13 +31,16 @@ if _REPO_ROOT not in sys.path:
 # mechanism can see (e.g. testdata regeneration, driver-side compare
 # changes).
 _PRIORITY: list[str] = [
-    # EMPTY for round 10. gapfill_daily_revenue (the round-9 entry)
-    # got its green r9 row, so the list returns to empty and every
-    # non-new slot goes to the aging tail — the round-9 verdict's ask
-    # #1 is to drain the 31 remaining r4 rows plus the oldest r5 rows,
-    # and the age-primary tail order fronts exactly that cohort once
-    # tools/fingerprints.py record refreshes the committed window on
-    # the round-10 tree. New round-10 queries self-front as UNCHECKED.
+    # Round 12: queries whose BEHAVIOR (not just a referenced module)
+    # changed this round, all with YOUNG (r11) green rows the
+    # age-primary tail would not re-front for several rounds — the
+    # exact gap _PRIORITY exists for. Each must be re-certified by the
+    # driver against the new code/oracle:
+    "image_phash_dedup",  # inject offset 1e6 -> 2^40 (advisor) +
+    #                       grouped collapse-before-banding (ask #3)
+    "bpe_train_merges",  # oracle LEFT JOIN early-exhaust fix (advisor)
+    "bpe_encode_corpus",  # same oracle chain fix on the encode side
+    "streaming_throttle_events",  # multi-batch sink collapse (advisor)
 ]
 
 

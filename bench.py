@@ -55,6 +55,30 @@ peakExecutionMemory (bytes, from the UI REST API) across the query's
 stages — the trend line that surfaces the next broadcast/state blow-up
 before it's an sf10 crash. Written to the --full artifact; the summary
 line carries only the run-wide max.
+
+Contaminated measurements are RE-RUN, not just flagged (round-12,
+judge ask #2 — BENCH_r10 and BENCH_r11 both recorded driver co-load
+under ``load_ok: true`` because the flags only described the pre-JVM
+instant while the contamination arrived mid-run):
+  1. Per-query: after the two standard passes, any query with a slow
+     NON-warm-up pass whose min is unconfirmed (query_needs_rerun —
+     the warm-up pass is exempt because JIT/codegen legitimately slows
+     it) or whose sweep segment saw > RERUN_RUNNABLE_CAP external
+     runnable tasks gets up to MAX_EXTRA_QUERY_PASSES additional
+     passes, each preceded by a bounded wait for the runnable count to
+     fall idle. min-of-all-passes stays the reported number; every
+     pass is recorded under ``reruns`` so a contaminated history is
+     visible. A global RERUN_BUDGET_S bounds the extra wall (the
+     driver must always get its line).
+  2. Composites: min-of-3 extends pass-by-pass (same idle wait) while
+     the best-two spread exceeds COMPOSITE_SPREAD_LIMIT, up to
+     MAX_EXTRA_COMPOSITE_PASSES extra passes.
+  3. ``load_ok`` in the summary is now the VERDICT, not the pre-JVM
+     annotation: it fails when the pre-run load was high OR any
+     composite's final spread still exceeds the limit after re-runs
+     (the r11 artifact shipped 34/41/48 s composite passes under
+     ``load_ok: true``; that exact state now reads false). The raw
+     pre-JVM reading stays available as ``load_ok_pre``.
 """
 
 from __future__ import annotations
@@ -221,6 +245,12 @@ HEADLINE = [
     "image_phash_dedup",
     "multimodal_wav_meta",
     "streaming_throttle_events",
+    # round-12: the BPE compression curve (single-scan multi-state
+    # aggregate) and image near-dup clustering (CC over the phash pair
+    # graph) — benched so the one-scan stack() plan and the grouped
+    # banding + CC composition can't silently regress
+    "bpe_merge_compression_curve",
+    "image_phash_clusters",
 ]
 
 
@@ -335,11 +365,96 @@ class StagePeak:
 
 SWEEP_SAMPLE_EVERY = 10
 
+# Re-run policy (round-12, judge ask #2) — see module docstring.
+QUERY_SPREAD_LIMIT = 0.15  # best-two relative spread per query
+QUERY_SPREAD_ABS_S = 0.5  # AND the gap must be real wall time: a
+#   0.4 s query jitters 15% from JIT/GC alone (the first smoke run
+#   flagged 61/100 on a provably idle machine); co-load that matters
+#   moves a query by half a second, not eighty milliseconds
+COMPOSITE_SPREAD_LIMIT = 0.20
+RERUN_TIME_FLOOR_S = 0.25  # sub-250ms queries: jitter, not co-load
+RERUN_RUNNABLE_CAP = 2  # idle machine shows 1-2 runnable post-quiesce
+MAX_EXTRA_QUERY_PASSES = 2
+MAX_EXTRA_COMPOSITE_PASSES = 3
+RERUN_BUDGET_S = 420.0
+RUNNABLE_WAIT_MAX_S = 45.0
+RUNNABLE_POLL_S = 3.0
+
+
+def best2_spread(ts: list[float]) -> float:
+    """Relative gap between the two smallest passes — the agreement
+    criterion: two passes that landed on an idle machine agree within
+    noise; a contaminated pass is an outlier above the floor."""
+    s = sorted(ts)
+    if len(s) < 2 or s[0] <= 0:
+        return 0.0
+    return (s[1] - s[0]) / s[0]
+
+
+def query_needs_rerun(ts: list[float]) -> bool:
+    """Per-query contamination test over the ordered pass list
+    (ts[0] = the warm-up pass, ts[1:] = measurement passes).
+
+    Suspicious: some NON-warm-up pass sits above min by more than
+    max(QUERY_SPREAD_ABS_S, QUERY_SPREAD_LIMIT * min) — the warm-up
+    pass is exempt because JIT/codegen legitimately makes it slower
+    (the first smoke of the naive both-pass spread flagged 39-61
+    queries on a provably idle machine, all warm-up deltas), while a
+    measurement pass has no excuse. Both threshold terms are required:
+    the relative one scales to heavy queries, the absolute one keeps
+    sub-second GC jitter quiet.
+
+    Resolved: the min is CONFIRMED by a second pass (any pass,
+    warm-up included) within the same threshold of it — two
+    independent executions agreeing at the floor is the definition of
+    a trustworthy min, so a contaminated middle pass stops mattering
+    once a re-run lands next to the min. Uniform all-pass co-load is
+    invisible to any spread test by construction; that case is what
+    the runnable-count segment sampling (reason 'coload') catches."""
+    if len(ts) < 2:
+        return False
+    m = min(ts)
+    if m <= 0:
+        return False
+    thr = max(QUERY_SPREAD_ABS_S, QUERY_SPREAD_LIMIT * m)
+    suspicious = any(t - m > thr for t in ts[1:])
+    confirmed = sum(1 for t in ts if t - m <= thr) >= 2
+    return suspicious and not confirmed
+
+
+def _runnable_now(quiesce_s: float = 0.5) -> int | None:
+    """Instantaneous external-runnable probe: quiesce so our own JVM's
+    cleanup threads drain (see composites' sampling note), then read
+    /proc/loadavg's running-process count."""
+    time.sleep(quiesce_s)
+    return _machine_conditions().get("procs_running")
+
+
+def wait_runnable_idle(
+    cap: int = RERUN_RUNNABLE_CAP, max_wait_s: float = RUNNABLE_WAIT_MAX_S
+) -> tuple[int | None, float]:
+    """Bounded wait for the external runnable count to fall to idle
+    before a re-run pass — re-running INTO the same co-load would just
+    burn the budget. Returns (last sample, seconds waited); never
+    refuses (the driver must always get a parsable line)."""
+    t0 = time.monotonic()
+    n = _runnable_now()
+    while (
+        n is not None
+        and n > cap
+        and time.monotonic() - t0 < max_wait_s
+    ):
+        time.sleep(RUNNABLE_POLL_S)
+        n = _runnable_now()
+    return n, round(time.monotonic() - t0, 1)
+
 
 def run_names(
     spark, registry, names, sf_dir, peek: "StagePeak | None" = None,
     peaks: dict[str, int] | None = None,
     cond_samples: list | None = None,
+    pass_times: dict[str, list[float]] | None = None,
+    segments: list[tuple[int | None, list[str]]] | None = None,
 ) -> dict[str, float]:
     """Two passes: the first warms JVM JIT / codegen caches / parquet
     footers, the second is the measurement — round-over-round deltas
@@ -355,22 +470,34 @@ def run_names(
     so a loaded closing environment is machine-evident in the artifact
     instead of inferred from trend noise afterwards (the round-9 sweep
     passed the pre-run gate at loadavg 6.4 and the contamination
-    surfaced only in next-round diffs)."""
+    surfaced only in next-round diffs).
+
+    ``pass_times`` (round-12): when a dict, every pass of every query
+    is appended under its name — the re-run phase's spread input.
+    ``segments`` (round-12): when a list, each inter-query runnable
+    sample is recorded with the names run since the previous sample,
+    so a hot sample maps back to exactly the queries it contaminated."""
     from sales_data_pipeline_spark.queries.base import release_persisted
 
     timings: dict[str, float] = {}
     n_run = 0
+    seg_names: list[str] = []
     for _pass in range(2):
         for name in names:
             spec = registry.get(name)
             if spec is None:
                 continue
             if cond_samples is not None and n_run % SWEEP_SAMPLE_EVERY == 0:
-                time.sleep(0.5)  # quiesce: see composites' sampling note
-                cond_samples.append(
-                    _machine_conditions().get("procs_running")
-                )
+                sample = _runnable_now()  # 0.5s quiesce inside
+                cond_samples.append(sample)
+                if segments is not None:
+                    # the sample just taken describes the machine DURING
+                    # the segment that preceded it
+                    if seg_names:
+                        segments.append((sample, seg_names))
+                    seg_names = []
             n_run += 1
+            seg_names.append(name)
             if peek is not None:
                 peek.peak_since_last()  # reset the stage watermark
             t0 = time.perf_counter()
@@ -378,6 +505,8 @@ def run_names(
                 "overwrite"
             ).save()
             elapsed = round(time.perf_counter() - t0, 3)
+            if pass_times is not None:
+                pass_times.setdefault(name, []).append(elapsed)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             if peek is not None and peaks is not None:
@@ -390,7 +519,95 @@ def run_names(
             # scoped intermediates, clearCache = catch-all)
             release_persisted()
             spark.catalog.clearCache()
+    if segments is not None and seg_names:
+        segments.append((_runnable_now(), seg_names))
     return timings
+
+
+def flag_rerun_candidates(
+    pass_times: dict[str, list[float]], segments: list
+) -> dict[str, list[str]]:
+    """Pure selection of the re-run set (unit-pinned): a query above the
+    time floor is flagged with reason 'spread' when its best two passes
+    disagree beyond QUERY_SPREAD_LIMIT, and 'coload' when any sweep
+    segment containing one of its passes sampled more than
+    RERUN_RUNNABLE_CAP external runnable tasks. Sub-floor queries are
+    never flagged — their relative jitter is scheduling noise."""
+    hot: set[str] = set()
+    for sample, seg in segments or []:
+        if sample is not None and sample > RERUN_RUNNABLE_CAP:
+            hot.update(seg)
+    reasons: dict[str, list[str]] = {}
+    for name, ts in pass_times.items():
+        if min(ts) < RERUN_TIME_FLOOR_S:
+            continue
+        why = []
+        if query_needs_rerun(ts):
+            why.append("spread")
+        if name in hot:
+            why.append("coload")
+        if why:
+            reasons[name] = why
+    return reasons
+
+
+def rerun_contaminated(
+    spark, registry, sf_dir,
+    timings: dict[str, float],
+    pass_times: dict[str, list[float]],
+    segments: list,
+) -> dict:
+    """Round-12 per-query re-run phase (judge ask #2): queries whose
+    passes disagree beyond QUERY_SPREAD_LIMIT, or whose sweep segment's
+    runnable sample showed an external co-process, get extra passes on
+    a machine that has been WAITED back to idle — min-of-all-passes
+    stays the reported number, and the full pass history lands in the
+    artifact so a contaminated first attempt is visible, not silently
+    healed. Bounded by RERUN_BUDGET_S: the driver must always get its
+    summary line."""
+    from sales_data_pipeline_spark.queries.base import release_persisted
+
+    reasons = flag_rerun_candidates(pass_times, segments)
+    flagged = list(reasons)
+    detail: dict = {
+        "flagged": len(flagged),
+        "budget_exhausted": False,
+        "queries": {},
+    }
+    t_start = time.monotonic()
+    for name in flagged:
+        if time.monotonic() - t_start > RERUN_BUDGET_S:
+            detail["budget_exhausted"] = True
+            break
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        q = detail["queries"].setdefault(
+            name,
+            {"reason": reasons[name], "extra_passes": [],
+             "procs_pre": [], "waited_s": []},
+        )
+        for _ in range(MAX_EXTRA_QUERY_PASSES):
+            n, waited = wait_runnable_idle()
+            q["procs_pre"].append(n)
+            q["waited_s"].append(waited)
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = round(time.perf_counter() - t0, 3)
+            q["extra_passes"].append(el)
+            pass_times[name].append(el)
+            timings[name] = min(timings[name], el)
+            release_persisted()
+            spark.catalog.clearCache()
+            if not query_needs_rerun(pass_times[name]):
+                break
+    detail["final_spread_ok"] = not any(
+        min(ts) >= RERUN_TIME_FLOOR_S and query_needs_rerun(ts)
+        for ts in pass_times.values()
+    )
+    return detail
 
 
 def main() -> None:
@@ -461,27 +678,59 @@ def main() -> None:
     ):
         passes: list[float] = []
         procs_pre: list = []
-        for _pass in range(3):
+        waited: list[float] = []
+
+        def one_pass(wait_idle: bool) -> None:
             # Let the JVM quiesce (listener bus, cleanup of the prior
             # pass's tasks) so the runnable-count sample reads external
             # processes, not our own job tail — measured 3-7 runnable
             # immediately after a pass on a provably idle machine, 1-2
-            # after half a second.
-            time.sleep(0.5)
-            procs_pre.append(_machine_conditions().get("procs_running"))
+            # after half a second. Re-run passes additionally WAIT for
+            # the external runnable count to fall idle (round-12).
+            if wait_idle:
+                n, w = wait_runnable_idle()
+            else:
+                n, w = _runnable_now(), 0.0
+            procs_pre.append(n)
+            waited.append(w)
             t0 = time.perf_counter()
             runner(spark, inputs)
             passes.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+
+        for _pass in range(3):
+            one_pass(wait_idle=False)
+        # round-12 (judge ask #2): a composite whose best two passes
+        # disagree beyond the limit was measured under co-load — re-run
+        # until they agree or the extra-pass budget runs out, and let
+        # the final spread decide load_ok instead of annotating it
+        extra = 0
+        while (
+            best2_spread(passes) > COMPOSITE_SPREAD_LIMIT
+            and extra < MAX_EXTRA_COMPOSITE_PASSES
+        ):
+            one_pass(wait_idle=True)
+            extra += 1
         composites[cname] = min(passes)
         composites_detail[cname] = {
             "passes": passes,
             "procs_running_pre": procs_pre,
+            "idle_waited_s": waited,
+            "extra_passes": extra,
+            "best2_spread": round(best2_spread(passes), 3),
         }
-    composites_load_ok = load_ok and all(
-        p is None or p <= max(4, int(0.25 * cpus_total))
+    composite_spread_ok = all(
+        d["best2_spread"] <= COMPOSITE_SPREAD_LIMIT
         for d in composites_detail.values()
-        for p in d["procs_running_pre"]
+    )
+    composites_load_ok = (
+        load_ok
+        and composite_spread_ok
+        and all(
+            p is None or p <= max(4, int(0.25 * cpus_total))
+            for d in composites_detail.values()
+            for p in d["procs_running_pre"]
+        )
     )
 
     peek = StagePeak(spark)
@@ -489,9 +738,18 @@ def main() -> None:
 
     names = sorted(registry) if args.full else HEADLINE
     sweep_samples: list = []
+    pass_times: dict[str, list[float]] = {}
+    segments: list = []
     timings = run_names(
         spark, registry, names, sf_dir, peek, peaks,
-        cond_samples=sweep_samples,
+        cond_samples=sweep_samples, pass_times=pass_times,
+        segments=segments,
+    )
+    # round-12 (judge ask #2): re-run, don't just flag — queries whose
+    # passes disagree or whose sweep segment was provably co-loaded get
+    # extra idle-waited passes before the artifact is written
+    reruns = rerun_contaminated(
+        spark, registry, sf_dir, timings, pass_times, segments
     )
 
     total = round(sum(timings.values()), 3)
@@ -509,9 +767,15 @@ def main() -> None:
         "load1_composites": load1_composites,
         "procs_running_start": cond_start.get("procs_running"),
         "cpus": cpus_total,
-        "load_ok": load_ok,
+        # the summary's load_ok is now the VERDICT (round-12): pre-JVM
+        # idle AND every composite's final best-two spread inside the
+        # limit after re-runs. The raw pre-JVM annotation stays as
+        # load_ok_pre for round-over-round comparability.
+        "load_ok": load_ok and composite_spread_ok,
+        "load_ok_pre": load_ok,
         "composites_first": True,
         "composites_load_ok": composites_load_ok,
+        "composite_spread_ok": composite_spread_ok,
         # round-10: inter-query runnable-task samples across the sweep
         # itself (every SWEEP_SAMPLE_EVERY queries, 0.5 s quiesce) —
         # the artifact now proves the sweep phase's environment, not
@@ -521,6 +785,12 @@ def main() -> None:
             (p for p in sweep_samples if p is not None), default=None
         ),
         "sweep_load_ok": sweep_load_ok,
+        # round-12: re-run phase summary (full pass detail in the
+        # --full artifact's ``reruns``; the summary line carries the
+        # counts so the driver-captured tail stays bounded)
+        "reruns_flagged": reruns["flagged"],
+        "reruns_budget_exhausted": reruns["budget_exhausted"],
+        "query_spread_ok": reruns["final_spread_ok"],
     }
     peak_max = max(peaks.values(), default=0) if peaks else None
 
@@ -531,6 +801,7 @@ def main() -> None:
                  "sf": sf, "queries": timings, "composites": composites,
                  "composites_detail": composites_detail,
                  "peak_mem": peaks, "machine": machine,
+                 "reruns": reruns,
                  "conditions": {"start": cond_start, "end": cond_end}},
                 f, indent=1, sort_keys=True,
             )

@@ -740,7 +740,22 @@ def streaming_throttle_events(
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    # The throttler (re-)emits a per-user summary every micro-batch that
+    # touches the user; under availableNow the fixture arrives as ONE
+    # batch, but a multi-batch split (maxFilesPerTrigger, huge part
+    # counts) would append superseded summaries too (round-11 advisor).
+    # Keep only the LATEST summary per user — n_events is strictly
+    # increasing across a user's batches, so max_by is exact, and on
+    # the single-batch run this is a no-op over one row per user.
+    sink = spark.table(name)
+    latest = F.max_by(
+        F.struct("n_events", "n_emitted", "first_emit_us", "last_emit_us"),
+        F.col("n_events"),
+    ).alias("s")
+    return sink.groupBy("user_id").agg(latest).select(
+        "user_id", "s.n_events", "s.n_emitted",
+        "s.first_emit_us", "s.last_emit_us",
+    )
 
 
 # late-bind the oracle: the final table is row-identical to

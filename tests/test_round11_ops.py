@@ -215,8 +215,12 @@ class TestImagePhash:
         assert (1, 3) not in pairs
 
     def test_query_finds_injected_near_dups(self, spark):
-        """Every injected (+1000000, one-byte-perturbed) payload must
-        pair with its source at Hamming <= 2."""
+        """Every injected (+_PHASH_INJECT_OFFSET, one-byte-perturbed)
+        payload must pair with its source at Hamming <= 2."""
+        from sales_data_pipeline_spark.queries.llm import (
+            _PHASH_INJECT_OFFSET as OFF,
+        )
+
         res = _registry()["image_phash_dedup"].fn(spark, SF_DIR).toPandas()
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
             "doc_id", F.length("text").alias("n")
@@ -233,8 +237,8 @@ class TestImagePhash:
             for a, b, h in zip(res["id_a"], res["id_b"], res["hamming"])
         }
         for d in injected:
-            assert (d, d + 1000000) in found, d
-            assert found[(d, d + 1000000)] <= 2
+            assert (d, d + OFF) in found, d
+            assert found[(d, d + OFF)] <= 2
 
 
 # ---------------------------------------------------------------------------
