@@ -6439,10 +6439,18 @@ def _bpe_train_loop(
     entry). Per iteration: one vocab-sized pair aggregation (the only
     shuffle), a 1-row distributed argmax collect (aggregate-sized), and
     one narrow projection applying the merge as a literal string
-    replace; per-iteration persist keeps lineage flat, so per-merge
-    cost stays ~constant as N grows. Returns the merge table rows
-    (rank, a, b, pair_count), stopping early when the vocabulary
-    exhausts."""
+    replace. Returns the merge table rows (rank, a, b, pair_count),
+    stopping early when the vocabulary exhausts.
+
+    Lineage control (found BY the round-12 N-scaling measurement):
+    per-iteration persist caches the DATA but the logical plan still
+    nests one projection per merge, and at N=32 plan analysis alone
+    OOM'd the driver heap building O(N^2) tree strings — the exact
+    failure mode cluster_components hit in round 6. Same fix: every
+    iteration's state goes through dedup._loop_checkpoint (reliable
+    checkpoint on a cluster, localCheckpoint locally), so plan depth is
+    constant and per-merge cost stays flat in N (measured:
+    SCALE_CHECK_BPE_NMERGES.json)."""
     sep = _BPE_SEP
     state = _bpe_uni(spark, sf_dir).select(
         F.expr(
@@ -6454,7 +6462,14 @@ def _bpe_train_loop(
     merges: list[tuple] = []
     prev_state = None
     for k in range(1, n_merges + 1):
-        state = scoped_persist(state)
+        state = dedup._loop_checkpoint(state)
+        # the eager checkpoint above materialized THIS iteration's
+        # state; the previous iteration's blocks are dead weight from
+        # here on — at N=8 the leak was invisible, at N=64+ it is 8x
+        # the state footprint held for nothing
+        if prev_state is not None:
+            prev_state.unpersist()
+        prev_state = state
         sy = F.split(
             F.expr("substring(rep, 2, length(rep) - 2)"), sep + sep
         )
@@ -6487,13 +6502,6 @@ def _bpe_train_loop(
             .select("t.a", "t.b", "t.pair_count")
             .collect()[0]
         )
-        # the argmax action above materialized THIS iteration's state;
-        # the previous iteration's cache is dead weight from here on —
-        # at N=8 the leak was invisible, at N=64+ it is 8x the state
-        # footprint held for nothing (round-12 N-scaling measurement)
-        if prev_state is not None:
-            prev_state.unpersist()
-        prev_state = state
         if top["a"] is None:  # vocabulary fully merged: done early
             break
         merges.append((k, top["a"], top["b"], int(top["pair_count"])))
