@@ -366,11 +366,14 @@ class StagePeak:
 SWEEP_SAMPLE_EVERY = 10
 
 # Re-run policy (round-12, judge ask #2) — see module docstring.
-QUERY_SPREAD_LIMIT = 0.15  # best-two relative spread per query
-QUERY_SPREAD_ABS_S = 0.5  # AND the gap must be real wall time: a
-#   0.4 s query jitters 15% from JIT/GC alone (the first smoke run
-#   flagged 61/100 on a provably idle machine); co-load that matters
-#   moves a query by half a second, not eighty milliseconds
+QUERY_SPREAD_LIMIT = 0.20  # non-warm-up pass vs min, relative
+QUERY_SPREAD_ABS_S = 0.75  # AND the gap must be real wall time.
+#   Calibrated against idle runs: 0.15 rel / 0.5 s abs still flagged
+#   ~24 multi-second ANN queries whose genuine idle run-to-run
+#   variance is ~0.5 s (gaps 2% over the bar, unresolvable by
+#   re-running); 0.20 / 0.75 s lets idle bimodality confirm while the
+#   r11 co-load shape (median 1.28x, i.e. +0.8 s on a 3 s query)
+#   still flags
 COMPOSITE_SPREAD_LIMIT = 0.20
 RERUN_TIME_FLOOR_S = 0.25  # sub-250ms queries: jitter, not co-load
 RERUN_RUNNABLE_CAP = 2  # idle machine shows 1-2 runnable post-quiesce
