@@ -677,6 +677,49 @@ def simhash_pairs(
     )
 
 
+def banded_hamming_sig_pairs(
+    dsig: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 14,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Signature-level near-dup pairs: the banded equi-self-join over a
+    DISTINCT-signature frame (column ``sig``), verified by exact
+    bit_count(xor). Returns (sig_a, sig_b, hamming) with
+    sig_a < sig_b. The shared core of ``banded_hamming_pairs`` (which
+    expands pairs back through group membership) and the sig-level
+    graph consumers (image_phash_clusters runs connected components on
+    THIS frame — one node per distinct signature, no clique edges)."""
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftright(F.col("sig"), band_bits * b)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = dsig.select("sig", F.explode(bands).alias("band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") < F.col("b.sig")),
+        )
+        .select(
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")
+        )
+        .distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def banded_hamming_pairs(
     sigs: DataFrame,
     n_bands: int = 4,
@@ -709,37 +752,11 @@ def banded_hamming_pairs(
     pairs share all bands (always candidates, Hamming 0 <= max), and a
     cross-sig id pair survives iff its unique sig pair shares a band
     and verifies — exactly the old per-id criterion."""
-    mask = (1 << band_bits) - 1
     base = sigs.select(
         F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
     )
-    dsig = base.select("sig").distinct()
-    bands = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.shiftright(F.col("sig"), band_bits * b)
-                .bitwiseAND(F.lit(mask))
-                .cast("string"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = dsig.select("sig", F.explode(bands).alias("band"))
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    sig_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") < F.col("b.sig")),
-        )
-        .select(
-            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")
-        )
-        .distinct()
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
+    sig_pairs = banded_hamming_sig_pairs(
+        base.select("sig").distinct(), n_bands, band_bits, max_hamming
     )
     cross = (
         sig_pairs.join(

@@ -6081,25 +6081,27 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_pairs(spark, sf_dir)
 
 
-def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dHash signatures -> grouped banded Hamming near-dup pairs (the
-    shared pair graph for image_phash_dedup and image_phash_clusters)."""
+def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (id, sig) dHash signature frame over the injected-
+    near-dup corpus. Persisted because every consumer reads it several
+    times (DISTINCT-sig banding, membership expansion, same-sig
+    self-join); without the cache each side would re-run the codec
+    pass (the expensive decode+hash) — observed as MapInPandas x2 in
+    the executed plan before round-11; with it the extra sides read
+    the cached 16-byte rows (at 100 TB: decode once, join the hashes)."""
     corpus = _phash_corpus(spark, sf_dir)
     with_bytes = multimodal.attach_binary(corpus, "text", "media_bytes")
-    # persist the signatures: the grouped banded pairing reads them for
-    # the DISTINCT-sig banding, the membership expansion, and the
-    # same-sig self-join; without the cache each side would re-run the
-    # codec pass (the expensive decode+hash) — observed as
-    # MapInPandas x2 in the executed plan before round-11; with it the
-    # extra sides read the cached 16-byte rows (at 100 TB: decode
-    # once, join the hashes)
-    sigs = scoped_persist(
+    return scoped_persist(
         multimodal.image_dhash(with_bytes).select(
             F.col("doc_id").alias("id"), F.col("dhash").alias("sig")
         )
     )
+
+
+def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash signatures -> grouped banded Hamming near-dup pairs."""
     return dedup.banded_hamming_pairs(
-        sigs, n_bands=4, band_bits=14, max_hamming=6
+        _phash_sigs(spark, sf_dir), n_bands=4, band_bits=14, max_hamming=6
     )
 
 
@@ -6792,15 +6794,66 @@ def _phash_cluster_oracle() -> str:
     doc="Every image in some near-dup pair gets cluster_id = min "
     "doc_id reachable through the banded-Hamming pair graph "
     "(transitive: A~B, B~C clusters A,B,C even if A,C never paired). "
-    "The pair graph is the grouped banded pairing (identical "
-    "signatures collapse before banding; the codec pass runs once "
-    "over persisted signatures); components resolve via the "
-    "exchange-free iterative min-label loop (operators/dedup.py "
-    "cluster_components: per-round persist + checkpoint, one scalar "
-    "convergence collect per round, O(component diameter) rounds — "
-    "image dup components are shallow). The oracle replays the pair "
-    "CTEs and closes them with a recursive transitive-closure CTE.",
+    "Scale shape: connected components run on the SIGNATURE-level "
+    "graph — one node per distinct dHash (labeled with its group's "
+    "min member id), edges from the banded sig self-join — so the "
+    "iterative min-label loop (operators/dedup.py cluster_components: "
+    "exchange-free, one scalar convergence collect per round) never "
+    "carries the quadratic clique edges exact-duplicate groups would "
+    "contribute to a member-level graph; labels broadcast back "
+    "through membership with one linear join, isolated multi-member "
+    "groups (same-sig cliques with no cross edges) keep their own "
+    "group-min. Provably identical output: members of one signature "
+    "are pairwise connected at Hamming 0, so doc-graph reachability "
+    "factors exactly through the sig graph, and min-over-class = "
+    "min over reachable group-mins. The oracle replays the pair CTEs "
+    "and closes them with a recursive transitive-closure CTE.",
     tags=("llm",),
 )
 def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.cluster_components(_phash_pairs(spark, sf_dir))
+    sigs = _phash_sigs(spark, sf_dir)
+    groups = scoped_persist(
+        sigs.groupBy("sig").agg(
+            F.min("id").alias("gmin"), F.count(F.lit(1)).alias("gsize")
+        )
+    )
+    spairs = scoped_persist(
+        dedup.banded_hamming_sig_pairs(
+            groups.select("sig"), n_bands=4, band_bits=14, max_hamming=6
+        )
+    )
+    edges = (
+        spairs.join(
+            groups.select(
+                F.col("sig").alias("sig_a"), F.col("gmin").alias("id_a")
+            ),
+            "sig_a",
+        )
+        .join(
+            groups.select(
+                F.col("sig").alias("sig_b"), F.col("gmin").alias("id_b")
+            ),
+            "sig_b",
+        )
+        .select("id_a", "id_b")
+    )
+    labels = dedup.cluster_components(edges)
+    paired = (
+        spairs.select(F.col("sig_a").alias("sig"))
+        .unionByName(spairs.select(F.col("sig_b").alias("sig")))
+        .distinct()
+        .withColumn("_p", F.lit(1))
+    )
+    eligible = (
+        groups.join(paired, "sig", "left")
+        .filter((F.col("gsize") >= 2) | F.col("_p").isNotNull())
+        .select("sig", "gmin")
+    )
+    return (
+        sigs.join(eligible, "sig")
+        .join(labels.withColumnRenamed("id", "gmin"), "gmin", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", "gmin").alias("cluster_id"),
+        )
+    )
