@@ -379,7 +379,11 @@ class TestNoPythonOnHotPath:
                     # round-11 codec-boundary additions: WAV header
                     # decode and the dHash decode+hash pass (the
                     # banded Hamming join downstream is pure JVM)
-                    "multimodal_wav_meta", "image_phash_dedup"}
+                    "multimodal_wav_meta", "image_phash_dedup",
+                    # round-12: same dHash codec boundary feeding the
+                    # sig-level CC (labels come from a checkpointed
+                    # LogicalRDD; the membership joins are pure JVM)
+                    "image_phash_clusters"}
         offenders, arrow_misuse = [], []
         for name, spec in sorted(load_all().items()):
             if "streaming" in spec.tags or name in skip:
