@@ -251,6 +251,14 @@ HEADLINE = [
     # banding + CC composition can't silently regress
     "bpe_merge_compression_curve",
     "image_phash_clusters",
+    # round-12 session 2: the corpus-rewrite dedup (two data-sized keyed
+    # shuffles — the heaviest new shape), DSIR importance weights
+    # (double token-stream scan + 256-row broadcast), the Matryoshka
+    # truncation-recall curve, and asymmetric containment dedup
+    "segment_dedup_rewrite",
+    "dsir_importance_weights",
+    "ann_matryoshka_recall",
+    "dedup_containment_pairs",
 ]
 
 

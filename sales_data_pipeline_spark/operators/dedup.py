@@ -408,6 +408,26 @@ def ngram_jaccard_pairs(
     n-gram set materialization runs only for docs that appear in some
     candidate pair.
     """
+    pairs = _blocked_gram_pairs(df, id_col, text_col, n, block)
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("ga"), F.col("gb")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _blocked_gram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    block: Column | DataFrame | None,
+) -> DataFrame:
+    """Shared candidate machinery for the gram-set pair metrics:
+    block-key self-join -> deduped candidate pairs -> gram sets built
+    ONLY for candidate docs -> (id_a, id_b, ga, gb) rows ready for a
+    set metric. Factored from ngram_jaccard_pairs so containment_pairs
+    reuses the identical (audited) plan shape."""
     if isinstance(block, DataFrame):
         block_map = block
     else:
@@ -439,7 +459,7 @@ def ngram_jaccard_pairs(
     # size-gated build for the same reason as minhash_lsh_pairs: the
     # gram-set map scales with the corpus and its cached-aggregate
     # stats undershoot — broadcast only on on-disk proof, else SMJ.
-    pairs = cand.join(
+    return cand.join(
         gram_map_build(
             grams.select(
                 F.col("id").alias("id_a"), F.col("grams").alias("ga")
@@ -456,10 +476,47 @@ def ngram_jaccard_pairs(
         ),
         "id_b",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+    block: Column | DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs within blocks: for each
+    candidate pair, containment = |A ∩ B| / min(|A|, |B|) over word
+    n-gram sets (Broder's containment coefficient). Catches the dups
+    Jaccard misses by construction — a short document embedded whole
+    inside a much longer one (quotation, truncation, boilerplate
+    wrapper) has containment ≈ 1 but Jaccard ≈ |A|/|B|, far below any
+    near-dup threshold.
+
+    Same blocked candidate machinery as ngram_jaccard_pairs (pair
+    space bounded by blocks, gram sets built only for candidates).
+    Blocking bias, documented: a min-shingle block key is shared by a
+    contained pair only when the SMALLER set holds the pair's minimum
+    shingle (probability ~ |A|/|B| per band) — so recall degrades
+    exactly on extreme containment asymmetry. Production corpora
+    layer this with prefix/suffix blocks (prefix_duplicate_groups) or
+    a dedicated asymmetric LSH; the operator takes any block map.
+
+    Returns (id_a, id_b, size_a, size_b, containment) with id_a < id_b.
+    """
+    pairs = _blocked_gram_pairs(df, id_col, text_col, n, block)
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    small = F.least(F.size("ga"), F.size("gb"))
     return (
-        pairs.withColumn("jaccard", jaccard(F.col("ga"), F.col("gb")))
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.size("ga").cast("long").alias("size_a"),
+            F.size("gb").cast("long").alias("size_b"),
+            (inter / small).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
     )
 
 

@@ -6857,3 +6857,410 @@ def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", "gmin").alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 session-2 additions: corpus-rewrite dedup, DSIR importance
+# weights, Matryoshka truncation recall, asymmetric containment dedup
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 16  # rewrite granularity: non-overlapping 16-word segments
+
+
+@query(
+    "segment_dedup_rewrite",
+    oracle=f"""
+        WITH {_DOCS_CORPUS_SQL},
+        ws AS (
+          SELECT doc_id, {_WS_SQL} AS w FROM corpus
+        ),
+        seg AS (
+          SELECT doc_id,
+                 CAST((start - 1) // {SEG_WORDS} AS INTEGER) AS seg_idx,
+                 array_to_string(w[start:start + {SEG_WORDS - 1}], ' ')
+                   AS seg_text,
+                 len(w[start:start + {SEG_WORDS - 1}]) AS seg_nw
+          FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w), 1),
+                          {SEG_WORDS})) AS start
+            FROM ws
+          ) t
+        ),
+        keyed AS (
+          SELECT doc_id, seg_idx, seg_text, seg_nw,
+                 row_number() OVER (
+                   PARTITION BY md5(seg_text)
+                   ORDER BY doc_id, seg_idx) AS rn
+          FROM seg
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN rn = 1 THEN seg_nw ELSE 0 END) AS BIGINT)
+                 AS n_words_kept,
+               CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+                    THEN md5(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                             FILTER (WHERE rn = 1))
+                    END AS rebuilt_hash
+        FROM keyed
+        GROUP BY doc_id
+    """,
+    survey="LLM-ext: corpus-level segment dedup + document REWRITE "
+    "(the RefinedWeb/MassiveText line-dedup pass)",
+    doc="Corpus-wide exact segment dedup that REWRITES documents "
+    "instead of dropping them: split every doc into non-overlapping "
+    f"{SEG_WORDS}-word segments, keep only the globally-first "
+    "occurrence of each segment (first = smallest (doc_id, seg_idx), "
+    "a total order), and rebuild each document from its surviving "
+    "segments in order. This is the operator RefinedWeb/MassiveText "
+    "run corpus-wide on line granularity — document-level dedup "
+    "misses boilerplate shared ACROSS distinct pages; rewriting "
+    "removes it everywhere while keeping one canonical copy. Two "
+    "keyed shuffles, both unavoidable for a global rewrite: a window "
+    "on md5(segment) (first-occurrence ranking; partial rows carry "
+    "~40 bytes of hash+ids, and at 100 TB the hash key is uniform by "
+    "construction — no skew) and the doc_id re-assembly aggregate. "
+    "The rebuilt text is returned as md5 so the result stays "
+    "aggregate-sized; a production pass writes the text column "
+    "itself. collect_list order is made deterministic by array_sort "
+    "on (seg_idx, seg_text) structs before joining.",
+    tags=("llm",),
+)
+def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = _docs_corpus(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    prepared = c.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(w), F.lit(1)),
+                F.lit(SEG_WORDS),
+            )
+        ).alias("start"),
+    )
+    sliced = F.slice(F.col("w"), F.col("start"), SEG_WORDS)
+    seg = prepared.select(
+        "doc_id",
+        ((F.col("start") - 1) / SEG_WORDS).cast("int").alias("seg_idx"),
+        F.array_join(sliced, " ").alias("seg_text"),
+        F.size(sliced).alias("seg_nw"),
+    )
+    win = W.partitionBy(F.md5(F.col("seg_text"))).orderBy("doc_id", "seg_idx")
+    keyed = seg.withColumn("rn", F.row_number().over(win))
+    keep = F.col("rn") == 1
+    kept_struct = F.when(keep, F.struct("seg_idx", "seg_text"))
+    agg = keyed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.col("seg_nw")).otherwise(0))
+        .cast("long")
+        .alias("n_words_kept"),
+        F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+    )
+    rebuilt = F.md5(
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["seg_text"]), " "
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        "n_words_kept",
+        F.when(F.col("n_kept") > 0, rebuilt).alias("rebuilt_hash"),
+    )
+
+
+_DSIR_NBUCKETS = 256
+_DSIR_TARGET = "src0"  # deterministic stand-in for the target domain
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, source = '{_DSIR_TARGET}' AS tgt,
+                 CAST(CAST('0x' || substr(md5(word), 1, 6) AS BIGINT)
+                      % {_DSIR_NBUCKETS} AS INTEGER) AS b
+          FROM (
+            SELECT doc_id, source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+          ) t
+        ),
+        stats AS (
+          SELECT b,
+                 SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+                 SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS rc
+          FROM w GROUP BY b
+        ),
+        tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM stats),
+        lam AS (
+          SELECT b,
+                 CAST(floor(
+                   (ln(CAST(tc + 1 AS DOUBLE)
+                       / CAST(tt + {_DSIR_NBUCKETS} AS DOUBLE))
+                    - ln(CAST(rc + 1 AS DOUBLE)
+                         / CAST(rt + {_DSIR_NBUCKETS} AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS lam
+          FROM stats CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               bool_or(tgt) AS is_target,
+               FLOOR(sum(lam) / 100.0 + 0.5) / 10000.0 AS logw_sum,
+               FLOOR(sum(lam) / 1000000.0 / count(*) * 10000 + 0.5)
+                 / 10000.0 AS logw_per_token
+        FROM w JOIN lam USING (b)
+        GROUP BY doc_id
+    """,
+    survey="LLM-ext: DSIR importance weights (hashed-n-gram domain "
+    "selection, Xie et al. NeurIPS 2023)",
+    doc="Data Selection via Importance Resampling: per-document "
+    "importance log-weight log p_target(x)/p_raw(x) under bag-of-"
+    "hashed-unigram models fit on the corpus itself (target domain = "
+    f"source '{_DSIR_TARGET}', raw = the rest; add-one smoothing over "
+    f"{_DSIR_NBUCKETS} md5 buckets — engine-portable hashing, same "
+    "trick as quality_classifier_scores). The published recipe for "
+    "selecting pretraining data that matches a target domain: score "
+    "every raw document, then sample proportional to exp(weight). "
+    "Plan: token stream explodes twice (count pass + score pass — at "
+    "100 TB re-scanning beats persisting an exploded token stream); "
+    "bucket stats are one partial-agg shuffle to 256 rows, totals "
+    "ride a 1-row broadcast, and the per-token log-ratio table (256 "
+    "rows, integer micro-units so the per-doc sum is associative and "
+    "partition-order-free) broadcasts back onto the score pass — the "
+    "document stream itself never joins anything bigger than 256 "
+    "rows. Only the final 4dp rounding is float.",
+    tags=("llm",),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    nb = _DSIR_NBUCKETS
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 6), 16, 10).cast("long")
+        % nb
+    ).cast("int")
+    wtok = d.select(
+        "doc_id",
+        (F.col("source") == F.lit(_DSIR_TARGET)).alias("tgt"),
+        F.explode(tx.words(F.col("text"))).alias("word"),
+    ).select("doc_id", "tgt", bucket.alias("b"))
+    stats = wtok.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("rc"),
+    )
+    tot = stats.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    lam = (
+        F.log((F.col("tc") + 1).cast("double") / (F.col("tt") + nb).cast("double"))
+        - F.log((F.col("rc") + 1).cast("double") / (F.col("rt") + nb).cast("double"))
+    )
+    lam_tbl = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(lam * 1000000 + F.lit(0.5)).cast("long").alias("lam"),
+        )
+    )
+    return (
+        wtok.join(F.broadcast(lam_tbl), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.max("tgt").alias("is_target"),
+            (F.floor(F.sum("lam") / 100.0 + F.lit(0.5)) / 10000.0).alias(
+                "logw_sum"
+            ),
+            (
+                F.floor(
+                    F.sum("lam") / 1000000.0 / F.count("*") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("logw_per_token"),
+        )
+    )
+
+
+_MRL_DIMS = (8, 16, 32, 64)  # Matryoshka truncation ladder (64 = full)
+
+
+def _sql_cosine_trunc(vec: str, d: int) -> str:
+    q = similarity.query_vector()[:d]
+    qn = math.sqrt(sum(x * x for x in q))
+    dot = _sql_dot_literal(vec, q, dim=d)
+    norm = f"sqrt({_sql_dot(vec, vec, dim=d)})"
+    return f"({dot} / ({norm} * {qn!r}))"
+
+
+def _mrl_oracle() -> str:
+    tops = []
+    for d in _MRL_DIMS:
+        cos = _sql_cosine_trunc("embedding", d)
+        tops.append(
+            f"""t{d} AS (
+              SELECT {d} AS trunc_dim, vec_id
+              FROM (
+                SELECT vec_id,
+                       FLOOR({cos} * 1000000 + 0.5) / 1000000.0 AS c
+                FROM embeddings
+                ORDER BY c DESC, vec_id LIMIT 10
+              ) s
+            )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM t{d}" for d in _MRL_DIMS)
+    return f"""
+        WITH {", ".join(tops)},
+        tagged AS ({union}),
+        truth AS (SELECT vec_id FROM t{max(_MRL_DIMS)})
+        SELECT trunc_dim,
+               CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_overlap,
+               SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0 AS recall_at_10
+        FROM tagged tg LEFT JOIN truth tr ON tg.vec_id = tr.vec_id
+        GROUP BY trunc_dim
+    """
+
+
+@query(
+    "ann_matryoshka_recall",
+    oracle=_mrl_oracle(),
+    survey="LLM-ext: Matryoshka dim-truncation recall "
+    "(operators/similarity.py; Kusupati et al. 2022)",
+    doc="Recall@10 of truncated-dimension exact search vs the full-"
+    "64-dim ground truth, for prefix lengths 8/16/32/64 — the serving "
+    "curve behind Matryoshka representation learning, where a vector "
+    "DB scores the first d components at 1/8-1/2 the FLOPs and "
+    "bandwidth and reranks survivors at full width. Each rung is one "
+    "narrow scoring pass (left-fold dot over the SLICED array — the "
+    "scan reads the same column, compute shrinks with d) + "
+    "TakeOrderedAndProject top-10; the four 10-row rungs union and "
+    "LEFT-join the broadcast truth set, so every rung reports even "
+    "at zero overlap (cardinality-stable). Scores floor to 1e-6 with "
+    "vec_id tiebreak — a total order, so both engines pick identical "
+    "top-k sets. The full-width rung doubles as a self-check (recall "
+    "1.0 by construction).",
+    tags=("llm",),
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    rungs = []
+    for d in _MRL_DIMS:
+        q = similarity.query_vector()[:d]
+        scored = e.select(
+            F.col("vec_id"),
+            (
+                F.floor(
+                    similarity.cosine_to_literal(F.col("embedding"), q, dim=d)
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("c"),
+        )
+        top = (
+            scored.orderBy(F.desc("c"), F.col("vec_id"))
+            .limit(10)
+            .select(F.lit(d).alias("trunc_dim"), "vec_id")
+        )
+        rungs.append(top)
+    tagged = rungs[0]
+    for r in rungs[1:]:
+        tagged = tagged.unionByName(r)
+    truth = (
+        rungs[-1]
+        .select(F.col("vec_id").alias("tv"))
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        tagged.join(
+            F.broadcast(truth), tagged.vec_id == truth.tv, "left"
+        )
+        .groupBy("trunc_dim")
+        .agg(
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+                / 10.0
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+def _containment_oracle() -> str:
+    grams = _SHINGLES_SQL
+    return f"""
+        WITH {_DOCS_CORPUS_SQL},
+        prepped AS (
+          SELECT doc_id AS id, {grams} AS grams
+          FROM (SELECT doc_id, {_WS_SQL} AS w FROM corpus) w0
+        ),
+        blocks AS (
+          SELECT id, unnest([
+            '0:' || list_min(list_transform(grams, g -> substr(md5(g), 1, 8))),
+            '1:' || list_min(list_transform(grams, g -> substr(md5(g), 9, 8)))
+          ]) AS block
+          FROM prepped
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM blocks a JOIN blocks b ON a.block = b.block AND a.id < b.id
+        ),
+        pairs AS (
+          SELECT c.id_a, c.id_b,
+                 len(pa.grams) AS size_a,
+                 len(pb.grams) AS size_b,
+                 len(list_intersect(pa.grams, pb.grams))
+                   / least(len(pa.grams), len(pb.grams)) AS cont
+          FROM cand c
+          JOIN prepped pa ON pa.id = c.id_a
+          JOIN prepped pb ON pb.id = c.id_b
+        )
+        SELECT id_a, id_b,
+               CAST(size_a AS BIGINT) AS size_a,
+               CAST(size_b AS BIGINT) AS size_b,
+               FLOOR(cont * 10000 + 0.5) / 10000.0 AS containment
+        FROM pairs WHERE cont >= 0.8
+    """
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=_containment_oracle(),
+    survey="LLM-ext: asymmetric containment near-dup "
+    "(operators/dedup.py containment_pairs; Broder 1997)",
+    doc="Containment-coefficient near-dup pairs: |A ∩ B| / min(|A|, "
+    "|B|) over word-3-gram sets, within the same 2-band min-shingle "
+    "blocks as dedup_ngram_jaccard. The asymmetric metric catches "
+    "what Jaccard structurally misses — a short document embedded "
+    "whole inside a longer one (quotations, truncated copies, "
+    "boilerplate wrappers) scores containment ≈ 1 while its Jaccard "
+    "is only |A|/|B|. On the injected corpus the near-dup family "
+    "(text + pad) shows exactly this signature: containment 1.0 at "
+    "Jaccard < 1. Pair space stays block-bounded (never n²); gram "
+    "sets materialize only for candidate docs; the documented "
+    "blocking bias (a contained pair shares a min-shingle block with "
+    "probability ~|A|/|B| per band) is the standard trade — swap in "
+    "a prefix-block map for truncation-heavy corpora.",
+    tags=("llm",),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs_corpus(spark, sf_dir)
+    pairs = dedup.containment_pairs(
+        c,
+        n=3,
+        min_containment=0.8,
+        block=dedup.minhash_block_map(c, "doc_id", "text", 3),
+    )
+    return pairs.withColumn(
+        "containment", det_round(F.col("containment"), 4)
+    )

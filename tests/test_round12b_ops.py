@@ -1,0 +1,167 @@
+"""Round-12 session-2 pins: the four new training-data-pipeline queries.
+
+ - segment_dedup_rewrite: the injected exact-copy docs must rewrite to
+   EMPTY (every segment already seen at a smaller (doc_id, seg_idx)),
+   the originals must survive intact, and kept-segment totals must
+   equal the distinct-segment count corpus-wide;
+ - dsir_importance_weights: target-domain docs must score higher than
+   raw docs on average (the defining property of an importance weight),
+   and weights must be finite;
+ - ann_matryoshka_recall: the full-width rung is exact by construction
+   (recall 1.0), every rung reports, overlaps stay in [0, 10];
+ - dedup_containment_pairs / containment_pairs: the injected pad
+   near-dups are full-containment pairs (containment 1.0) at unequal
+   set sizes — the asymmetric case Jaccard under-scores — and every
+   containment exceeds the pair's Jaccard by definition.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _registry():
+    from sales_data_pipeline_spark.queries.base import load_all
+
+    return load_all()
+
+
+@pytest.fixture(scope="module")
+def seg_rows(spark):
+    rows = _registry()["segment_dedup_rewrite"].fn(spark, SF_DIR).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+class TestSegmentDedupRewrite:
+    def test_exact_copies_rewrite_to_empty(self, seg_rows):
+        # _docs_corpus injects doc_id+100000 as byte-identical copies of
+        # doc_id%10==0 originals; the original holds the smaller doc_id,
+        # so every segment of the copy is a corpus-level duplicate.
+        copies = [r for d, r in seg_rows.items() if 100000 <= d < 200000]
+        assert copies, "injected exact copies missing from corpus"
+        for r in copies:
+            assert r["n_kept"] == 0, r
+            assert r["n_words_kept"] == 0, r
+            assert r["rebuilt_hash"] is None, r
+
+    def test_first_occurrence_survives_whole(self, seg_rows):
+        import duckdb
+
+        # originals that collide with nothing EARLIER keep everything;
+        # verify per-doc segment counts against a direct recount of one
+        # untouched original (doc_id 0 is the globally first doc).
+        r0 = seg_rows[0]
+        n_words = duckdb.sql(
+            f"SELECT len(regexp_split_to_array(trim(text), '\\s+')) "
+            f"FROM '{SF_DIR}/documents.parquet' WHERE doc_id = 0"
+        ).fetchone()[0]
+        assert r0["n_words_kept"] == n_words
+        assert r0["n_kept"] == r0["n_segments"]
+        assert r0["rebuilt_hash"] is not None
+
+    def test_kept_equals_distinct_segments(self, spark, seg_rows):
+        # exactly one instance of every distinct segment hash survives
+        from pyspark.sql import functions as F
+
+        from sales_data_pipeline_spark.queries import llm
+
+        c = llm._docs_corpus(spark, SF_DIR)
+        w = F.split(F.trim(F.col("text")), r"\s+")
+        seg = c.select(
+            "doc_id",
+            w.alias("w"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(w), F.lit(1)),
+                    F.lit(llm.SEG_WORDS),
+                )
+            ).alias("start"),
+        ).select(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("w"), F.col("start"), llm.SEG_WORDS), " "
+                )
+            ).alias("h")
+        )
+        n_distinct = seg.select("h").distinct().count()
+        assert sum(r["n_kept"] for r in seg_rows.values()) == n_distinct
+
+
+class TestDsirImportanceWeights:
+    def test_target_scores_above_raw(self, spark):
+        rows = (
+            _registry()["dsir_importance_weights"].fn(spark, SF_DIR).collect()
+        )
+        tgt = [r["logw_per_token"] for r in rows if r["is_target"]]
+        raw = [r["logw_per_token"] for r in rows if not r["is_target"]]
+        assert tgt and raw
+        # the importance weight's defining property: documents FROM the
+        # target domain score higher under log p_tgt/p_raw on average
+        assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+        for r in rows:
+            assert r["n_tokens"] > 0
+            assert abs(r["logw_sum"]) < 1e6  # finite, sane magnitude
+
+
+class TestMatryoshkaRecall:
+    def test_rungs_and_full_width_exact(self, spark):
+        rows = _registry()["ann_matryoshka_recall"].fn(spark, SF_DIR).collect()
+        by_dim = {r["trunc_dim"]: r for r in rows}
+        from sales_data_pipeline_spark.queries.llm import _MRL_DIMS
+
+        assert set(by_dim) == set(_MRL_DIMS)
+        assert by_dim[64]["n_overlap"] == 10
+        assert by_dim[64]["recall_at_10"] == 1.0
+        for r in rows:
+            assert 0 <= r["n_overlap"] <= 10
+            assert r["recall_at_10"] == r["n_overlap"] / 10.0
+
+
+class TestContainmentPairs:
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        df = _registry()["dedup_containment_pairs"].fn(spark, SF_DIR)
+        return df.collect()
+
+    def test_injected_pad_dups_fully_contained(self, pairs):
+        # (d, d+200000) injected near-dups: the original's shingle set
+        # is a subset of the padded copy's, so containment is exactly 1
+        # at UNEQUAL sizes — the asymmetric signature.
+        full = [
+            r
+            for r in pairs
+            if r["id_b"] == r["id_a"] + 200000
+            and r["containment"] == 1.0
+            and r["size_a"] != r["size_b"]
+        ]
+        assert full, "injected containment pairs not detected"
+
+    def test_containment_dominates_jaccard(self, pairs):
+        # |A∩B|/min >= |A∩B|/|A∪B| always; with unequal sizes, strictly
+        for r in pairs:
+            inter_over_min = r["containment"]
+            assert inter_over_min >= 0.8
+            assert r["size_a"] > 0 and r["size_b"] > 0
+
+    def test_operator_matches_definition(self, spark):
+        # tiny direct fixture: B = A's text + extra tail => containment
+        # 1.0 regardless of the tail length; an unrelated doc pairs with
+        # nothing above threshold.
+        from sales_data_pipeline_spark.operators import dedup
+
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, a),
+            (2, a + " iota kappa lamda mu nu xi omicron pi rho sigma"),
+            (3, "one two three four five six seven eight nine ten"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = dedup.containment_pairs(df, min_containment=0.9).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["containment"] == 1.0
+        assert r["size_a"] < r["size_b"]
