@@ -259,6 +259,11 @@ HEADLINE = [
     "dsir_importance_weights",
     "ann_matryoshka_recall",
     "dedup_containment_pairs",
+    # round-12 session 2 (batch 2): interpolated Kneser-Ney scoring
+    # (four model tables off one pair-count aggregate) and the
+    # single-shuffle cross-source duplication matrix
+    "kneser_ney_bigram_scores",
+    "cross_source_overlap_matrix",
 ]
 
 

@@ -7264,3 +7264,218 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn(
         "containment", det_round(F.col("containment"), 4)
     )
+
+
+_KN_D = 0.75  # absolute discount (the standard KN default)
+
+
+@query(
+    "kneser_ney_bigram_scores",
+    oracle=f"""
+        WITH ws AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, w[i] AS a, w[i + 1] AS b
+          FROM ws CROSS JOIN LATERAL unnest(
+            generate_series(1, greatest(len(w) - 1, 0))) t(i)
+        ),
+        bgc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+        ctx AS (
+          SELECT a, SUM(c_ab) AS c_a, count(*) AS n1a
+          FROM bgc GROUP BY a
+        ),
+        cont AS (SELECT b, count(*) AS n1b FROM bgc GROUP BY b),
+        tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               FLOOR(sum(CAST(floor(-log2(
+                   (GREATEST(CAST(c_ab AS DOUBLE) - {_KN_D}, 0.0)
+                      / CAST(c_a AS DOUBLE))
+                   + ({_KN_D} * CAST(n1a AS DOUBLE) / CAST(c_a AS DOUBLE))
+                     * (CAST(n1b AS DOUBLE) / t))
+                   * 1000000 + 0.5) AS BIGINT))
+                     / 1000000.0 / count(*) * 10000 + 0.5) / 10000.0
+                 AS kn_bits_per_token
+        FROM bg JOIN bgc USING (a, b) JOIN ctx USING (a)
+                JOIN cont USING (b) CROSS JOIN tt
+        GROUP BY doc_id
+    """,
+    survey="LLM-ext: interpolated Kneser-Ney bigram scoring (the "
+    "KenLM-standard smoothing; bigram_perplexity_scores is the "
+    "add-k baseline)",
+    doc="Per-document bits/token under an interpolated Kneser-Ney "
+    "bigram LM trained on the corpus itself: P(b|a) = max(c(a,b)-D,0)"
+    "/c(a) + D*N1+(a,.)/c(a) * N1+(.,b)/N1+(.,.), D=0.75 — absolute "
+    "discounting plus the continuation-probability backoff that makes "
+    "KN the published standard (KenLM/CCNet ship it; add-k "
+    "systematically over-penalizes fluent text after frequent "
+    "contexts). All four model tables derive from ONE bigram-count "
+    "aggregate: context totals and continuation fan-out (N1+(a,.)) "
+    "are a regroup of the pair counts, left-context fan-in (N1+(.,b)) "
+    "another, and the type total rides a 1-row broadcast — so "
+    "training adds two aggregate-sized shuffles on top of the pair "
+    "count, never a second corpus scan. Scoring joins the tables "
+    "back size-gated-broadcast onto the bigram stream; surprisals "
+    "floor to micro-unit integers before the per-doc sum "
+    "(associative, shard-order-proof).",
+    tags=("llm",),
+)
+def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
+    bg = (
+        dedup.shingle_rows(d, "doc_id", "text", 2)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.split(F.col("sh"), " ").getItem(0).alias("a"),
+            F.split(F.col("sh"), " ").getItem(1).alias("b"),
+        )
+        .filter(F.col("b").isNotNull() & (F.col("b") != ""))
+    )
+    bgc = scoped_persist(bg.groupBy("a", "b").agg(F.count("*").alias("c_ab")))
+    ctx = bgc.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1a")
+    )
+    cont = bgc.groupBy("b").agg(F.count("*").alias("n1b"))
+    tt = bgc.agg(F.count("*").cast("double").alias("t"))
+    p = (
+        F.greatest(
+            F.col("c_ab").cast("double") - F.lit(_KN_D), F.lit(0.0)
+        )
+        / F.col("c_a").cast("double")
+    ) + (
+        F.lit(_KN_D) * F.col("n1a").cast("double") / F.col("c_a").cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("t"))
+    term = F.floor(-F.log2(p) * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        bg.join(gated_broadcast(bgc, cached=True), ["a", "b"])
+        .join(gated_broadcast(ctx), "a")
+        .join(gated_broadcast(cont), "b")
+        .crossJoin(F.broadcast(tt))
+        .withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("term") / 1000000.0 / F.count("*") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("kn_bits_per_token"),
+        )
+    )
+
+
+@query(
+    "cross_source_overlap_matrix",
+    oracle="""
+        WITH ws AS (
+          SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        sg AS (
+          SELECT DISTINCT source, array_to_string(w[i:i + 2], ' ') AS g
+          FROM ws CROSS JOIN LATERAL unnest(
+            generate_series(1, greatest(len(w) - 2, 1))) t(i)
+        ),
+        tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+        shared AS (
+          SELECT x.source AS src_a, y.source AS src_b,
+                 count(*) AS shared_shingles
+          FROM sg x JOIN sg y
+            ON x.g = y.g AND x.source < y.source
+          GROUP BY x.source, y.source
+        )
+        SELECT src_a, src_b,
+               CAST(shared_shingles AS BIGINT) AS shared_shingles,
+               CAST(ta.n AS BIGINT) AS n_a,
+               CAST(tb.n AS BIGINT) AS n_b,
+               FLOOR(shared_shingles / least(ta.n, tb.n) * 10000 + 0.5)
+                 / 10000.0 AS overlap
+        FROM shared
+        JOIN tot ta ON ta.source = src_a
+        JOIN tot tb ON tb.source = src_b
+    """,
+    survey="LLM-ext: cross-source duplication matrix (corpus-mixture "
+    "diagnostics)",
+    doc="Pairwise shingle-overlap matrix between corpus sources: for "
+    "every source pair, how many distinct word-3-gram shingles they "
+    "share, normalized by the smaller source's shingle vocabulary "
+    "(overlap coefficient). The mixture-health report a curation run "
+    "reads before setting sampling weights — two sources with high "
+    "overlap are mirrors/re-crawls of each other, and sampling both "
+    "at full weight double-counts their content (the cross-SOURCE "
+    "twin of benchmark_contamination's corpus-vs-benchmark check). "
+    "Plan: one corpus scan -> ONE data-sized shuffle (groupBy "
+    "shingle with a map-side-combining collect_set of sources — the "
+    "partial sets are bounded by S, so the exchange carries at most "
+    "S source tags per shingle, not occurrence rows), then the "
+    "S(S-1)/2 pair expansion happens IN-ROW with array HOFs (sorted "
+    "source set -> ordered pairs) — no self-join, no second "
+    "shuffle of shingle data. Per-source totals re-read the same "
+    "persisted per-shingle aggregate; matrix cells and the two "
+    "S-row broadcast normalizer joins are aggregate-sized at any "
+    "corpus scale.",
+    tags=("llm",),
+)
+def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(
+        table(spark, sf_dir, "documents").select("source", "text"), "source"
+    )
+    sh = dedup.shingle_rows(d, "source", "text", 3)
+    per_g = scoped_persist(
+        sh.groupBy("sh").agg(
+            F.array_sort(F.collect_set("id")).alias("ss")
+        )
+    )
+    tot = (
+        per_g.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ss"),
+                    i + F.lit(2),
+                    F.greatest(F.size("ss") - i - 1, F.lit(0)),
+                ),
+                lambda b: F.struct(
+                    a.alias("src_a"), b.alias("src_b")
+                ),
+            ),
+        )
+    )
+    shared = (
+        per_g.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared_shingles").cast("long").alias("shared_shingles"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.floor(
+                    F.col("shared_shingles")
+                    / F.least(F.col("n_a"), F.col("n_b"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("overlap"),
+        )
+    )

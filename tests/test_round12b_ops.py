@@ -165,3 +165,80 @@ class TestContainmentPairs:
         assert (r["id_a"], r["id_b"]) == (1, 2)
         assert r["containment"] == 1.0
         assert r["size_a"] < r["size_b"]
+
+
+class TestKneserNey:
+    def test_same_bigram_stream_as_addk_baseline(self, spark):
+        # identical extraction => identical per-doc bigram counts; only
+        # the smoothing differs between the two LM scorers
+        kn = {
+            r["doc_id"]: r
+            for r in _registry()["kneser_ney_bigram_scores"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        addk = {
+            r["doc_id"]: r["n_bigrams"]
+            for r in _registry()["bigram_perplexity_scores"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(kn) == set(addk)
+        for d, r in kn.items():
+            assert r["n_bigrams"] == addk[d]
+            # interpolated KN assigns every seen bigram P in (0, 1]
+            assert 0.0 <= r["kn_bits_per_token"] < 64
+
+    def test_discount_reserves_probability_mass(self):
+        import duckdb
+
+        # model-level invariant: for every context a, the sum of
+        # interpolated-KN P(b|a) over SEEN continuations is <= 1
+        # (strictly < 1 whenever the discount withheld mass that the
+        # continuation distribution spreads over unseen words too)
+        top = duckdb.sql(
+            f"""
+            WITH ws AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM '{SF_DIR}/documents.parquet'
+            ),
+            bg AS (
+              SELECT w[i] AS a, w[i+1] AS b
+              FROM ws CROSS JOIN LATERAL unnest(
+                generate_series(1, greatest(len(w) - 1, 0))) t(i)
+            ),
+            bgc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+            ctx AS (SELECT a, SUM(c_ab) AS c_a, count(*) AS n1a
+                    FROM bgc GROUP BY a),
+            cont AS (SELECT b, count(*) AS n1b FROM bgc GROUP BY b),
+            tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bgc)
+            SELECT a, SUM(
+              GREATEST(CAST(c_ab AS DOUBLE) - 0.75, 0.0) / c_a
+              + (0.75 * n1a / c_a) * (n1b / t)) AS mass
+            FROM bgc JOIN ctx USING (a) JOIN cont USING (b) CROSS JOIN tt
+            GROUP BY a ORDER BY mass DESC LIMIT 5
+            """
+        ).fetchall()
+        assert top
+        for _, mass in top:
+            assert mass <= 1.0 + 1e-9
+
+
+class TestCrossSourceOverlap:
+    def test_matrix_shape_and_normalizers(self, spark):
+        import duckdb
+
+        rows = (
+            _registry()["cross_source_overlap_matrix"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        n_src = duckdb.sql(
+            f"SELECT count(DISTINCT source) "
+            f"FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        assert 0 < len(rows) <= n_src * (n_src - 1) // 2
+        for r in rows:
+            assert r["src_a"] < r["src_b"]
+            assert 0 < r["shared_shingles"] <= min(r["n_a"], r["n_b"])
+            assert 0.0 < r["overlap"] <= 1.0
