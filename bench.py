@@ -264,6 +264,11 @@ HEADLINE = [
     # single-shuffle cross-source duplication matrix
     "kneser_ney_bigram_scores",
     "cross_source_overlap_matrix",
+    # round-12 session 2 (batch 3): Zipf rank-frequency fit (closed-form
+    # regression on integer micro-sums) and per-label embedding outlier
+    # top-k (integer-moment Mahalanobis, two-level exact top-k)
+    "token_zipf_fit",
+    "embedding_outlier_scores",
 ]
 
 

@@ -7479,3 +7479,245 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+_ZIPF_TOPK = 100
+
+
+@query(
+    "token_zipf_fit",
+    oracle=f"""
+        WITH wc AS (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+          ) GROUP BY word
+        ),
+        top AS (
+          SELECT word, cnt FROM wc
+          ORDER BY cnt DESC, word LIMIT {_ZIPF_TOPK}
+        ),
+        ranked AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+          FROM top
+        ),
+        pts AS (
+          SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5)
+                   AS BIGINT) AS xi,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5)
+                   AS BIGINT) AS yi
+          FROM ranked
+        ),
+        sums AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(xi) AS DOUBLE) / 1000000.0 AS sx,
+                 CAST(SUM(yi) AS DOUBLE) / 1000000.0 AS sy,
+                 CAST(SUM(xi * xi) AS DOUBLE) / 1000000000000.0 AS sxx,
+                 CAST(SUM(xi * yi) AS DOUBLE) / 1000000000000.0 AS sxy,
+                 CAST(SUM(yi * yi) AS DOUBLE) / 1000000000000.0 AS syy
+          FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_top,
+               FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     * 10000 + 0.5) / 10000.0 AS zipf_slope,
+               FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n * 10000 + 0.5) / 10000.0 AS zipf_intercept,
+               CASE WHEN (n * syy - sy * sy) = 0 THEN NULL
+                    ELSE FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         * 10000 + 0.5) / 10000.0 END AS r2
+        FROM sums
+    """,
+    survey="LLM-ext: Zipf rank-frequency fit (corpus-health statistic)",
+    doc="Least-squares fit of log-frequency vs log-rank over the top-"
+    f"{_ZIPF_TOPK} words — the Zipf slope every corpus datasheet "
+    "reports (natural text sits near -1; template spam and synthetic "
+    "soup bend it). One vocabulary aggregate, top-k via "
+    "TakeOrderedAndProject (never a full sort), the ranking window "
+    "rides the sanctioned single-bucket-over-limit idiom (input "
+    f"bounded at {_ZIPF_TOPK} rows by the limit, audited in "
+    "BOUNDED_INPUT_OK), and the regression reduces to one closed-"
+    "form row. ln() values floor to micro-int BEFORE the sums, so "
+    "every aggregate is an integer sum — associative, shard-order-"
+    "proof — and both engines evaluate the identical closed form on "
+    "identical integers.",
+    tags=("llm",),
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tx.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(_ZIPF_TOPK)
+    # single-bucket window over the limit output (see hybrid_search_rrf:
+    # non-foldable cnt % 1 key documents the bounded single task)
+    wr = W.partitionBy(F.col("cnt") % 1).orderBy(
+        F.desc("cnt"), F.asc("word")
+    )
+    ranked = top.select(
+        "cnt", F.row_number().over(wr).alias("rnk")
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("xi"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("yi"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("xi").cast("double") / 1000000.0).alias("sx"),
+        (F.sum("yi").cast("double") / 1000000.0).alias("sy"),
+        (F.sum(F.col("xi") * F.col("xi")).cast("double") / 1e12).alias("sxx"),
+        (F.sum(F.col("xi") * F.col("yi")).cast("double") / 1e12).alias("sxy"),
+        (F.sum(F.col("yi") * F.col("yi")).cast("double") / 1e12).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("long").alias("n_top"),
+        (F.floor(slope * 10000 + F.lit(0.5)) / 10000.0).alias("zipf_slope"),
+        (F.floor((sy - slope * sx) / n * 10000 + F.lit(0.5)) / 10000.0).alias(
+            "zipf_intercept"
+        ),
+        (
+            # a perfectly flat frequency head (all top-k counts equal,
+            # possible on synthetic corpora) has zero y-variance: r2 is
+            # undefined there, not a division-by-zero
+            F.when(
+                (n * syy - sy * sy) != 0,
+                F.floor(
+                    (n * sxy - sx * sy)
+                    * (n * sxy - sx * sy)
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0,
+            )
+        ).alias("r2"),
+    )
+
+
+@query(
+    "embedding_outlier_scores",
+    oracle="""
+        WITH x AS (
+          SELECT vec_id, label, j,
+                 CAST(floor(CAST(embedding[j] AS DOUBLE) * 10000 + 0.5)
+                   AS BIGINT) AS xs
+          FROM embeddings CROSS JOIN generate_series(1, 64) t(j)
+        ),
+        st AS (
+          SELECT label, j, SUM(xs) AS sx, SUM(xs * xs) AS sxx,
+                 count(*) AS n
+          FROM x GROUP BY label, j
+        ),
+        st2 AS (
+          SELECT label, j,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                 CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+          FROM st
+        ),
+        t AS (
+          SELECT vec_id, x.label AS label,
+                 CAST(floor(
+                   (CAST(xs AS DOUBLE) - mu) * (CAST(xs AS DOUBLE) - mu)
+                   / (var + 1.0) * 1000000 + 0.5) AS BIGINT) AS ti
+          FROM x JOIN st2 ON x.label = st2.label AND x.j = st2.j
+        ),
+        s AS (SELECT vec_id, label, SUM(ti) AS si FROM t
+              GROUP BY vec_id, label),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY si DESC, vec_id) AS rnk
+          FROM s
+        )
+        SELECT label, vec_id,
+               FLOOR(si / 100.0 + 0.5) / 10000.0 AS outlier_score,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM r WHERE rnk <= 10
+    """,
+    survey="LLM-ext: embedding-space outlier detection (per-label "
+    "diagonal Mahalanobis; noisy-sample pruning)",
+    doc="Top-10 outliers per label by diagonal Mahalanobis distance to "
+    "the label's centroid: per-(label, dim) mean/variance fitted on "
+    "the corpus, per-vector score = sum over dims of (x-mu)^2/"
+    "(var+eps) — the embedding-space mislabel/noise filter curation "
+    "runs before training on labeled or clustered data. Float "
+    "discipline is fully integer: components quantize to 1e-4 units "
+    "BEFORE the moment sums (exact BIGINT aggregates in any order), "
+    "mu/var derive from those integers identically in both engines, "
+    "and per-dim score terms floor to micro-ints before the per-"
+    "vector sum. Plan: one posexplode scan -> (label, dim) partial-"
+    "agg shuffle (labels x 64 rows), stats broadcast back, per-"
+    "vector aggregate, then EXACT two-level top-k (per-(label, "
+    "vec_id%64) partial top-10, merge over <=640 candidates per "
+    "label) so no single window task ever holds a label's full "
+    "score set — the source_top_tokens discipline.",
+    tags=("llm",),
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("j0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("j0") + 1).alias("j"),
+        F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("xs"),
+    )
+    st = x.groupBy("label", "j").agg(
+        F.sum("xs").alias("sx"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    var = F.col("sxx").cast("double") / F.col("n").cast("double") - mu * mu
+    st2 = st.select("label", "j", mu.alias("mu"), var.alias("var"))
+    d = F.col("xs").cast("double") - F.col("mu")
+    ti = F.floor(
+        d * d / (F.col("var") + F.lit(1.0)) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    s = (
+        x.join(F.broadcast(st2), ["label", "j"])
+        .select("vec_id", "label", ti.alias("ti"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("ti").alias("si"))
+    )
+    w1 = W.partitionBy("label", F.col("vec_id") % 64).orderBy(
+        F.desc("si"), F.asc("vec_id")
+    )
+    cand = (
+        s.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 10)
+        .drop("r1")
+    )
+    w2 = W.partitionBy("label").orderBy(F.desc("si"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "label",
+            "vec_id",
+            (F.floor(F.col("si") / 100.0 + F.lit(0.5)) / 10000.0).alias(
+                "outlier_score"
+            ),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -255,12 +255,17 @@ class TestNoGlobalWindows:
     #                             MERGED histogram-bin table (bounded
     #                             by max_tokens/bin_width rows, an
     #                             aggregate spine — never data rows)
+    #   token_zipf_fit          — ranking window sits on the
+    #                             TakeOrderedAndProject(limit=100)
+    #                             vocabulary head (constant-sized at
+    #                             any corpus scale)
     BOUNDED_INPUT_OK: set[str] = {
         "ewma_daily_revenue",
         "rolling_zscore_anomaly",
         "revenue_mom_growth",
         "hybrid_search_rrf",
         "incremental_token_quantiles",
+        "token_zipf_fit",
     }
 
     def test_catalog_free_of_unbounded_global_windows(self, spark):

@@ -242,3 +242,88 @@ class TestCrossSourceOverlap:
             assert r["src_a"] < r["src_b"]
             assert 0 < r["shared_shingles"] <= min(r["n_a"], r["n_b"])
             assert 0.0 < r["overlap"] <= 1.0
+
+
+class TestZipfFit:
+    def test_fit_is_sane_and_negative(self, spark):
+        rows = _registry()["token_zipf_fit"].fn(spark, SF_DIR).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_top"] > 0
+        # rank-frequency over the vocabulary head must slope DOWN; r2
+        # stays a bounded diagnostic (the synthetic corpus's near-
+        # uniform ~31-word vocabulary is deliberately NOT Zipfian, so
+        # the fit quality itself is data, not an invariant)
+        assert r["zipf_slope"] < 0
+        assert 0.0 <= r["r2"] <= 1.0
+
+    def test_intercept_predicts_head_frequency(self, spark):
+        import duckdb
+        import math
+
+        r = _registry()["token_zipf_fit"].fn(spark, SF_DIR).collect()[0]
+        top_cnt = duckdb.sql(
+            f"""SELECT count(*) AS c FROM (
+                  SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS w FROM '{SF_DIR}/documents.parquet')
+                GROUP BY w ORDER BY c DESC LIMIT 1"""
+        ).fetchone()[0]
+        # at rank 1, ln(rank)=0 => prediction = intercept; fitted over
+        # a Zipf-ish head it lands within an order of magnitude
+        assert abs(r["zipf_intercept"] - math.log(top_cnt)) < 2.5
+
+
+class TestEmbeddingOutliers:
+    def test_topk_shape_and_rank_order(self, spark):
+        rows = (
+            _registry()["embedding_outlier_scores"].fn(spark, SF_DIR).collect()
+        )
+        by_label: dict[int, list] = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(r)
+        assert by_label
+        for label, rs in by_label.items():
+            rs.sort(key=lambda r: r["rnk"])
+            assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= 10
+            scores = [r["outlier_score"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            assert all(s >= 0 for s in scores)
+
+    def test_injected_outlier_surfaces(self, spark):
+        # shift one vector far outside its label cloud: it must become
+        # that label's rank-1 outlier
+        from pyspark.sql import functions as F
+
+        from sales_data_pipeline_spark.queries.base import load_all
+
+        e = (
+            load_all()["embedding_outlier_scores"]
+            .fn(spark, SF_DIR)
+            .sparkSession.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        )
+        spiked = e.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == 0,
+                F.transform("embedding", lambda v: v + F.lit(30.0)),
+            ).otherwise(F.col("embedding")),
+        )
+        spiked.createOrReplaceTempView("_spiked")
+        lbl0 = e.filter(F.col("vec_id") == 0).collect()[0]["label"]
+        # rebuild the operator inline on the spiked frame
+        import types
+
+        from sales_data_pipeline_spark.queries import llm
+
+        spark2 = spiked.sparkSession
+        orig_table = llm.table
+        try:
+            llm.table = lambda s, d, n: (
+                spiked if n == "embeddings" else orig_table(s, d, n)
+            )
+            out = llm.embedding_outlier_scores(spark2, SF_DIR).collect()
+        finally:
+            llm.table = orig_table
+        top = [r for r in out if r["label"] == lbl0 and r["rnk"] == 1]
+        assert top and top[0]["vec_id"] == 0
