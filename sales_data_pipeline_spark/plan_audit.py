@@ -72,6 +72,12 @@ REVIEWED_HINTS: dict[tuple[str, str], str] = {
         "per-source budgets: fixed source enum",
     ("embedding_int8_quant_error", "embeddings"):
         "per-dimension min/max: rows = embedding width (fixed 32)",
+    ("dsir_importance_weights", "documents"):
+        "per-bucket log-ratio table: rows = hash-bucket modulus "
+        "(fixed 256), independent of corpus size",
+    ("embedding_outlier_scores", "embeddings"):
+        "per-(label, dim) moments: rows = label enum x embedding "
+        "width (fixed 64), independent of corpus size",
 }
 
 
