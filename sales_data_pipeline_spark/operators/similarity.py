@@ -36,6 +36,111 @@ def query_vector(dim: int = DIM) -> list[float]:
     return [float((j * 13) % 7 - 3) for j in range(dim)]
 
 
+# ---------------------------------------------------------------------------
+# SQL-fragment twins of the fold builders (round-12 optimization).
+#
+# The Column-API builders below construct their HOF fold trees node by
+# node through py4j — one driver round-trip per literal/operator. At
+# ADC/k-means sizes (m*ksub = 64 folds, 64-element literal arrays) that
+# is thousands of round-trips, measured 2.4-3.6 s of DRIVER time per
+# expression instance (plans/r12/prof_before.json: the ANN family spent
+# 60-95% of its bench wall in DataFrame *construction*, guide §1's
+# "measure first" finding of this round). Emitting the SAME expression
+# as one SQL string hands the whole tree to the JVM in a single parse
+# (~0.05 s) — the values are bit-identical because the SQL parses to
+# the same Catalyst operators with the same fold association and the
+# same double literals (repr(x) + "D" round-trips exactly; verified
+# cell-for-cell against the Column forms and the DuckDB oracles).
+#
+# Each sql_* returns a fragment referencing its vector operand by SQL
+# text (a column name or a nested fragment); wrap with F.expr(...) or
+# pass to selectExpr.
+# ---------------------------------------------------------------------------
+
+
+def sql_lit_array(vec: list[float]) -> str:
+    """SQL array literal of doubles — repr() round-trips the exact IEEE
+    value, 'D' pins DoubleType (a bare 0.5 would parse as DECIMAL)."""
+    return "array(" + ", ".join(repr(float(x)) + "D" for x in vec) + ")"
+
+
+def sql_dot_literal(vec_sql: str, lit_vec: list[float]) -> str:
+    """SQL twin of dot_literal: same slice-to-literal-length guard, same
+    sequential ((0+t1)+t2)... fold association."""
+    return (
+        f"aggregate(zip_with(slice({vec_sql}, 1, {len(lit_vec)}), "
+        f"{sql_lit_array(lit_vec)}, (a, b) -> CAST(a AS DOUBLE) * b), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_l2sq_to_literal(vec_sql: str, lit_vec: list[float]) -> str:
+    """SQL twin of l2sq_to_literal (no slice, literal side uncast —
+    exactly the Column form's operand pattern)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {sql_lit_array(lit_vec)}, "
+        f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_fold_l2sq(a_sql: str, b_sql: str, dim: int = DIM) -> str:
+    """SQL twin of _fold_l2sq: both sides sliced to dim and cast."""
+    return (
+        f"aggregate(zip_with(slice({a_sql}, 1, {dim}), "
+        f"slice({b_sql}, 1, {dim}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_dot(a_sql: str, b_sql: str, dim: int = DIM) -> str:
+    """SQL twin of dot (both sides sliced and cast)."""
+    return (
+        f"aggregate(zip_with(slice({a_sql}, 1, {dim}), "
+        f"slice({b_sql}, 1, {dim}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_norm(vec_sql: str, dim: int = DIM) -> str:
+    return f"SQRT({sql_dot(vec_sql, vec_sql, dim)})"
+
+
+def sql_cosine_to_literal(
+    vec_sql: str, lit_vec: list[float], dim: int = DIM
+) -> str:
+    import math
+
+    qn = math.sqrt(sum(x * x for x in lit_vec))
+    return (
+        f"{sql_dot_literal(vec_sql, lit_vec)} / "
+        f"({sql_norm(vec_sql, dim)} * {qn!r}D)"
+    )
+
+
+def sql_rounded(expr_sql: str, round_digits: int = 6) -> str:
+    """FLOOR(x*10^n + 0.5)/10^n.0 — the det_round recipe, matching the
+    Column form's int scale literal and double divisor exactly."""
+    s = 10**round_digits
+    return f"FLOOR(({expr_sql}) * {s} + 0.5D) / {float(s)!r}D"
+
+
+def sql_lsh_bucket(vec_sql: str, dim: int = DIM) -> str:
+    """SQL twin of lsh_bucket: 0 + per-plane CASE additions, the same
+    int arithmetic as the Column form's when/otherwise chain."""
+    parts = []
+    for i in range(N_PLANES):
+        plane = [float(x) for x in hyperplane(i, dim)]
+        parts.append(
+            f"CASE WHEN ({sql_dot_literal(vec_sql, plane)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "0 + " + " + ".join(parts)
+
+
 def dot_literal(vec: Column, lit_vec: list[float], dim: int = DIM) -> Column:
     """Left-fold dot product of a vector column with a Python literal
     vector: aggregate(zip_with(vec, lit, *), 0.0, +) — a sequential
@@ -123,14 +228,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k vs a literal query vector. Score is rounded
     before ranking and ties break on id — a total order, so the top-k
-    set is unique and reproducible."""
-    s = 10**round_digits
-    scored = df.select(
-        F.col(id_col),
-        (
-            F.floor(cosine_to_literal(F.col(vec_col), query) * s + F.lit(0.5))
-            / F.lit(float(s))
-        ).alias("cos_sim"),
+    set is unique and reproducible. The fold tree is one SQL parse
+    (see the SQL-fragment block), not a py4j storm."""
+    scored = df.selectExpr(
+        id_col,
+        f"{sql_rounded(sql_cosine_to_literal(vec_col, query), round_digits)}"
+        " AS cos_sim",
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -147,14 +250,11 @@ def ann_lsh_topk(
     within it. At scale the bucket is a partition-pruned scan of
     ~corpus/256."""
     bucket = lsh_bucket_of(query)
-    s = 10**round_digits
-    candidates = df.filter(lsh_bucket(F.col(vec_col)) == bucket)
-    scored = candidates.select(
-        F.col(id_col),
-        (
-            F.floor(cosine_to_literal(F.col(vec_col), query) * s + F.lit(0.5))
-            / F.lit(float(s))
-        ).alias("cos_sim"),
+    candidates = df.filter(F.expr(sql_lsh_bucket(vec_col)) == bucket)
+    scored = candidates.selectExpr(
+        id_col,
+        f"{sql_rounded(sql_cosine_to_literal(vec_col, query), round_digits)}"
+        " AS cos_sim",
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -235,6 +335,21 @@ def ivf_assign(vec: Column, n: int = N_IVF_CENTROIDS) -> Column:
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def sql_ivf_assign(vec_sql: str, n: int = N_IVF_CENTROIDS) -> str:
+    """SQL twin of ivf_assign (same array_position first-match
+    tie-break). The distance array appears twice in the text — the
+    parser builds it in milliseconds, versus seconds of py4j for the
+    Column form (see the SQL-fragment block above)."""
+    darr = (
+        "array("
+        + ", ".join(
+            sql_l2sq_to_literal(vec_sql, ivf_centroid(i)) for i in range(n)
+        )
+        + ")"
+    )
+    return f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)"
+
+
 def ivf_probe_centroid(query: list[float], n: int = N_IVF_CENTROIDS) -> int:
     """Driver-side coarse quantization of the query vector (centroids
     are literals, so this is O(n*dim) plain Python)."""
@@ -282,7 +397,7 @@ def ivf_probe_topk(
     the barrier, and its extra job, are gone.)"""
     probe = ivf_probe_centroid(query)
     in_cell = df.select(id_col, vec_col).filter(
-        ivf_assign(F.col(vec_col)) == probe
+        F.expr(sql_ivf_assign(vec_col)) == probe
     )
     return brute_force_topk(in_cell, query, k=k, id_col=id_col, vec_col=vec_col)
 
@@ -334,6 +449,53 @@ def pq_dists(
     )
 
 
+def sql_pq_dlist(
+    vec_sql: str,
+    j: int,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """SQL twin of pq_dists: per-codeword l2sq folds over the subvector
+    slice, packed into one array."""
+    sub = f"slice({vec_sql}, {j * subdim + 1}, {subdim})"
+    return (
+        "array("
+        + ", ".join(
+            sql_l2sq_to_literal(sub, pq_codeword(j, i, subdim))
+            for i in range(ksub)
+        )
+        + ")"
+    )
+
+
+def sql_pq_d_cols(
+    vec_sql: str,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+) -> list[str]:
+    """The m per-subspace distance arrays as aliased select items
+    (``... AS __d{j}``) — the shared first stage of every PQ consumer.
+    Materializing them as named columns keeps each array's fold chain
+    in the plan ONCE even though argmin references it twice."""
+    return [
+        f"{sql_pq_dlist(vec_sql, j, subdim, ksub)} AS __d{j}"
+        for j in range(m)
+    ]
+
+
+def sql_pq_adc_from_d(lut: list[list[float]], m: int = PQ_M) -> str:
+    """ADC score over the __d{j} columns: sum of m literal-array LUT
+    lookups at the per-subspace argmin (first-match tie-break), the
+    exact term chain of the Column form."""
+    terms = [
+        f"element_at({sql_lit_array(lut[j])}, "
+        f"CAST(array_position(__d{j}, array_min(__d{j})) AS INT))"
+        for j in range(m)
+    ]
+    return " + ".join(terms)
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -350,21 +512,22 @@ def pq_encode(
     minimizes and the index-health number an encode job reports.
     Integer-scaled (floor(err*1e6+0.5)) so downstream sums stay exact
     across engines and shard orders. One narrow projection — no
-    shuffle, no UDF; the expression tree is O(m*ksub) HOF folds."""
-    cols: list[Column] = [F.col(id_col)]
-    err: Column | None = None
-    for j in range(m):
-        d = pq_dists(F.col(vec_col), j, subdim, ksub)
-        cols.append(
-            (F.array_position(d, F.array_min(d)) - 1)
-            .cast("int")
-            .alias(f"code_{j}")
-        )
-        err = F.array_min(d) if err is None else err + F.array_min(d)
-    cols.append(
-        F.floor(err * 1_000_000 + F.lit(0.5)).cast("long").alias("err_micro")
+    shuffle, no UDF; the expression tree is O(m*ksub) HOF folds,
+    emitted as two chained selectExpr stages (distance arrays, then
+    codes + error) so the whole tree is ONE SQL parse instead of a
+    py4j storm (see the SQL-fragment block)."""
+    code_sel = [id_col] + [
+        f"CAST(array_position(__d{j}, array_min(__d{j})) - 1 AS INT)"
+        f" AS code_{j}"
+        for j in range(m)
+    ]
+    err = " + ".join(f"array_min(__d{j})" for j in range(m))
+    code_sel.append(
+        f"CAST(FLOOR(({err}) * 1000000 + 0.5D) AS BIGINT) AS err_micro"
     )
-    return df.select(*cols)
+    return df.selectExpr(
+        id_col, *sql_pq_d_cols(vec_col, m, subdim, ksub)
+    ).selectExpr(*code_sel)
 
 
 def pq_lut(
@@ -412,22 +575,16 @@ def pq_adc_topk(
     win that makes PQ the memory-bound ANN path. Score is a chained
     sum of m literal-array lookups (JVM-side, no UDF), rounded with
     id tie-break for a total order; top-k is TakeOrderedAndProject,
-    never a full sort."""
+    never a full sort. The scoring tree is emitted as two chained
+    selectExpr stages — one SQL parse, not a py4j storm (measured 3.6 s
+    -> 0.05 s of driver time per instance; values bit-identical)."""
     lut = pq_lut(query, m, subdim, ksub)
-    s = 10**round_digits
-    score: Column | None = None
-    for j in range(m):
-        d = pq_dists(F.col(vec_col), j, subdim, ksub)
-        lut_arr = F.array(*[F.lit(float(v)) for v in lut[j]])
-        term = F.element_at(
-            lut_arr, F.array_position(d, F.array_min(d)).cast("int")
-        )
-        score = term if score is None else score + term
-    scored = df.select(
-        F.col(id_col),
-        (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
-            "adc_dist"
-        ),
+    scored = df.selectExpr(
+        id_col, *sql_pq_d_cols(vec_col, m, subdim, ksub)
+    ).selectExpr(
+        id_col,
+        f"{sql_rounded(sql_pq_adc_from_d(lut, m), round_digits)}"
+        " AS adc_dist",
     )
     return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
 
@@ -455,7 +612,7 @@ def ivfpq_topk(
     id tie-break)."""
     probes = ivf_probe_centroids(query, nprobe, n_centroids)
     in_cells = df.select(id_col, vec_col).filter(
-        ivf_assign(F.col(vec_col), n_centroids).isin(probes)
+        F.expr(sql_ivf_assign(vec_col, n_centroids)).isin(probes)
     )
     return pq_adc_topk(in_cells, query, k=k, id_col=id_col, vec_col=vec_col)
 
@@ -503,36 +660,77 @@ def ivfpq_residual_topk(
             f"nprobe must be >= 1 (got {nprobe}): IVF search scans the "
             "nprobe nearest cells, and probing zero cells has no result"
         )
-    parts: list[DataFrame] = []
-    s = 10**round_digits
-    for c in ivf_probe_centroids(query, nprobe, n_centroids):
+    # Single-scan form (round-12 optimization; the per-cell union made
+    # nprobe full passes, each re-evaluating ivf_assign AND its own
+    # residual-ADC tree — 6.6 s of driver build time at nprobe=2).
+    # The cell id is computed ONCE; the residual subtracts the row's
+    # OWN cell's centroid via one CASE over the probed cells (identical
+    # per-row value: in the union form each branch's filter pinned the
+    # cell, so each row was only ever scored against its own centroid);
+    # the per-subspace distance arrays and their argmin positions are
+    # cell-independent (codewords are shared; only the query-residual
+    # LUT differs per cell), so they compute once, and the score is a
+    # CASE over the probed cells' LUT lookups. Same rounded score, same
+    # total order, one scan, one parse.
+    probes = ivf_probe_centroids(query, nprobe, n_centroids)
+    cent_case = (
+        "CASE __cell "
+        + " ".join(
+            f"WHEN {c} THEN {sql_lit_array(ivf_centroid(c))}"
+            for c in probes
+        )
+        + " END"
+    )
+    luts = {}
+    for c in probes:
         cent = ivf_centroid(c)
         qres = [a - b for a, b in zip(query, cent)]
-        lut = pq_lut(qres, m, subdim, ksub)
-        cell = df.select(id_col, vec_col).filter(
-            ivf_assign(F.col(vec_col), n_centroids) == c
-        )
-        res = pq_residual(F.col(vec_col), cent)
-        score: Column | None = None
-        for j in range(m):
-            d = pq_dists(res, j, subdim, ksub)
-            lut_arr = F.array(*[F.lit(float(v)) for v in lut[j]])
-            term = F.element_at(
-                lut_arr, F.array_position(d, F.array_min(d)).cast("int")
-            )
-            score = term if score is None else score + term
-        parts.append(
-            cell.select(
-                F.col(id_col),
-                (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
-                    "adc_dist"
+        luts[c] = pq_lut(qres, m, subdim, ksub)
+    score_case = (
+        "CASE __cell "
+        + " ".join(
+            "WHEN {c} THEN {s}".format(
+                c=c,
+                s=" + ".join(
+                    f"element_at({sql_lit_array(luts[c][j])}, __p{j})"
+                    for j in range(m)
                 ),
             )
+            for c in probes
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
+        + " END"
+    )
+    scored = (
+        df.selectExpr(
+            id_col,
+            vec_col,
+            f"{sql_ivf_assign(vec_col, n_centroids)} AS __cell",
+        )
+        .filter(F.col("__cell").isin(probes))
+        .selectExpr(
+            id_col,
+            "__cell",
+            f"zip_with({vec_col}, {cent_case}, "
+            "(a, b) -> CAST(a AS DOUBLE) - b) AS __res",
+        )
+        .selectExpr(
+            id_col, "__cell", *sql_pq_d_cols("__res", m, subdim, ksub)
+        )
+        .selectExpr(
+            id_col,
+            "__cell",
+            *[
+                f"CAST(array_position(__d{j}, array_min(__d{j})) AS INT)"
+                f" AS __p{j}"
+                for j in range(m)
+            ],
+        )
+        .selectExpr(
+            id_col,
+            f"{sql_rounded(score_case, round_digits)} AS adc_dist",
+        )
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
 
 
 def pq_adc_topk_codes(
@@ -619,26 +817,27 @@ def pq_train_codebooks(
             ).alias("s")
         )
     )
-    code_cols = []
+    code_exprs = []
     for j in range(m):
-        sub = F.slice(F.col(vec_col), j * subdim + 1, subdim)
-        d = F.array(
-            *[
-                _fold_l2sq(
-                    sub,
-                    F.slice(F.col("s")[i], j * subdim + 1, subdim),
+        off = j * subdim + 1
+        d = (
+            "array("
+            + ", ".join(
+                sql_fold_l2sq(
+                    f"slice({vec_col}, {off}, {subdim})",
+                    f"slice(s[{i}], {off}, {subdim})",
                     subdim,
                 )
                 for i in range(ksub)
-            ]
+            )
+            + ")"
         )
-        code_cols.append(
-            (F.array_position(d, F.array_min(d)) - 1)
-            .cast("int")
-            .alias(f"code_{j}")
+        code_exprs.append(
+            f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+            f" AS code_{j}"
         )
-    assigned = df.crossJoin(F.broadcast(seeds_row)).select(
-        F.col(vec_col), *code_cols
+    assigned = df.crossJoin(F.broadcast(seeds_row)).selectExpr(
+        vec_col, *code_exprs
     )
     comp = assigned.select(
         F.posexplode(vec_col).alias("pos0", "val"),
@@ -705,18 +904,24 @@ def pq_adc_topk_trained(
     whole-stage codegen. Cells the training left empty simply don't
     appear in the distance arrays: entries are ordered by code id, so
     the argmin's first-match position selects the LOWEST code id among
-    distance ties — the tie-break the oracle mirrors with MIN(code)."""
-    s = 10**round_digits
-    score: Column | None = None
+    distance ties — the tie-break the oracle mirrors with MIN(code).
+    Emitted as two chained selectExpr stages (one SQL parse) like
+    pq_adc_topk."""
+    d_cols = []
+    terms = []
     for j in range(m):
         entries = sorted(
             (code, cw) for (sub, code), cw in codebook.items() if sub == j
         )
         if not entries:
             raise ValueError(f"codebook has no cells for subspace {j}")
-        sub = F.slice(F.col(vec_col), j * subdim + 1, subdim)
-        d = F.array(
-            *[l2sq_to_literal(sub, cw) for _code, cw in entries]
+        sub = f"slice({vec_col}, {j * subdim + 1}, {subdim})"
+        d_cols.append(
+            "array("
+            + ", ".join(
+                sql_l2sq_to_literal(sub, cw) for _code, cw in entries
+            )
+            + f") AS __d{j}"
         )
         lut_vals = []
         for _code, cw in entries:
@@ -725,16 +930,13 @@ def pq_adc_topk_trained(
             for a, b in zip(qsub, cw):
                 acc = acc + (a - b) * (a - b)
             lut_vals.append(acc)
-        lut_arr = F.array(*[F.lit(float(v)) for v in lut_vals])
-        term = F.element_at(
-            lut_arr, F.array_position(d, F.array_min(d)).cast("int")
+        terms.append(
+            f"element_at({sql_lit_array(lut_vals)}, "
+            f"CAST(array_position(__d{j}, array_min(__d{j})) AS INT))"
         )
-        score = term if score is None else score + term
-    scored = df.select(
-        F.col(id_col),
-        (F.floor(score * s + F.lit(0.5)) / F.lit(float(s))).alias(
-            "adc_dist"
-        ),
+    scored = df.selectExpr(id_col, *d_cols).selectExpr(
+        id_col,
+        f"{sql_rounded(' + '.join(terms), round_digits)} AS adc_dist",
     )
     return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
 
@@ -901,20 +1103,20 @@ def kmeans_assign_one_iter(
             ).alias("s")
         )
     )
-    d0 = F.array(
-        *[
-            _fold_l2sq(F.col(vec_col), F.col("s")[c], dim)
-            for c in range(k)
-        ]
+    d0 = (
+        "array("
+        + ", ".join(
+            sql_fold_l2sq(vec_col, f"s[{c}]", dim) for c in range(k)
+        )
+        + ")"
     )
     # persisted: consumed by the M-step aggregation AND the re-assign
     a0 = scoped_persist(
-        df.crossJoin(F.broadcast(seeds_row)).select(
+        df.crossJoin(F.broadcast(seeds_row)).selectExpr(
             id_col,
             vec_col,
-            (F.array_position(d0, F.array_min(d0)) - 1)
-            .cast("int")
-            .alias("c0"),
+            f"CAST(array_position({d0}, array_min({d0})) - 1 AS INT)"
+            " AS c0",
         )
     )
     comp = a0.select(
@@ -938,22 +1140,21 @@ def kmeans_assign_one_iter(
             lambda s: s["cval"],
         ).alias("cents")
     )
-    d1 = F.array(
-        *[
-            _fold_l2sq(
-                F.col(vec_col),
-                F.slice(F.col("cents"), c * dim + 1, dim),
-                dim,
+    d1 = (
+        "array("
+        + ", ".join(
+            sql_fold_l2sq(
+                vec_col, f"slice(cents, {c * dim + 1}, {dim})", dim
             )
             for c in range(k)
-        ]
+        )
+        + ")"
     )
-    return a0.crossJoin(F.broadcast(cents_row)).select(
+    return a0.crossJoin(F.broadcast(cents_row)).selectExpr(
         id_col,
         vec_col,
-        (F.array_position(d1, F.array_min(d1)) - 1)
-        .cast("int")
-        .alias("cluster"),
+        f"CAST(array_position({d1}, array_min({d1})) - 1 AS INT)"
+        " AS cluster",
     )
 
 

@@ -2152,16 +2152,52 @@ def _ivfpq_nprobe_oracle() -> str:
     tags=("llm",),
 )
 def ivfpq_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = similarity.query_vector()
     e = table(spark, sf_dir, "embeddings")
-    full10 = similarity.pq_adc_topk(e, q, k=10).select("vec_id")
+    return _ivfpq_nprobe_curve(e)
+
+
+def _ivfpq_nprobe_curve(e: DataFrame) -> DataFrame:
+    """Shared body of the two nprobe-recall twins (round-12
+    optimization). The original built a fresh ADC-scoring tree AND a
+    fresh ivf_assign tree per curve arm plus the ground truth — 4 ADC
+    + 3 assign expression instances, 15.5-18.4 s of pure driver build
+    time per bench pass (plans/r12/prof_before.json). Both are pure
+    per-row functions of the embedding, so ONE scan computes
+    (vec_id, cell, adc_dist) and is persisted (within-query scope);
+    every arm is then a filter/top-k/count over that table. Identical
+    values: the ADC score is filter-independent, each arm's filter
+    ``cell IN probes`` equals the old per-arm ``ivf_assign(emb) IN
+    probes``, and full10/top-10 orderings are the same rounded-score +
+    id total order. This also mirrors the oracle's own shape (one
+    ``sc`` CTE referenced by every branch)."""
+    q = similarity.query_vector()
+    lut = similarity.pq_lut(q)
+    sc = scoped_persist(
+        e.selectExpr(
+            "vec_id",
+            f"{similarity.sql_ivf_assign('embedding')} AS cell",
+            *similarity.sql_pq_d_cols("embedding"),
+        ).selectExpr(
+            "vec_id",
+            "cell",
+            f"{similarity.sql_rounded(similarity.sql_pq_adc_from_d(lut))}"
+            " AS adc_dist",
+        )
+    )
+    full10 = (
+        sc.orderBy(F.asc("adc_dist"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
     parts = []
     for np_ in _IVFPQ_NPROBES:
         probes = similarity.ivf_probe_centroids(q, np_)
-        in_cells = e.select("vec_id", "embedding").filter(
-            similarity.ivf_assign(F.col("embedding")).isin(probes)
+        in_cells = sc.filter(F.col("cell").isin(probes))
+        top = (
+            in_cells.orderBy(F.asc("adc_dist"), F.col("vec_id"))
+            .limit(10)
+            .select("vec_id")
         )
-        top = similarity.pq_adc_topk(in_cells, q, k=10).select("vec_id")
         rows = in_cells.agg(
             F.count("*").cast("long").alias("probed_rows")
         )
@@ -2326,13 +2362,62 @@ def _pq_recall_eval_oracle() -> str:
     tags=("llm",),
 )
 def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = similarity.query_vector()
     e = table(spark, sf_dir, "embeddings")
-    exact10 = similarity.brute_force_topk(e, q, k=10).select("vec_id")
+    return _pq_recall_curve(e, _PQ_EVAL_SHORTLISTS)
+
+
+def _pq_recall_curve(
+    e: DataFrame, shortlists: tuple[int, ...]
+) -> DataFrame:
+    """Shared body of the two shortlist-recall twins (round-12
+    optimization). The original ran one full ADC scoring pass + rerank
+    join per shortlist arm plus a brute-force pass for the ground truth
+    — 4 corpus-sized scoring trees, 8-9 s of driver build time per
+    bench pass (plans/r12/prof_before.json). Both scores are pure
+    per-row functions of the embedding, so ONE scan computes (vec_id,
+    cos_sim, adc_dist) and is persisted; the max-shortlist ADC head is
+    persisted too (every arm's shortlist is a prefix of the same
+    rounded-ADC + id total order), and each arm re-ranks its prefix by
+    the already-computed rounded cosine. Identical values: same score
+    expressions on the same rows, same total orders, so each arm's
+    top-s set and rerank top-10 equal the old per-arm passes row for
+    row — and this mirrors the oracle's own single-``scored``-CTE
+    shape. The persisted head is shortlist-sized (constant), the
+    scored table is the one corpus-sized intermediate — the same
+    asymptotics as one ADC serving pass."""
+    q = similarity.query_vector()
+    lut = similarity.pq_lut(q)
+    scored = scoped_persist(
+        e.selectExpr(
+            "vec_id",
+            f"{similarity.sql_rounded(similarity.sql_cosine_to_literal('embedding', q))}"
+            " AS cos_sim",
+            *similarity.sql_pq_d_cols("embedding"),
+        ).selectExpr(
+            "vec_id",
+            "cos_sim",
+            f"{similarity.sql_rounded(similarity.sql_pq_adc_from_d(lut))}"
+            " AS adc_dist",
+        )
+    )
+    exact10 = (
+        scored.orderBy(F.desc("cos_sim"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    short = scoped_persist(
+        scored.orderBy(F.asc("adc_dist"), F.col("vec_id")).limit(
+            max(shortlists)
+        )
+    )
     parts = []
-    for s in _PQ_EVAL_SHORTLISTS:
-        rr = similarity.pq_rerank_topk(e, q, k=10, shortlist=s).select(
-            "vec_id"
+    for s in shortlists:
+        rr = (
+            short.orderBy(F.asc("adc_dist"), F.col("vec_id"))
+            .limit(s)
+            .orderBy(F.desc("cos_sim"), F.col("vec_id"))
+            .limit(10)
+            .select("vec_id")
         )
         parts.append(
             rr.join(F.broadcast(exact10), "vec_id").agg(
@@ -6212,24 +6297,11 @@ def _pq_recall_eval_clustered_oracle() -> str:
     tags=("llm",),
 )
 def pq_recall_eval_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = similarity.query_vector()
-    e = scoped_persist(_emb_clustered_corpus(spark, sf_dir))
-    exact10 = similarity.brute_force_topk(e, q, k=10).select("vec_id")
-    parts = []
-    for s in _PQ_CLUSTERED_SHORTLISTS:
-        rr = similarity.pq_rerank_topk(e, q, k=10, shortlist=s).select(
-            "vec_id"
-        )
-        parts.append(
-            rr.join(F.broadcast(exact10), "vec_id").agg(
-                F.lit(s).cast("long").alias("shortlist"),
-                F.count("*").cast("long").alias("rerank_hits_at_10"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # scored pass persisted inside _pq_recall_curve; the derived corpus
+    # has a single consumer, so it needs no persist of its own
+    return _pq_recall_curve(
+        _emb_clustered_corpus(spark, sf_dir), _PQ_CLUSTERED_SHORTLISTS
+    )
 
 
 def _ivfpq_nprobe_clustered_oracle() -> str:
@@ -6296,33 +6368,9 @@ def _ivfpq_nprobe_clustered_oracle() -> str:
 def ivfpq_nprobe_recall_clustered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    q = similarity.query_vector()
-    e = scoped_persist(_emb_clustered_corpus(spark, sf_dir))
-    full10 = similarity.pq_adc_topk(e, q, k=10).select("vec_id")
-    parts = []
-    for np_ in _IVFPQ_NPROBES:
-        probes = similarity.ivf_probe_centroids(q, np_)
-        in_cells = e.select("vec_id", "embedding").filter(
-            similarity.ivf_assign(F.col("embedding")).isin(probes)
-        )
-        top = similarity.pq_adc_topk(in_cells, q, k=10).select("vec_id")
-        rows = in_cells.agg(
-            F.count("*").cast("long").alias("probed_rows")
-        )
-        hits = top.join(F.broadcast(full10), "vec_id").agg(
-            F.count("*").cast("long").alias("adc_hits_at_10")
-        )
-        parts.append(
-            rows.crossJoin(F.broadcast(hits)).select(
-                F.lit(np_).cast("int").alias("nprobe"),
-                "probed_rows",
-                "adc_hits_at_10",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # the scored pass is persisted inside _ivfpq_nprobe_curve, so the
+    # derived corpus needs no persist of its own (single consumer)
+    return _ivfpq_nprobe_curve(_emb_clustered_corpus(spark, sf_dir))
 
 
 # Multi-merge BPE training (round-10 judge ask #4): N full iterations
