@@ -665,8 +665,20 @@ def cluster_components(
             # edge-set immobility for the whole loop
             .repartition(parts, "id")
         )
-        new_labels = _loop_checkpoint(new_labels)
-        label_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # convergence probe rides the checkpoint materialization as an
+        # Observation (round-12 optimization): the old separate
+        # agg+collect was a second full pass over the round's labels —
+        # one extra job per round locally, one extra checkpoint read at
+        # scale. CollectMetrics preserves the child's partitioning, so
+        # the exchange-free loop-join invariant (test_round7_fixes) is
+        # untouched; the observed sum is the same F.sum("label").
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = _loop_checkpoint(
+            new_labels.observe(obs, F.sum("label").alias("s"))
+        )
+        label_sum = obs.get["s"]
         # superseded rounds' checkpoints are ContextCleaner-reclaimed
         # on GC (unpersist() can't release checkpoints) — dropping the
         # reference is the release for localCheckpoint blocks always,

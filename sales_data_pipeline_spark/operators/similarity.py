@@ -1252,6 +1252,73 @@ def semdedup_state_sums(
     )
 
 
+def semdedup_packed_levels(
+    leaf: DataFrame,
+    depth: int,
+    branch: int,
+    scale: int = 1_000_000,
+) -> dict[int, DataFrame]:
+    """Roll the stored leaf component sums up into the per-level packed
+    centroid tables the beam-2 descent joins against: {1: one-row root
+    pack (scalar-BNLJ broadcast shape), lvl>=2: per-parent
+    array<struct<cid,cv>> packs}. Exact integer rollups — sums and
+    counts add exactly, and each level's mean is the same
+    (sum/scale)/count double pair the flat M-step computes.
+
+    Factored out of semdedup_incremental (round-12 optimization) so a
+    caller probing MANY batches against the SAME stored state — the
+    streaming ingest loop — derives and persists these aggregate-sized
+    tables ONCE instead of re-aggregating them per micro-batch. Every
+    table is k*dim values at its level, aggregate-sized at any corpus
+    size."""
+    levels = {depth: leaf}
+    for lvl in range(depth - 1, 0, -1):
+        levels[lvl] = (
+            levels[lvl + 1]
+            .groupBy(
+                F.floor(F.col("g") / branch).cast("long").alias("g"),
+                "pos",
+            )
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        )
+
+    def _cell_vecs(tbl: DataFrame) -> DataFrame:
+        return tbl.groupBy("g").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("s") / float(scale) / F.col("c")).alias(
+                                "cval"
+                            ),
+                        )
+                    )
+                ),
+                lambda st: st["cval"],
+            ).alias("cv")
+        )
+
+    _cells_struct = F.struct(F.col("g").alias("cid"), "cv")
+    packed: dict[int, DataFrame] = {
+        # level 1 has exactly one parent (the root): pack via a GLOBAL
+        # aggregate so the scalar-BNLJ build is the sanctioned
+        # one-row-global-agg shape the plan gate certifies
+        1: _cell_vecs(levels[1]).agg(
+            F.array_sort(F.collect_list(_cells_struct)).alias("cells")
+        )
+    }
+    for lvl in range(2, depth + 1):
+        packed[lvl] = (
+            _cell_vecs(levels[lvl])
+            .groupBy(
+                F.floor(F.col("g") / branch).cast("long").alias("parent")
+            )
+            .agg(F.array_sort(F.collect_list(_cells_struct)).alias("cells"))
+        )
+    return packed
+
+
 def semdedup_incremental(
     base: DataFrame,
     batch: DataFrame,
@@ -1265,6 +1332,7 @@ def semdedup_incremental(
     depth: int = 1,
     branch: int | None = None,
     leaf_sums: DataFrame | None = None,
+    packed_levels: dict[int, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup: probe an incoming embedding BATCH
     against a stored corpus without re-clustering the corpus — the
@@ -1338,7 +1406,13 @@ def semdedup_incremental(
     level's centroids from k*dim stored rows and never re-aggregates
     the corpus. Omitted, the sums derive inline from ``assign`` — same
     values (the helper IS the inline derivation), one extra
-    corpus-sized aggregate, the certification fixture's shape."""
+    corpus-sized aggregate, the certification fixture's shape.
+
+    ``packed_levels`` passes the per-level packed centroid tables
+    (semdedup_packed_levels over the same sums) pre-built — the
+    many-batches-one-state caller (streaming ingest) persists them once
+    instead of re-aggregating per micro-batch. Identical values by
+    construction (the default path calls the same helper)."""
     from pyspark.sql import Window as W
 
     from sales_data_pipeline_spark.caching import scoped_persist
@@ -1356,53 +1430,15 @@ def semdedup_incremental(
     # alongside the labels — the production state shape), the per-batch
     # plan contains no corpus-sized aggregate at all and the assignment
     # feeds only the probe join, so it needs no persist either.
-    if leaf_sums is None:
-        assign = scoped_persist(assign)
-        leaf = semdedup_state_sums(assign, vec_col=vec_col, scale=scale)
-    else:
-        leaf = leaf_sums
-    levels = {depth: leaf}
-    for lvl in range(depth - 1, 0, -1):
-        levels[lvl] = (
-            levels[lvl + 1]
-            .groupBy(
-                F.floor(F.col("g") / branch).cast("long").alias("g"),
-                "pos",
+    if packed_levels is None:
+        if leaf_sums is None:
+            assign = scoped_persist(assign)
+            leaf = semdedup_state_sums(
+                assign, vec_col=vec_col, scale=scale
             )
-            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
-        )
-
-    def _cell_vecs(tbl: DataFrame) -> DataFrame:
-        return tbl.groupBy("g").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            (F.col("s") / float(scale) / F.col("c")).alias(
-                                "cval"
-                            ),
-                        )
-                    )
-                ),
-                lambda st: st["cval"],
-            ).alias("cv")
-        )
-
-    _cells_struct = F.struct(F.col("g").alias("cid"), "cv")
-
-    def _packed_cells(tbl: DataFrame) -> DataFrame:
-        return _cell_vecs(tbl).groupBy(
-            F.floor(F.col("g") / branch).cast("long").alias("parent")
-        ).agg(F.array_sort(F.collect_list(_cells_struct)).alias("cells"))
-
-    def _packed_cells_root(tbl: DataFrame) -> DataFrame:
-        # level 1 has exactly one parent (the root): pack via a GLOBAL
-        # aggregate so the scalar-BNLJ build is the sanctioned
-        # one-row-global-agg shape the plan gate certifies
-        return _cell_vecs(tbl).agg(
-            F.array_sort(F.collect_list(_cells_struct)).alias("cells")
-        )
+        else:
+            leaf = leaf_sums
+        packed_levels = semdedup_packed_levels(leaf, depth, branch, scale)
 
     # beam-2 descent: at each level both surviving parents' children
     # score (<= 2*branch candidate folds per batch vector), and the two
@@ -1421,11 +1457,9 @@ def semdedup_incremental(
             # LITERAL parent column constant-folds to TRUE and plans a
             # BNLJ whose build side is the scaling BATCH union — the
             # exact shape the plan gate rejects.)
-            joined = cur.crossJoin(
-                F.broadcast(_packed_cells_root(levels[1]))
-            )
+            joined = cur.crossJoin(F.broadcast(packed_levels[1]))
         else:
-            joined = cur.join(_packed_cells(levels[lvl]), "parent")
+            joined = cur.join(packed_levels[lvl], "parent")
         cand = joined.select(
             "qid",
             "qvec",

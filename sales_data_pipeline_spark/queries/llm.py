@@ -4316,12 +4316,12 @@ def knn_batch_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
-        similarity.lsh_bucket(F.col("embedding")).alias("qb"),
+        F.expr(similarity.sql_lsh_bucket("embedding")).alias("qb"),
     )
     c = e.select(
         "vec_id",
         "embedding",
-        similarity.lsh_bucket(F.col("embedding")).alias("cb"),
+        F.expr(similarity.sql_lsh_bucket("embedding")).alias("cb"),
     )
     score = det_round(
         similarity.cosine(F.col("qv"), F.col("embedding")), 6
@@ -4498,7 +4498,7 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         "vec_id",
         "embedding",
-        similarity.lsh_bucket(F.col("embedding")).alias("b"),
+        F.expr(similarity.sql_lsh_bucket("embedding")).alias("b"),
     )
     a = c.filter(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id").alias("aid"),
@@ -7202,16 +7202,14 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rungs = []
     for d in _MRL_DIMS:
         q = similarity.query_vector()[:d]
-        scored = e.select(
-            F.col("vec_id"),
-            (
-                F.floor(
-                    similarity.cosine_to_literal(F.col("embedding"), q, dim=d)
-                    * 1000000
-                    + F.lit(0.5)
-                )
-                / 1000000.0
-            ).alias("c"),
+        # one SQL parse per rung instead of a py4j-built fold tree
+        # (round-12 optimization; identical expression, see
+        # similarity.sql_cosine_to_literal)
+        scored = e.selectExpr(
+            "vec_id",
+            "FLOOR(("
+            + similarity.sql_cosine_to_literal("embedding", q, dim=d)
+            + ") * 1000000 + 0.5D) / 1000000.0D AS c",
         )
         top = (
             scored.orderBy(F.desc("c"), F.col("vec_id"))
