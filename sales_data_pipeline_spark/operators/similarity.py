@@ -1187,24 +1187,19 @@ def semdedup(
     # scalar factor, the dot fold's association is unchanged.
     assign = scoped_persist(
         kmeans_assign_one_iter(df, id_col, vec_col, k, dim).withColumn(
-            "nrm", norm(F.col(vec_col), dim)
+            "nrm", F.expr(sql_norm(vec_col, dim))
         )
     )
     a, b = assign.alias("a"), assign.alias("b")
-    cs = (
-        F.floor(
-            dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
-            / (F.col("a.nrm") * F.col("b.nrm"))
-            * 10000
-            + F.lit(0.5)
-        )
-        / 10000.0
-    )
     pairs = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"b.{id_col}").alias(id_col), cs.alias("cs"))
+    ).selectExpr(
+        f"b.{id_col} AS {id_col}",
+        f"FLOOR({sql_dot(f'a.{vec_col}', f'b.{vec_col}', dim)}"
+        " / (a.nrm * b.nrm) * 10000 + 0.5D) / 10000.0D AS cs",
+    )
     best = pairs.groupBy(id_col).agg(F.max("cs").alias("best_sim"))
     return assign.join(best, id_col, "left").select(
         id_col,
@@ -1421,7 +1416,7 @@ def semdedup_incremental(
     if assign is None:
         assign = kmeans_assign_one_iter(base, id_col, vec_col, k, dim)
     if "nrm" not in assign.columns:
-        assign = assign.withColumn("nrm", norm(F.col(vec_col), dim))
+        assign = assign.withColumn("nrm", F.expr(sql_norm(vec_col, dim)))
     assign = assign.withColumn("cluster", F.col("cluster").cast("long"))
     # exact integer component sums per LEAF cluster, rolled up level by
     # level (sums and counts add exactly; the per-level mean is the
@@ -1444,10 +1439,10 @@ def semdedup_incremental(
     # score (<= 2*branch candidate folds per batch vector), and the two
     # best (distance, cid) pairs survive — struct sort breaks distance
     # ties on the lower cid, matching the flat argmin's first-match
-    cur = batch.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col), dim).alias("qnrm"),
+    cur = batch.selectExpr(
+        f"{id_col} AS qid",
+        f"{vec_col} AS qvec",
+        f"{sql_norm(vec_col, dim)} AS qnrm",
     )
     for lvl in range(1, depth + 1):
         if lvl == 1:
@@ -1460,21 +1455,16 @@ def semdedup_incremental(
             joined = cur.crossJoin(F.broadcast(packed_levels[1]))
         else:
             joined = cur.join(packed_levels[lvl], "parent")
-        cand = joined.select(
+        # one SQL parse for the per-cell fold (round-12 optimization):
+        # same named_struct('d', fold, 'cid', ...) field order the
+        # array_sort tie-break below relies on
+        cand = joined.selectExpr(
             "qid",
             "qvec",
             "qnrm",
-            F.explode(
-                F.transform(
-                    F.col("cells"),
-                    lambda st: F.struct(
-                        _fold_l2sq(F.col("qvec"), st["cv"], dim).alias(
-                            "d"
-                        ),
-                        st["cid"].alias("cid"),
-                    ),
-                )
-            ).alias("pc"),
+            "explode(transform(cells, st -> named_struct("
+            f"'d', {sql_fold_l2sq('qvec', 'st.cv', dim)}, "
+            "'cid', st.cid))) AS pc",
         )
         cur = (
             cand.groupBy("qid")
@@ -1498,18 +1488,14 @@ def semdedup_incremental(
     bq = cur.select(
         "qid", "qvec", "qnrm", F.col("parent").alias("cluster")
     )
-    cs = (
-        F.floor(
-            dot(F.col("qvec"), F.col(vec_col), dim)
-            / (F.col("qnrm") * F.col("nrm"))
-            * 10000
-            + F.lit(0.5)
-        )
-        / 10000.0
-    )
     matches = (
         bq.join(assign, "cluster")
-        .select("qid", F.col(id_col).alias("bid"), cs.alias("cs"))
+        .selectExpr(
+            "qid",
+            f"{id_col} AS bid",
+            f"FLOOR({sql_dot('qvec', vec_col, dim)}"
+            " / (qnrm * nrm) * 10000 + 0.5D) / 10000.0D AS cs",
+        )
         .filter(F.col("cs") >= F.lit(min_cosine))
     )
     best = (
@@ -1742,23 +1728,18 @@ def semdedup_scaled(
     assign = scoped_persist(
         kmeans_assign_hierarchical(
             df, id_col, vec_col, depth, branch, dim
-        ).withColumn("nrm", norm(F.col(vec_col), dim))
+        ).withColumn("nrm", F.expr(sql_norm(vec_col, dim)))
     )
     a, b = assign.alias("a"), assign.alias("b")
-    cs = (
-        F.floor(
-            dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
-            / (F.col("a.nrm") * F.col("b.nrm"))
-            * 10000
-            + F.lit(0.5)
-        )
-        / 10000.0
-    )
     pairs = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"b.{id_col}").alias(id_col), cs.alias("cs"))
+    ).selectExpr(
+        f"b.{id_col} AS {id_col}",
+        f"FLOOR({sql_dot(f'a.{vec_col}', f'b.{vec_col}', dim)}"
+        " / (a.nrm * b.nrm) * 10000 + 0.5D) / 10000.0D AS cs",
+    )
     best = pairs.groupBy(id_col).agg(F.max("cs").alias("best_sim"))
     return assign.join(best, id_col, "left").select(
         id_col,
@@ -1816,16 +1797,11 @@ def cluster_cohesion(
             lambda s: s["cval"],
         ).alias("cv")
     )
-    css = (
-        F.floor(
-            dot(F.col(vec_col), F.col("cv"), dim)
-            / (norm(F.col(vec_col), dim) * norm(F.col("cv"), dim))
-            * 10000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("css")
-    )
+    css = F.expr(
+        f"CAST(FLOOR({sql_dot(vec_col, 'cv', dim)}"
+        f" / ({sql_norm(vec_col, dim)} * {sql_norm('cv', dim)})"
+        " * 10000 + 0.5D) AS BIGINT)"
+    ).alias("css")
     scored = assign.join(
         centv, assign["cluster"] == centv["nc"]
     ).select(F.col("cluster").cast("int").alias("cluster"), css)
