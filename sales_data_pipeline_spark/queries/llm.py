@@ -1436,7 +1436,7 @@ def _ivf_oracle() -> str:
 )
 def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    assign = similarity.ivf_assign(F.col("embedding"))
+    assign = F.expr(similarity.sql_ivf_assign("embedding"))
     return (
         e.select(assign.alias("centroid"), F.col("label"))
         .groupBy("centroid")
