@@ -23,6 +23,7 @@ scalars.
 from __future__ import annotations
 
 import datetime as dt
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -62,6 +63,63 @@ ENTITY_RULES = {
     "sales": bronze.sales_validity_rules,
 }
 
+# Independent jobs overlap (guide §2.6): Spark happily runs several
+# jobs at once inside one application — the stages of this pipeline
+# were only sequential because the driver called their actions
+# sequentially. Bronze's four entities and silver's four table writes
+# are mutually independent, so a small driver-side pool submits them
+# together and the next job's tasks back-fill capacity freed by the
+# current job's straggler tail (one entity — sales — dominates; the
+# tiny dimension jobs ride its idle slots). 2-3 in flight is enough to
+# fill the tail without jobs fighting for executors, on local[32] and
+# on a cluster alike; FIFO scheduling (the default) keeps the big job
+# first and lets the small ones use what is left.
+_STAGE_POOL_JOBS = 3
+
+
+def _bronze_entity(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    entity: str,
+    path: str,
+    wm_cut: str | None,
+    out: str,
+) -> tuple[dict[str, int], DataFrame, bool | None]:
+    """Bronze for ONE entity: read -> tag -> one-pass rejection summary
+    -> raw/rejected sinks (+ optional quality suite). Pure function of
+    its inputs — safe to run concurrently with the other entities."""
+    df = readers.read_csv(spark, path, SOURCE_SCHEMAS[entity])
+    if entity == "sales" and wm_cut is not None:
+        df = df.filter(F.col("sales_date") > F.lit(wm_cut))
+    df = bronze.stamp_ingestion(df, cfg.as_of_date)
+    rules = ENTITY_RULES.get(entity, lambda: [])()
+    tagged = bronze.with_rejection_reason(df, rules).persist()
+    summary = {
+        r["reason"]: r["n"]
+        for r in tagged.groupBy(
+            F.coalesce(
+                F.col(bronze.REJECTION_REASON), F.lit("VALID")
+            ).alias("reason")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    valid = tagged.filter(F.col(bronze.REJECTION_REASON).isNull()).drop(
+        bronze.REJECTION_REASON
+    )
+    rejected = tagged.filter(F.col(bronze.REJECTION_REASON).isNotNull())
+    writers.write_bronze_raw(valid, f"{out}/bronze/{entity}/raw")
+    if rules:
+        writers.write_bronze_rejected(
+            rejected, f"{out}/bronze/{entity}/rejected"
+        )
+    suite_passed: bool | None = None
+    if entity in cfg.quality_suites:
+        rep = compiler.run_suite(valid, cfg.quality_suites[entity])
+        suite_passed = rep.passed  # warn-only
+    tagged.unpersist()
+    return summary, valid, suite_passed
+
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
     m = PipelineMetrics()
@@ -81,44 +139,33 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
             initial_lookback_days=0,
         )
 
-    # ---- bronze per entity -------------------------------------------
+    # ---- bronze per entity (independent jobs, overlapped) --------------
+    wm_cut = wm.buffered_watermark() if wm is not None else None
     valid_frames: dict[str, DataFrame] = {}
-    for entity, path in cfg.input_paths.items():
-        df = readers.read_csv(spark, path, SOURCE_SCHEMAS[entity])
-        if entity == "sales" and wm is not None:
-            df = df.filter(F.col("sales_date") > F.lit(wm.buffered_watermark()))
-        df = bronze.stamp_ingestion(df, cfg.as_of_date)
-        rules = ENTITY_RULES.get(entity, lambda: [])()
-        tagged = bronze.with_rejection_reason(df, rules).persist()
-        summary = {
-            r["reason"]: r["n"]
-            for r in tagged.groupBy(
-                F.coalesce(F.col(bronze.REJECTION_REASON), F.lit("VALID")).alias(
-                    "reason"
-                )
+    with ThreadPoolExecutor(max_workers=_STAGE_POOL_JOBS) as pool:
+        futures = {
+            entity: pool.submit(
+                _bronze_entity, spark, cfg, entity, path, wm_cut, out
             )
-            .agg(F.count("*").alias("n"))
-            .collect()
+            for entity, path in cfg.input_paths.items()
         }
-        m.bronze_counts[entity] = summary
-        total = sum(summary.values())
-        rejected_n = total - summary.get("VALID", 0)
-        if total and rejected_n / total * 100 > cfg.max_rejection_pct and rules:
-            m.quality[f"bronze_{entity}_rejection_pct"] = False
-        valid = tagged.filter(
-            F.col(bronze.REJECTION_REASON).isNull()
-        ).drop(bronze.REJECTION_REASON)
-        rejected = tagged.filter(F.col(bronze.REJECTION_REASON).isNotNull())
-        writers.write_bronze_raw(valid, f"{out}/bronze/{entity}/raw")
-        if rules:
-            writers.write_bronze_rejected(
-                rejected, f"{out}/bronze/{entity}/rejected"
-            )
-        if entity in cfg.quality_suites:
-            rep = compiler.run_suite(valid, cfg.quality_suites[entity])
-            m.quality[f"bronze_{entity}"] = rep.passed  # warn-only
-        valid_frames[entity] = valid
-        tagged.unpersist()
+        # results consumed in input order: metrics identical to the
+        # sequential loop regardless of completion order
+        for entity in cfg.input_paths:
+            summary, valid, suite_passed = futures[entity].result()
+            m.bronze_counts[entity] = summary
+            rules = ENTITY_RULES.get(entity, lambda: [])()
+            total = sum(summary.values())
+            rejected_n = total - summary.get("VALID", 0)
+            if (
+                total
+                and rejected_n / total * 100 > cfg.max_rejection_pct
+                and rules
+            ):
+                m.quality[f"bronze_{entity}_rejection_pct"] = False
+            if suite_passed is not None:
+                m.quality[f"bronze_{entity}"] = suite_passed
+            valid_frames[entity] = valid
 
     # ---- silver -------------------------------------------------------
     s_product = silver.transform_product(valid_frames["product"], cfg.as_of_date)
@@ -139,28 +186,44 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
     # Row counts ride the write action itself via Observation — the
     # reference re-reads and counts every layer (~15 extra jobs,
     # SURVEY §3.1 step 7); here each layer is written AND counted in
-    # one pass, zero extra scans at any scale.
-    for name, df in [
-        ("sales", s_sales),
-        ("product", s_product),
-        ("store", s_store),
-    ]:
-        part = ["sales_year", "sales_month"] if name == "sales" else None
-        obs = Observation(f"silver_{name}_rows")
-        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        writers.write_parquet(
-            observed, f"{out}/silver/{name}", partition_cols=part
-        )
-        m.silver_counts[name] = obs.get["n"]
-    # SCD2 history is read at the top of the run and rewritten whole;
-    # write to a temp-style swap is unnecessary because Spark stages
-    # output before commit.
+    # one pass, zero extra scans at any scale. The four silver-layer
+    # writes (sales, product, store, customer_scd) are independent
+    # jobs, so they run overlapped like bronze (guide §2.6). The
+    # incremental watermark max additionally rides the sales write's
+    # Observation instead of a separate post-write scan.
     customer_hist = customer_hist.persist()
-    obs = Observation("silver_customer_scd_rows")
-    writers.write_parquet(
-        customer_hist.observe(obs, F.count(F.lit(1)).alias("n")), scd_path
-    )
-    m.silver_counts["customer_scd"] = obs.get["n"]
+
+    def _write_silver(name: str, df: DataFrame, path: str, part):
+        obs = Observation(f"silver_{name}_rows")
+        metrics = [F.count(F.lit(1)).alias("n")]
+        if name == "sales" and wm is not None:
+            metrics.append(F.max("sales_date").alias("max_sales_date"))
+        writers.write_parquet(
+            df.observe(obs, *metrics), path, partition_cols=part
+        )
+        return obs.get
+
+    with ThreadPoolExecutor(max_workers=_STAGE_POOL_JOBS) as pool:
+        silver_futs = {
+            name: pool.submit(_write_silver, name, df, path, part)
+            for name, df, path, part in [
+                (
+                    "sales",
+                    s_sales,
+                    f"{out}/silver/sales",
+                    ["sales_year", "sales_month"],
+                ),
+                ("product", s_product, f"{out}/silver/product", None),
+                ("store", s_store, f"{out}/silver/store", None),
+                # SCD2 history is read at the top of the run and
+                # rewritten whole; write to a temp-style swap is
+                # unnecessary because Spark stages output before commit.
+                ("customer_scd", customer_hist, scd_path, None),
+            ]
+        }
+        silver_obs = {n: f.result() for n, f in silver_futs.items()}
+    for name in ("sales", "product", "store", "customer_scd"):
+        m.silver_counts[name] = silver_obs[name]["n"]
 
     silver_sales = spark.read.parquet(f"{out}/silver/sales")
 
@@ -207,7 +270,9 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
 
     # ---- watermark update (I3) ---------------------------------------
     if wm is not None:
-        max_ts = silver_sales.agg(F.max("sales_date")).first()[0]
+        # max sales_date observed during the silver sales write itself
+        # (same rows the old post-write agg scanned, zero extra jobs)
+        max_ts = silver_obs["sales"].get("max_sales_date")
         if max_ts is not None:
             wm.update_watermark(
                 f"{max_ts} 00:00:00",
