@@ -1438,58 +1438,80 @@ def semdedup_incremental(
     # beam-2 descent: at each level both surviving parents' children
     # score (<= 2*branch candidate folds per batch vector), and the two
     # best (distance, cid) pairs survive — struct sort breaks distance
-    # ties on the lower cid, matching the flat argmin's first-match
+    # ties on the lower cid, matching the flat argmin's first-match.
+    #
+    # Round-13 optimization (guide §2.4 — remove shuffles outright):
+    # the per-level candidate set lives in ONE packed array column per
+    # batch row, so the top-2 selection is an array expression over
+    # that column — the round-12 shape instead EXPLODED the cells and
+    # re-grouped by qid, paying a full shuffle per level per
+    # (micro-)batch. Same values by construction: array_sort over
+    # named_struct('d', fold, 'cid', cid) is the identical total order
+    # the collect_list+sort computed (distances from the same fold
+    # expression, cids unique within a level), and slice(..., 1, 2) is
+    # the same top-2. Levels >= 2 fetch both surviving parents' cell
+    # packs via broadcast equi-joins against the aggregate-sized packed
+    # tables (never a shuffle of the batch); a single-cell level leaves
+    # parent 2 NULL and scores parent 1's cells alone, exactly as the
+    # exploded form did.
+    def _t2_sql(cells_sql: str) -> str:
+        return (
+            f"slice(array_sort(transform({cells_sql}, "
+            f"st -> named_struct('d', {sql_fold_l2sq('qvec', 'st.cv', dim)}, "
+            "'cid', st.cid))), 1, 2)"
+        )
+
     cur = batch.selectExpr(
         f"{id_col} AS qid",
         f"{vec_col} AS qvec",
         f"{sql_norm(vec_col, dim)} AS qnrm",
     )
-    for lvl in range(1, depth + 1):
-        if lvl == 1:
-            # level 1 has exactly ONE parent (the root), so the cells
-            # pack as a one-row GLOBAL aggregate and join via the
-            # sanctioned scalar-BNLJ cross join. (An equi-join on a
-            # LITERAL parent column constant-folds to TRUE and plans a
-            # BNLJ whose build side is the scaling BATCH union — the
-            # exact shape the plan gate rejects.)
-            joined = cur.crossJoin(F.broadcast(packed_levels[1]))
-        else:
-            joined = cur.join(packed_levels[lvl], "parent")
-        # one SQL parse for the per-cell fold (round-12 optimization):
-        # same named_struct('d', fold, 'cid', ...) field order the
-        # array_sort tie-break below relies on
-        cand = joined.selectExpr(
-            "qid",
-            "qvec",
-            "qnrm",
-            "explode(transform(cells, st -> named_struct("
-            f"'d', {sql_fold_l2sq('qvec', 'st.cv', dim)}, "
-            "'cid', st.cid))) AS pc",
-        )
+    # level 1 has exactly ONE parent (the root), so the cells pack as a
+    # one-row GLOBAL aggregate and join via the sanctioned scalar-BNLJ
+    # cross join. (An equi-join on a LITERAL parent column
+    # constant-folds to TRUE and plans a BNLJ whose build side is the
+    # scaling BATCH union — the exact shape the plan gate rejects.)
+    cur = cur.crossJoin(F.broadcast(packed_levels[1])).selectExpr(
+        "qid", "qvec", "qnrm", _t2_sql("cells") + " AS t2"
+    )
+    for lvl in range(2, depth + 1):
+        pk = packed_levels[lvl]
+        cells1 = pk.selectExpr("parent AS p1", "cells AS cells1")
+        cells2 = pk.selectExpr("parent AS p2", "cells AS cells2")
         cur = (
-            cand.groupBy("qid")
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_list("pc")), 1, 2
-                ).alias("t2"),
-                F.first("qvec").alias("qvec"),
-                F.first("qnrm").alias("qnrm"),
-            )
-            .select(
+            cur.selectExpr(
                 "qid",
                 "qvec",
                 "qnrm",
-                F.explode("t2").alias("e"),
+                "t2[0].cid AS p1",
+                "element_at(t2, 2).cid AS p2",
             )
-            .select(
-                "qid", "qvec", "qnrm", F.col("e.cid").alias("parent")
+            .join(F.broadcast(cells1), "p1")
+            .join(F.broadcast(cells2), "p2", "left")
+            .selectExpr(
+                "qid",
+                "qvec",
+                "qnrm",
+                _t2_sql(
+                    "CASE WHEN cells2 IS NULL THEN cells1 "
+                    "ELSE concat(cells1, cells2) END"
+                )
+                + " AS t2",
             )
         )
-    bq = cur.select(
-        "qid", "qvec", "qnrm", F.col("parent").alias("cluster")
+    bq = cur.selectExpr(
+        "qid",
+        "qvec",
+        "qnrm",
+        "explode(transform(t2, e -> e.cid)) AS cluster",
     )
+    # the probe side is batch-sized (an ingest micro-batch / probe
+    # set — bounded by design at any corpus size), so broadcast it:
+    # the corpus-sized stored assignment then streams through a
+    # BroadcastHashJoin with NO exchange on either side, instead of
+    # both sides shuffling on cluster per (micro-)batch (guide §3.1)
     matches = (
-        bq.join(assign, "cluster")
+        F.broadcast(bq).join(assign, "cluster")
         .selectExpr(
             "qid",
             f"{id_col} AS bid",
@@ -1510,7 +1532,9 @@ def semdedup_incremental(
     )
     return (
         batch.select(id_col)
-        .join(best, F.col(id_col) == F.col("qid"), "left")
+        # best is at most batch-sized (one row per matched qid):
+        # broadcast it so the verdict join never shuffles the batch
+        .join(F.broadcast(best), F.col(id_col) == F.col("qid"), "left")
         .select(
             id_col,
             F.col("bid").alias("matched_base_id"),

@@ -93,6 +93,11 @@ def main() -> None:
         "BENCH_FULL.json instead of explicit names",
     )
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument(
+        "--plandir",
+        default="r13",
+        help="plans/<plandir>/ receives the explain dumps",
+    )
     args = ap.parse_args()
 
     from sales_data_pipeline_spark.queries.base import load_all
@@ -115,7 +120,7 @@ def main() -> None:
         )
         names.extend(ranked[: args.headline_top])
 
-    plan_dir = os.path.join(_REPO_ROOT, "plans", "r12")
+    plan_dir = os.path.join(_REPO_ROOT, "plans", args.plandir)
     os.makedirs(plan_dir, exist_ok=True)
 
     spark = build_session("optprofile")
