@@ -163,6 +163,26 @@ def exact_duplicates(
 N_MINHASH = 8  # 8 family members = 4 x 32-bit chunks of 2 md5s
 
 
+def gram_words_sql(text_col: str) -> str:
+    """SQL for the whitespace word array shingle pipelines split on."""
+    return f"split(trim({text_col}), '\\\\s+')"
+
+
+def gram_array_sql(n: int = 3, w: str = "w") -> str:
+    """SQL for the word n-gram MULTISET over a word-array column ``w``
+    — the same gram stream shingle_rows explodes, as a row-local HOF
+    array: positions 0..max(len-n, 0), out-of-range subscripts NULL
+    out and concat_ws skips them, so short docs clamp identically.
+    Emitted as ONE parseable string (the py4j expression-tree tax,
+    round-12 finding); wrap in array_distinct(...) where the SET is
+    needed (== collect_set of the exploded rows)."""
+    terms = ", ".join(f"{w}[i + {j}]" for j in range(n))
+    return (
+        f"transform(sequence(0, greatest(size({w}) - {n}, 0)), "
+        f"i -> concat_ws(' ', {terms}))"
+    )
+
+
 def minhash_chunk_aggs() -> list[Column]:
     """The 8 minhash aggregates over exploded (id, h0, h1) rows:
     member i (i<4) = MIN(substr(h0, 8i+1, 8)), member 4+i =
@@ -205,18 +225,39 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = k // bands
-    sh = shingle_rows(df, id_col, text_col, 3)
-    hashed = sh.select(
-        "id",
-        F.md5(F.col("sh")).alias("h0"),
-        F.md5(F.concat(F.lit("1|"), F.col("sh"))).alias("h1"),
+    # Round-13 rework (guide §2.4): the 8 chunk MINs are per-doc
+    # scalars over the doc's OWN gram stream, so they compute
+    # ROW-LOCALLY — md5 once per gram into an array, then array_min
+    # over substring transforms. The previous explode + groupBy(id)
+    # form shuffled one row per shingle to compute them (partial agg
+    # kept the shuffle small, but the exchange and its AQE stage
+    # remained). Values identical (same gram multiset, same md5
+    # strings, array_min == MIN over strings) — A/B verified
+    # signature-for-signature at sf0.1.
+    sigs = (
+        df.selectExpr(
+            f"{id_col} AS id", f"{gram_words_sql(text_col)} AS w"
+        )
+        .selectExpr("id", f"{gram_array_sql(3)} AS g")
+        .selectExpr(
+            "id",
+            "transform(g, x -> md5(x)) AS h0",
+            "transform(g, x -> md5(concat('1|', x))) AS h1",
+        )
+        .selectExpr(
+            "id",
+            *[
+                f"array_min(transform(h0, x -> substring(x, {1 + 8 * i}, 8)))"
+                f" AS mh{i}"
+                for i in range(4)
+            ],
+            *[
+                f"array_min(transform(h1, x -> substring(x, {1 + 8 * i}, 8)))"
+                f" AS mh{4 + i}"
+                for i in range(4)
+            ],
+        )
     )
-    # no persist: the band self-join's two sides are the same canonical
-    # subtree, so the signature aggregate's shuffle is consumed via
-    # ReusedExchange (verified in the executed plan) — persisting was
-    # timing-neutral at sf0.1 and held signature storage per executor
-    # that a 100 TB corpus doesn't need to hold
-    sigs = hashed.groupBy("id").agg(*minhash_chunk_aggs())
     band_exprs = [
         F.md5(
             F.concat_ws(
@@ -243,16 +284,14 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # persist: both pair-join branches consume the shingle sets. Sets
-    # are built codegen-side (shingle_rows + collect_set) — the
-    # interpreted-HOF shingle_set Column was ~2.5x slower end-to-end
-    # even though this path shuffles the candidates' shingle rows.
+    # Gram sets build as a row-local PROJECTION over the candidate docs
+    # (round-13: array_distinct over the HOF gram array == collect_set
+    # of the exploded rows, no shuffle at all); no persist — a pure
+    # projection recomputes cheaper than a cached exchange round-trip.
     cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
-    shset = scoped_persist(
-        shingle_rows(cand_docs, id_col, text_col, 3)
-        .groupBy("id")
-        .agg(F.collect_set("sh").alias("ws"))
-    )
+    shset = cand_docs.selectExpr(
+        f"{id_col} AS id", f"{gram_words_sql(text_col)} AS w"
+    ).selectExpr("id", f"array_distinct({gram_array_sql(3)}) AS ws")
     # size-gated build (gram_map_build): broadcast only when the corpus
     # scan's on-disk footprint proves the shingle-set map small; else
     # sort-merge, which spills — see gram_map_build for why Catalyst's
@@ -366,26 +405,30 @@ def minhash_block_map(
     """(id, block) map with TWO blocking keys per doc — the mins of two
     32-bit chunks of the shingle md5 (2 x 1-row LSH bands). Pair recall
     at Jaccard j is 1-(1-j)^2 vs j for a single band; keys are
-    index-prefixed so chunks never collide across bands. Codegen
-    explode pipeline, partial-aggregated mins."""
-    sh = shingle_rows(df, id_col, text_col, n)
-    mins = (
-        sh.select(
-            "id",
-            F.substring(F.md5(F.col("sh")), 1, 8).alias("c0"),
-            F.substring(F.md5(F.col("sh")), 9, 8).alias("c1"),
-        )
-        .groupBy("id")
-        .agg(F.min("c0").alias("b0"), F.min("c1").alias("b1"))
-    )
-    return mins.select(
+    index-prefixed so chunks never collide across bands.
+
+    Round-13 rework (guide §2.4 — remove shuffles outright): the
+    per-doc min is computed ROW-LOCALLY with array_min over the HOF
+    gram transform, so the map is a pure projection — the previous
+    explode + groupBy(id) form shuffled one row per shingle (corpus
+    token volume) to compute a per-doc scalar. Same values: the gram
+    multiset is identical to shingle_rows' (same sequence bounds, same
+    concat_ws NULL-clamping for short docs), md5 of the same strings,
+    and array_min's lexicographic string min equals the aggregate MIN.
+    One SQL parse end-to-end (the py4j expression-tree tax, round-12
+    finding)."""
+    return df.selectExpr(
+        f"{id_col} AS id",
+        f"{gram_words_sql(text_col)} AS w",
+    ).selectExpr(
         "id",
-        F.explode(
-            F.array(
-                F.concat(F.lit("0:"), F.col("b0")),
-                F.concat(F.lit("1:"), F.col("b1")),
-            )
-        ).alias("block"),
+        f"transform({gram_array_sql(n)}, x -> md5(x)) AS h",
+    ).selectExpr(
+        "id",
+        "explode(array("
+        "concat('0:', array_min(transform(h, x -> substring(x, 1, 8)))), "
+        "concat('1:', array_min(transform(h, x -> substring(x, 9, 8))))"
+        ")) AS block",
     )
 
 
@@ -442,20 +485,20 @@ def _blocked_gram_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # gram sets only for docs that appear in a candidate pair
+    # gram sets only for docs that appear in a candidate pair — built
+    # as a row-local PROJECTION (round-13: array_distinct over the HOF
+    # gram array == collect_set of the exploded shingle rows, no
+    # shuffle; the explode+groupBy form paid a corpus-token-volume
+    # exchange per query)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # persist: both pair-join branches consume the gram sets (built
-    # codegen-side via shingle_rows + collect_set, not interpreted HOF)
     cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
-    grams = scoped_persist(
-        shingle_rows(cand_docs, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.collect_set("sh").alias("grams"))
-    )
+    grams = cand_docs.selectExpr(
+        f"{id_col} AS id", f"{gram_words_sql(text_col)} AS w"
+    ).selectExpr("id", f"array_distinct({gram_array_sql(n)}) AS grams")
     # size-gated build for the same reason as minhash_lsh_pairs: the
     # gram-set map scales with the corpus and its cached-aggregate
     # stats undershoot — broadcast only on on-disk proof, else SMJ.

@@ -94,17 +94,55 @@ def query(
     return deco
 
 
+# Per-session resolved-table cache (round-13 optimization, guide §6
+# "file listing ... is cached per session"): resolving a parquet path
+# to a DataFrame costs a datasource lookup, a file listing and a footer
+# schema read on the JVM (~100 ms of driver work per call here), and
+# the catalog pays it for EVERY table() call of EVERY query — a
+# production engine resolves a catalog table's metadata once per
+# session, which is exactly what this memoizes. The cached value is
+# the immutable LOGICAL PLAN (scan + the events ns->us projection);
+# every action still computes from the parquet files, so no result or
+# data is ever reused across runs. Keyed per SparkSession (weakly — a
+# stopped session's entries are collectable) and per (sf_dir, table,
+# source mtime): a regenerated table (tools/scale_data.py rewriting
+# /tmp/sfN) changes the path's mtime and misses the cache, so a stale
+# file-list snapshot is never served.
+import os as _os
+import weakref as _weakref
+
+_TABLE_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _source_mtime(path: str) -> int:
+    try:
+        return _os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet scan; pushdown-friendly).
 
     Pins the session timezone to UTC (runtime-settable): queries format
     timestamps with date_format, and the external driver's vanilla
     session would otherwise use the JVM default zone — DuckDB's
-    tz-naive timestamps only hash-match under UTC."""
+    tz-naive timestamps only hash-match under UTC. (Set on cache miss
+    only: the conf sticks to the session the entry was resolved in.)"""
+    path = f"{sf_dir}/{name}.parquet"
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, _source_mtime(path))
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        return events_table(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = (
+        events_table(spark, sf_dir)
+        if name == "events"
+        else spark.read.parquet(path)
+    )
+    per_session[key] = df
+    return df
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
