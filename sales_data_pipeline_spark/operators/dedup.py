@@ -286,12 +286,16 @@ def minhash_lsh_pairs(
     )
     # Gram sets build as a row-local PROJECTION over the candidate docs
     # (round-13: array_distinct over the HOF gram array == collect_set
-    # of the exploded rows, no shuffle at all); no persist — a pure
-    # projection recomputes cheaper than a cached exchange round-trip.
+    # of the exploded rows — no corpus-token-volume shuffle). Still
+    # scoped-persisted: BOTH pair-join branches consume it, and
+    # unpersisted each branch would re-run the whole candidate
+    # pipeline (semi-join included) from scratch.
     cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
-    shset = cand_docs.selectExpr(
-        f"{id_col} AS id", f"{gram_words_sql(text_col)} AS w"
-    ).selectExpr("id", f"array_distinct({gram_array_sql(3)}) AS ws")
+    shset = scoped_persist(
+        cand_docs.selectExpr(
+            f"{id_col} AS id", f"{gram_words_sql(text_col)} AS w"
+        ).selectExpr("id", f"array_distinct({gram_array_sql(3)}) AS ws")
+    )
     # size-gated build (gram_map_build): broadcast only when the corpus
     # scan's on-disk footprint proves the shingle-set map small; else
     # sort-merge, which spills — see gram_map_build for why Catalyst's
@@ -495,10 +499,14 @@ def _blocked_gram_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # scoped-persisted: both pair-join branches consume the gram sets;
+    # unpersisted each branch re-runs the candidate pipeline
     cand_docs = df.join(cand_ids, df[id_col] == cand_ids.id, "left_semi")
-    grams = cand_docs.selectExpr(
-        f"{id_col} AS id", f"{gram_words_sql(text_col)} AS w"
-    ).selectExpr("id", f"array_distinct({gram_array_sql(n)}) AS grams")
+    grams = scoped_persist(
+        cand_docs.selectExpr(
+            f"{id_col} AS id", f"{gram_words_sql(text_col)} AS w"
+        ).selectExpr("id", f"array_distinct({gram_array_sql(n)}) AS grams")
+    )
     # size-gated build for the same reason as minhash_lsh_pairs: the
     # gram-set map scales with the corpus and its cached-aggregate
     # stats undershoot — broadcast only on on-disk proof, else SMJ.
@@ -686,6 +694,40 @@ def cluster_components(
         .select("id", F.col("id").alias("label"))
         .repartition(parts, "id")
     )
+    # Scope spark.sql.shuffle.partitions to the DATA-derived ``parts``
+    # for the loop body (round-13, guide §2.2): the per-round
+    # groupBy/join exchanges operate on one (id,label) row per node,
+    # but planned non-adaptively (the _loop_checkpoint AQE toggle)
+    # they inherit the session default — 200 tasks/round under the
+    # driver's vanilla session, 32 locally — pure scheduling overhead
+    # at ~0.1-0.2 s per round. parts scales with the edge count
+    # (~2M edges/partition), so a 100 TB graph gets wide rounds and a
+    # small one narrow rounds. Same scoped-restore pattern (and the
+    # same documented single-threaded-session caveat) as
+    # _loop_checkpoint's AQE flip.
+    sess = pairs.sparkSession
+    _SP = "spark.sql.shuffle.partitions"
+    try:
+        prev_sp = sess.conf.get(_SP)
+    except Exception:
+        prev_sp = None
+    sess.conf.set(_SP, str(parts))
+    try:
+        labels = _cc_loop(edges, labels, parts, max_iter)
+    finally:
+        if prev_sp is None:
+            sess.conf.unset(_SP)
+        else:
+            sess.conf.set(_SP, prev_sp)
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _cc_loop(
+    edges: DataFrame, labels: DataFrame, parts: int, max_iter: int
+) -> DataFrame:
+    """The min-label propagation rounds of cluster_components (body
+    factored out so the shuffle-partition scope wraps exactly the
+    loop's plans)."""
     prev_sum = None
     for _ in range(max_iter):
         neigh_min = (
@@ -732,7 +774,7 @@ def cluster_components(
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    return labels
 
 
 def simhash_pairs(
