@@ -178,9 +178,24 @@ def _rotated(
     _extend(sorted(n for n in names if n not in green and n not in failed))
     _extend(committed_window)
     _extend(_PRIORITY)
+    # Round-13 (judge ask #6): queries that DECLARE no oracle
+    # (rows-only checks — HLL sketch internals, zlib ratios) sort to
+    # the very back of the green tail. Re-fronting them spends a
+    # hash-checked window slot on a row the driver can only record as
+    # `err: no_oracle`, which every round's judging then re-adjudicates
+    # as a spurious "failure" (r1, r5, r11). They still front when
+    # UNCHECKED (first certification) or FAILED (a real error, not
+    # no_oracle, per _driver_rows) — only the green re-certification
+    # rotation skips them, since a rows-only re-check can never go
+    # red on values.
     tail = sorted(
         (n for n in names if n in green and n not in seen),
-        key=lambda n: (rounds.get(n, -1), n not in stale, n),
+        key=lambda n: (
+            registry[n].oracle is None,
+            rounds.get(n, -1),
+            n not in stale,
+            n,
+        ),
     )
     return head + tail
 

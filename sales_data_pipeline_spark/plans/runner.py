@@ -94,30 +94,35 @@ def _bronze_entity(
     df = bronze.stamp_ingestion(df, cfg.as_of_date)
     rules = ENTITY_RULES.get(entity, lambda: [])()
     tagged = bronze.with_rejection_reason(df, rules).persist()
-    summary = {
-        r["reason"]: r["n"]
-        for r in tagged.groupBy(
-            F.coalesce(
-                F.col(bronze.REJECTION_REASON), F.lit("VALID")
-            ).alias("reason")
-        )
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    valid = tagged.filter(F.col(bronze.REJECTION_REASON).isNull()).drop(
-        bronze.REJECTION_REASON
-    )
-    rejected = tagged.filter(F.col(bronze.REJECTION_REASON).isNotNull())
-    writers.write_bronze_raw(valid, f"{out}/bronze/{entity}/raw")
-    if rules:
-        writers.write_bronze_rejected(
-            rejected, f"{out}/bronze/{entity}/rejected"
-        )
-    suite_passed: bool | None = None
-    if entity in cfg.quality_suites:
-        rep = compiler.run_suite(valid, cfg.quality_suites[entity])
-        suite_passed = rep.passed  # warn-only
-    tagged.unpersist()
+    # advisor: unpersist in finally — with three entities in flight a
+    # write/suite failure would otherwise leak the cached frame for the
+    # session lifetime
+    try:
+        summary = {
+            r["reason"]: r["n"]
+            for r in tagged.groupBy(
+                F.coalesce(
+                    F.col(bronze.REJECTION_REASON), F.lit("VALID")
+                ).alias("reason")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        valid = tagged.filter(
+            F.col(bronze.REJECTION_REASON).isNull()
+        ).drop(bronze.REJECTION_REASON)
+        rejected = tagged.filter(F.col(bronze.REJECTION_REASON).isNotNull())
+        writers.write_bronze_raw(valid, f"{out}/bronze/{entity}/raw")
+        if rules:
+            writers.write_bronze_rejected(
+                rejected, f"{out}/bronze/{entity}/rejected"
+            )
+        suite_passed: bool | None = None
+        if entity in cfg.quality_suites:
+            rep = compiler.run_suite(valid, cfg.quality_suites[entity])
+            suite_passed = rep.passed  # warn-only
+    finally:
+        tagged.unpersist()
     return summary, valid, suite_passed
 
 
@@ -150,22 +155,32 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
             for entity, path in cfg.input_paths.items()
         }
         # results consumed in input order: metrics identical to the
-        # sequential loop regardless of completion order
-        for entity in cfg.input_paths:
-            summary, valid, suite_passed = futures[entity].result()
-            m.bronze_counts[entity] = summary
-            rules = ENTITY_RULES.get(entity, lambda: [])()
-            total = sum(summary.values())
-            rejected_n = total - summary.get("VALID", 0)
-            if (
-                total
-                and rejected_n / total * 100 > cfg.max_rejection_pct
-                and rules
-            ):
-                m.quality[f"bronze_{entity}_rejection_pct"] = False
-            if suite_passed is not None:
-                m.quality[f"bronze_{entity}"] = suite_passed
-            valid_frames[entity] = valid
+        # sequential loop regardless of completion order. On the first
+        # failure, cancel entities that haven't started (advisor:
+        # fail-fast side-effect semantics — the sequential loop never
+        # wrote outputs for entities after a failure; already-RUNNING
+        # entities still finish their idempotent per-entity overwrite,
+        # which a concurrent submit cannot avoid).
+        try:
+            for entity in cfg.input_paths:
+                summary, valid, suite_passed = futures[entity].result()
+                m.bronze_counts[entity] = summary
+                rules = ENTITY_RULES.get(entity, lambda: [])()
+                total = sum(summary.values())
+                rejected_n = total - summary.get("VALID", 0)
+                if (
+                    total
+                    and rejected_n / total * 100 > cfg.max_rejection_pct
+                    and rules
+                ):
+                    m.quality[f"bronze_{entity}_rejection_pct"] = False
+                if suite_passed is not None:
+                    m.quality[f"bronze_{entity}"] = suite_passed
+                valid_frames[entity] = valid
+        except BaseException:
+            for fut in futures.values():
+                fut.cancel()
+            raise
 
     # ---- silver -------------------------------------------------------
     s_product = silver.transform_product(valid_frames["product"], cfg.as_of_date)
@@ -271,11 +286,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineMetrics:
     # ---- watermark update (I3) ---------------------------------------
     if wm is not None:
         # max sales_date observed during the silver sales write itself
-        # (same rows the old post-write agg scanned, zero extra jobs)
+        # (same rows the old post-write agg scanned, zero extra jobs).
+        # Clamped monotone (advisor): the batch-only max can sit up to
+        # buffer_minutes BELOW the stored watermark when a run ingests
+        # only buffer-window rows — writing it back would regress the
+        # watermark and re-admit already-processed rows next run. The
+        # old full-table max was monotone by construction; max(new,
+        # stored) restores that property with a string compare (both
+        # sides share the %Y-%m-%d %H:%M:%S format, which orders
+        # lexicographically).
         max_ts = silver_obs["sales"].get("max_sales_date")
         if max_ts is not None:
-            wm.update_watermark(
-                f"{max_ts} 00:00:00",
-                {"rows": m.silver_counts["sales"]},
-            )
+            new_wm = f"{max_ts} 00:00:00"
+            if new_wm > wm.get_watermark():
+                wm.update_watermark(
+                    new_wm, {"rows": m.silver_counts["sales"]}
+                )
     return m

