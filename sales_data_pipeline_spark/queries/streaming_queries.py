@@ -176,11 +176,13 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     sessions = stateful.sessionize_stream(events, gap_minutes=30)
     name = ingest.unique_sink_name("stateful_sessions")
     # Unlike the setup-bound joins/aggs (8 partitions), the Pandas
-    # state fn does real per-row Python work — it wants full core
-    # parallelism: 8 partitions measured 20.0 s at sf1 vs 9.5 s with
-    # core-count partitions (state setup is amortized by compute).
+    # state fn does real per-row Python work — but only once each
+    # partition carries enough rows to amortize its state-store +
+    # Python-worker setup (8 partitions measured 20.0 s at sf1 vs
+    # 9.5 s at core count; at sf0.1 the ratio INVERTS). The count is
+    # data-adaptive: rows/30k, floored at 8, capped at core count.
     with ingest.bounded_state_partitions(
-        spark, n=spark.sparkContext.defaultParallelism
+        spark, n=ingest.adaptive_state_partitions(spark, sf_dir)
     ):
         q = (
             sessions.writeStream.format("memory")
@@ -744,11 +746,14 @@ def streaming_throttle_events(
     )
     out = stateful.throttle_stream(ev, gap_us=86_400_000_000)
     name = ingest.unique_sink_name("throttle_stream")
-    # full-core parallelism for the same reason as the sessionizer:
-    # the per-key Python fold is compute-bound, and transformWithState
-    # requires the RocksDB provider (large_state=True supplies it)
+    # data-adaptive parallelism for the same reason as the sessionizer
+    # (the per-key Python fold is compute-bound only once partitions
+    # carry enough rows to amortize their state-store + worker setup:
+    # 32 partitions measured ~3x SLOWER than 8 at sf0.1's 100k events);
+    # transformWithState requires the RocksDB provider
+    # (large_state=True supplies it)
     with ingest.bounded_state_partitions(
-        spark, n=spark.sparkContext.defaultParallelism
+        spark, n=ingest.adaptive_state_partitions(spark, sf_dir)
     ):
         q = (
             out.writeStream.format("memory")

@@ -29,6 +29,66 @@ def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
     return bool(fs.isDirectory(hpath))
 
 
+# Per-path probe caches (round-13): the stream reader's batch-schema
+# read and the adaptive-partition row count each cost a datasource
+# resolution (~100 ms of driver work) or a metadata job, and every
+# streaming query pays them on every invocation. Keyed on (path,
+# mtime) like queries/base.py's table cache, so regenerated testdata
+# misses. Values are plain schemas/ints — no plan or data is reused.
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+_ROWS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _path_mtime(path: str) -> int:
+    import os
+
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
+
+
+def _events_batch_schema(spark: SparkSession, events_path: str):
+    key = (events_path, _path_mtime(events_path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(events_path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
+def adaptive_state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_partition: int = 30_000,
+) -> int:
+    """Data-adaptive shuffle-partition count for the compute-bound
+    stateful Python operators (sessionizer, throttler): one state-store
+    instance + one Python worker per partition is pure setup cost until
+    each partition carries enough rows to amortize it. Measured at
+    sf0.1 (100k events): 8 partitions ran the throttle ~3x faster than
+    32 (6.5 s vs 20.5 s warm — 32 RocksDB/GroupState instances for 3k
+    rows each); at sf1 (1M events) the sessionizer measured 9.5 s at
+    core-count partitions vs 20.0 s at 8 (the r4 A/B) — so the right
+    value SCALES WITH THE DATA: ceil(rows / rows_per_partition),
+    floored at DEFAULT_STATE_PARTITIONS, capped at core count. The
+    row count probes the events table's parquet metadata once per
+    (path, mtime). Partitioning never changes per-key state semantics,
+    so results are unaffected at any value."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_path = f"{sf_dir}/events.parquet"
+    key = (events_path, _path_mtime(events_path))
+    rows = _ROWS_CACHE.get(key)
+    if rows is None:
+        rows = spark.read.parquet(events_path).count()
+        _ROWS_CACHE[key] = rows
+    n = spark.sparkContext.defaultParallelism
+    return max(
+        DEFAULT_STATE_PARTITIONS,
+        min(n, -(-rows // rows_per_partition)),
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The stream schema is
     taken from a batch read of the same file, so the reader adapts to
@@ -48,7 +108,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events_path = f"{sf_dir}/events.parquet"
-    batch_schema = spark.read.parquet(events_path).schema
+    batch_schema = _events_batch_schema(spark, events_path)
     reader = spark.readStream.schema(batch_schema).format("parquet")
     if _hadoop_is_dir(spark, events_path):
         raw = reader.load(events_path)
