@@ -73,6 +73,30 @@ _DOCS_CORPUS_SQL = f"""
 """
 
 
+def _bigram_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, a, b) adjacent word pairs as ONE zip projection
+    (round-13): the shingle_rows(n=2) path concatenated 'a b' strings
+    only for the consumer to split them back apart — this emits the
+    identical pair stream (same split, same positions, same
+    short-doc clamping: the zip null-pads and the b-filter drops the
+    final dangling position) without the string round-trip."""
+    w = F.split(F.trim(F.col("text")), "\\s+")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(w, F.slice(w, 2, F.size(w)))
+            ).alias("_pos", "_z"),
+        )
+        .select(
+            "doc_id",
+            F.col("_z")["0"].alias("a"),
+            F.col("_z")["1"].alias("b"),
+        )
+        .filter(F.col("b").isNotNull() & (F.col("b") != ""))
+    )
+
+
 def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
@@ -5020,13 +5044,8 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both explode passes onto one core (3.1 s of the 3.9 s total);
     # no-op at scale where the scan already has splits
     d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
-    bg_rows = dedup.shingle_rows(d, "doc_id", "text", 2)
     bgc_all = (
-        bg_rows.select(
-            F.split(F.col("sh"), " ").getItem(0).alias("a"),
-            F.split(F.col("sh"), " ").getItem(1).alias("b"),
-        )
-        .filter(F.col("b").isNotNull() & (F.col("b") != ""))
+        _bigram_rows(d)
         .groupBy("a", "b")
         .agg(F.count("*").alias("c_ab"))
     )
@@ -5126,15 +5145,8 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
-    bg = (
-        dedup.shingle_rows(d, "doc_id", "text", 2)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.split(F.col("sh"), " ").getItem(0).alias("a"),
-            F.split(F.col("sh"), " ").getItem(1).alias("b"),
-        )
-        .filter(F.col("b").isNotNull() & (F.col("b") != ""))
-    )
+    # persisted: consumed by the count aggregate and the scoring join
+    bg = scoped_persist(_bigram_rows(d))
     bgc = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     uni = scoped_persist(
         d.select(F.explode(tx.words(F.col("text"))).alias("a"))
@@ -7370,15 +7382,10 @@ _KN_D = 0.75  # absolute discount (the standard KN default)
 )
 def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(table(spark, sf_dir, "documents"), "doc_id")
-    bg = (
-        dedup.shingle_rows(d, "doc_id", "text", 2)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.split(F.col("sh"), " ").getItem(0).alias("a"),
-            F.split(F.col("sh"), " ").getItem(1).alias("b"),
-        )
-        .filter(F.col("b").isNotNull() & (F.col("b") != ""))
-    )
+    # persisted: the pair stream feeds the bigram-count aggregate AND
+    # the per-doc scoring join — unpersisted, the corpus explode runs
+    # twice per query
+    bg = scoped_persist(_bigram_rows(d))
     bgc = scoped_persist(bg.groupBy("a", "b").agg(F.count("*").alias("c_ab")))
     ctx = bgc.groupBy("a").agg(
         F.sum("c_ab").alias("c_a"), F.count("*").alias("n1a")
