@@ -54,12 +54,15 @@ def add_scd_columns(
     as_of_date: dt.date | str,
     tracked_cols: list[str],
 ) -> DataFrame:
-    """Stamp SCD bookkeeping columns (scd_customer_transform.py:44-63)."""
-    return (
-        df.withColumn("valid_from", F.lit(str(as_of_date)).cast("date"))
-        .withColumn("valid_to", F.lit(None).cast("date"))
-        .withColumn("is_current", F.lit(True).cast("boolean"))
-        .withColumn("row_hash", row_hash(tracked_cols))
+    """Stamp SCD bookkeeping columns (scd_customer_transform.py:44-63).
+    One select, not a withColumn chain — each withColumn re-analyzes
+    the growing plan driver-side (round-13 build-cost finding)."""
+    return df.select(
+        "*",
+        F.lit(str(as_of_date)).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).cast("boolean").alias("is_current"),
+        row_hash(tracked_cols).alias("row_hash"),
     )
 
 
@@ -115,17 +118,23 @@ def apply_scd_type2(
         is_changed & F.col("is_current"), F.lit(False)
     ).otherwise(F.col("is_current"))
     # step 2 (reference :145-151): evaluated AFTER step 1 — valid_to set
-    # where is_current is now False and valid_to is still NULL
-    existing_updated = (
-        joined.withColumn("is_current", closed_current)
-        .withColumn(
-            "valid_to",
-            F.when(
-                is_changed & ~F.col("is_current") & F.col("valid_to").isNull(),
-                as_of,
-            ).otherwise(F.col("valid_to")),
+    # where is_current is NOW (post-step-1) False and valid_to is still
+    # NULL; one select with the step-1 expression inlined (identical
+    # evaluation order, no per-withColumn re-analysis)
+    keep = [
+        c
+        for c in existing_with_scd.columns
+        if c not in ("is_current", "valid_to")
+    ]
+    existing_updated = joined.select(
+        *keep,
+        closed_current.alias("is_current"),
+        F.when(
+            is_changed & ~closed_current & F.col("valid_to").isNull(),
+            as_of,
         )
-        .drop("_changed")
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
     )
 
     # ---- brand-new keys + new versions of changed keys ----

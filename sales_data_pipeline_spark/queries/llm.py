@@ -4036,27 +4036,28 @@ def source_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cross_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _docs_corpus(spark, sf_dir)
-    sh = (
-        dedup.shingle_rows(c, "doc_id", "text", 3)
-        .dropDuplicates(["id", "sh"])
-        .withColumnRenamed("id", "doc_id")
-    )
-    # rows are (doc, gram)-distinct so count == countDistinct; owner
-    # duplicates doc_id because a grouping column can't be aggregated
-    g = (
-        sh.withColumn("owner", F.col("doc_id"))
-        .groupingSets([["doc_id"], ["sh"]], "doc_id", "sh")
-        .agg(
-            F.count("*").alias("c"),
-            F.min("owner").alias("owner"),
-            F.grouping_id().alias("gid"),
+    # Round-13: per-doc distinct gram sets build as a row-local
+    # projection (array_distinct over the HOF gram array — the same
+    # set the old shingle_rows + dropDuplicates(id, sh) shuffle
+    # produced), so per-doc n_grams is just size(g) and the only
+    # remaining shuffle is the per-gram doc-count aggregate the metric
+    # fundamentally requires. The groupingSets double stream (every
+    # gram row fed twice, once per grouping) is gone with it.
+    docs_g = scoped_persist(
+        c.selectExpr(
+            "doc_id", f"{dedup.gram_words_sql('text')} AS w"
+        ).selectExpr(
+            "doc_id", f"array_distinct({dedup.gram_array_sql(3)}) AS g"
         )
     )
-    per_doc = g.filter(F.col("gid") == 1).select(
-        "doc_id", F.col("c").cast("long").alias("n_grams")
+    per_doc = docs_g.select(
+        "doc_id", F.size("g").cast("long").alias("n_grams")
     )
+    sh = docs_g.select("doc_id", F.explode("g").alias("sh"))
     uniq = (
-        g.filter((F.col("gid") == 2) & (F.col("c") == 1))
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("owner"))
+        .filter(F.col("c") == 1)
         .groupBy(F.col("owner").alias("doc_id"))
         .agg(F.count("*").alias("n_unique"))
     )
