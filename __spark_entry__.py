@@ -31,16 +31,28 @@ if _REPO_ROOT not in sys.path:
 # mechanism can see (e.g. testdata regeneration, driver-side compare
 # changes).
 _PRIORITY: list[str] = [
-    # Round 12: queries whose BEHAVIOR (not just a referenced module)
-    # changed this round, all with YOUNG (r11) green rows the
-    # age-primary tail would not re-front for several rounds — the
-    # exact gap _PRIORITY exists for. Each must be re-certified by the
-    # driver against the new code/oracle:
-    "image_phash_dedup",  # inject offset 1e6 -> 2^40 (advisor) +
-    #                       grouped collapse-before-banding (ask #3)
-    "bpe_train_merges",  # oracle LEFT JOIN early-exhaust fix (advisor)
-    "bpe_encode_corpus",  # same oracle chain fix on the encode side
-    "streaming_throttle_events",  # multi-batch sink collapse (advisor)
+    # Round 13 (optimization round): queries whose execution plans were
+    # materially REWRITTEN this round (all value-identical by
+    # construction and cell-exact against the DuckDB oracles locally,
+    # but the driver's re-certification is the real gate — r12 verdict
+    # ask #7 explicitly requires the rewritten ANN recall curves in
+    # this window). The r12 entries all got green r12 rows and are
+    # cleared.
+    "ivfpq_nprobe_recall",  # descent/probe rework via similarity.py
+    "ivfpq_nprobe_recall_clustered",
+    "pq_recall_eval",
+    "pq_recall_eval_clustered",
+    "semantic_dedup_incremental",  # shuffle-free beam-2 descent +
+    "semantic_dedup_incremental_scaled",  # broadcast probe/verdict
+    "streaming_semantic_dedup",
+    "dedup_minhash_lsh",  # row-local signature/gram projections
+    "dedup_containment_pairs",
+    "dedup_ngram_jaccard",
+    "cross_doc_ngram_repetition",  # groupingSets -> projection + 1 agg
+    "kneser_ney_bigram_scores",  # zip-projection bigram stream
+    "bigram_perplexity_scores",
+    "image_phash_clusters",  # CC loop data-sized shuffle width
+    "scd2_merge_history",  # single-select SCD stamping
 ]
 
 
