@@ -175,8 +175,12 @@ def gram_array_sql(n: int = 3, w: str = "w") -> str:
     out and concat_ws skips them, so short docs clamp identically.
     Emitted as ONE parseable string (the py4j expression-tree tax,
     round-12 finding); wrap in array_distinct(...) where the SET is
-    needed (== collect_set of the exploded rows)."""
-    terms = ", ".join(f"{w}[i + {j}]" for j in range(n))
+    needed (== collect_set of the exploded rows). Element access uses
+    get() — NULL out of bounds — because under ANSI mode (the Spark 4
+    default) a bare subscript THROWS on the clamped short-doc
+    positions instead of NULLing; test_round13_opts pins the
+    equivalence on 1- and 2-word docs."""
+    terms = ", ".join(f"get({w}, i + {j})" for j in range(n))
     return (
         f"transform(sequence(0, greatest(size({w}) - {n}, 0)), "
         f"i -> concat_ws(' ', {terms}))"
